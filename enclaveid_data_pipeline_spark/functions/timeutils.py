@@ -1,0 +1,62 @@
+"""Time/date expression helpers (SURVEY §2.8 F1-F5, §7.3 hard part 3).
+
+The reference leans on Polars ``offset_by("-3mo"/"-15d")`` (calendar
+semantics, assets/takeout.py:71) and Postgres ``EXTRACT('epoch' ...)``
+(assets/recent_history.py:270). Spark equivalents must keep the
+month-vs-day distinction: ``add_months`` for month offsets (calendar
+arithmetic), interval subtraction for day/hour offsets.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_OFFSET_RE = re.compile(r"^(-?\d+)(mo|d|h|m|s|w|y)$")
+
+#: unit -> seconds, for fixed-width units only (months/years are calendar).
+_FIXED_SECONDS = {"d": 86400, "h": 3600, "m": 60, "s": 1, "w": 7 * 86400}
+
+
+def parse_offset_string(offset: str) -> tuple[int, str]:
+    """Parse a Polars-style offset string (``-3mo``, ``-15d``, ``2h``).
+
+    Reference semantics: assets/takeout.py:16-33 configures the recency
+    threshold as such a string and validates it is negative
+    (assets/takeout.py:54-55).
+    """
+    m = _OFFSET_RE.match(offset.strip())
+    if not m:
+        raise ValueError(f"unsupported offset string: {offset!r}")
+    return int(m.group(1)), m.group(2)
+
+
+def calendar_offset(ts: Column, offset: str) -> Column:
+    """``ts`` shifted by a Polars-style offset string.
+
+    ``mo``/``y`` are calendar-aware (``add_months``); fixed-width units
+    become interval arithmetic. Mirrors ``dt.offset_by`` semantics the
+    reference relies on for the recency split (assets/takeout.py:70-72).
+    """
+    n, unit = parse_offset_string(offset)
+    if unit == "mo":
+        return F.timestamp_add("MONTH", F.lit(n), ts)
+    if unit == "y":
+        return F.timestamp_add("YEAR", F.lit(n), ts)
+    seconds = n * _FIXED_SECONDS[unit]
+    return F.timestamp_add("SECOND", F.lit(seconds), ts)
+
+
+def epoch_seconds(ts: Column) -> Column:
+    """F5: ``EXTRACT('epoch' FROM ts)`` with fractional seconds."""
+    return F.unix_micros(ts).cast("double") / F.lit(1_000_000.0)
+
+
+def hhmm_to_timestamp(date_col: Column, hhmm: Column) -> Column:
+    """F2/F4: ``(date || ' ' || 'HH:mm')::timestamp`` — the timestamp
+    twin of the reference's TimeType columns (SURVEY §1.2)."""
+    return F.to_timestamp(
+        F.concat_ws(" ", date_col.cast("string"), hhmm), "yyyy-MM-dd HH:mm"
+    )

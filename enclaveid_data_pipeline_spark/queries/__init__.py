@@ -1,0 +1,16 @@
+"""Named engine queries + DuckDB oracle SQL (the driver contract).
+
+Each module registers queries into :data:`REGISTRY` via
+:func:`~enclaveid_data_pipeline_spark.queries.registry.register`.
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+this registry.
+"""
+
+from .registry import REGISTRY, QueryDef, register
+
+# Import for registration side effects — order defines display order.
+from . import takeout_queries  # noqa: E402,F401
+from . import session_queries  # noqa: E402,F401
+from . import tpch_queries  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QueryDef", "register"]

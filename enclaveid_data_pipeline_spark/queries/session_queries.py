@@ -1,0 +1,273 @@
+"""Sessionization queries (SURVEY §2.5 W1/W4, §2.4 A2, §2.9 G2, J4-lite).
+
+The reference computes inter-session gaps with LAG + epoch subtraction
+in Postgres (assets/recent_history.py:256-292), learns per-user gap
+thresholds as exact percentiles, then merges near-adjacent sessions.
+Durations here are integer MICROSECONDS (exact in both engines —
+float seconds are not engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import chunk_ids
+from ..sources.readers import read_table
+from .registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+#: 30 minutes, in microseconds — fixed demo threshold for the
+#: sessionize queries (the learned-threshold variant is
+#: ``sessionize_learned_gap``).
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _events_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4 on events: prev ts + gap, deterministic (ts, event_id) order."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.withColumn("prev_ts", prev).withColumn(
+        "gap_us", F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    )
+
+
+_GAPS_ORACLE_CTE = """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), g2 AS (
+        SELECT user_id, event_id, ts, prev_ts,
+               epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        FROM gaps
+    )
+"""
+
+
+@register(
+    "session_gaps",
+    oracle=_GAPS_ORACLE_CTE
+    + f"""
+    SELECT user_id, event_id,
+           strftime(prev_ts, '{_TS_FMT_DUCK}') AS prev_ts_s,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM g2
+    WHERE gap_us IS NOT NULL
+    """,
+)
+def session_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W4+P6: per-user inter-event gap series (first row dropped).
+
+    Reference: assets/recent_history.py:256-275 (LAG + EXTRACT epoch,
+    NULL first row filtered at 318-325). One sort-based window pass
+    per user partition.
+    """
+    gaps = _events_with_gaps(spark, sf_dir)
+    return gaps.filter(F.col("gap_us").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.date_format("prev_ts", _TS_FMT_SPARK).alias("prev_ts_s"),
+        "gap_us",
+    )
+
+
+@register(
+    "gap_percentile_p10",
+    oracle=_GAPS_ORACLE_CTE
+    + """
+    SELECT user_id,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.10), 4) AS time_threshold_us
+    FROM g2
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def gap_percentile_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact 10th percentile of gaps per user (time_threshold).
+
+    Reference: assets/recent_history.py:277-292 (percentile_cont
+    WITHIN GROUP in Postgres, scalar fetched to the driver). Here it
+    stays in-plan as a grouped aggregate; Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (linear interpolation).
+    """
+    gaps = _events_with_gaps(spark, sf_dir)
+    return (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.percentile(F.col("gap_us").cast("double"), F.lit(0.10)), 4
+            ).alias("time_threshold_us")
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start_s,
+           strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_30m", oracle=_SESSIONIZE_ORACLE)
+def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization at a fixed 30-minute threshold.
+
+    The cumsum-over-new-session-flag rewrite of the reference's
+    iterative merge (assets/recent_history.py:416-447) for the
+    time-gap part; exactly ``session_window(ts, gap)`` semantics in
+    batch form (SURVEY §2.11).
+    """
+    gaps = _events_with_gaps(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.col("gap_us").isNull() | (F.col("gap_us") > F.lit(_GAP_US))
+    ).cast("long")
+    sessions = gaps.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start_s"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sessionize_learned_gap",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), g2 AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        FROM gaps
+    ), thresholds AS (
+        SELECT user_id,
+               round(quantile_cont(CAST(gap_us AS DOUBLE), 0.90), 0) AS thr_us
+        FROM g2 WHERE gap_us IS NOT NULL GROUP BY user_id
+    ), flagged AS (
+        SELECT g2.user_id, g2.event_id, g2.ts,
+               CASE WHEN g2.gap_us IS NULL
+                         OR CAST(g2.gap_us AS DOUBLE) > t.thr_us
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g2 JOIN thresholds t ON g2.user_id = t.user_id
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start_s,
+           strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_learned_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 + A2 + W1/W4: sessionize each user with their own learned
+    threshold (90th-percentile gap), all inside one plan.
+
+    This is the reference's full threshold→merge chain
+    (assets/recent_history.py:248-292 → 344-447) without the driver
+    round trip: percentile as a grouped aggregate, broadcast-joined
+    back on user_id (tiny side), then the cumsum sessionizer.
+    The threshold is rounded to whole microseconds on both sides
+    before comparison so engine fp differences can't flip a row.
+    """
+    gaps = _events_with_gaps(spark, sf_dir)
+    thr = (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.percentile(F.col("gap_us").cast("double"), F.lit(0.90)), 0
+            ).alias("thr_us")
+        )
+    )
+    joined = gaps.join(F.broadcast(thr), on="user_id", how="inner")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.col("gap_us").isNull()
+        | (F.col("gap_us").cast("double") > F.col("thr_us"))
+    ).cast("long")
+    sessions = joined.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start_s"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "daily_chunks_15",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d') AS date_s,
+               CAST(floor((row_number() OVER (
+                   PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                   ORDER BY ts, event_id
+               ) - 1) / 15) AS BIGINT) AS chunk_id
+        FROM events
+    )
+    SELECT user_id, date_s, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM numbered
+    GROUP BY user_id, date_s, chunk_id
+    """,
+)
+def daily_chunks_15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+G2: 15-row chunking within (user, day).
+
+    Reference: utils/recent_history_utils.py:103 (``iter_slices(15)``
+    after partition_by date). Chunk membership is total-order
+    deterministic via the (ts, event_id) tie-break.
+    """
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "date_s", F.date_format("ts", "yyyy-MM-dd")
+    )
+    chunked = chunk_ids(
+        ev,
+        chunk_size=15,
+        order_cols=("ts", "event_id"),
+        group_cols=("user_id", "date_s"),
+    )
+    return chunked.groupBy("user_id", "date_s", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

@@ -1,0 +1,123 @@
+"""Sources (SURVEY §2.1 S1-S4, S10).
+
+The reference reads one ``MyActivity.json`` per user with a schema
+override (``pl.read_json(..., schema_overrides={"time": Datetime})``,
+reference assets/takeout.py:57-60) and moves Parquet between stages via
+an IO manager (resources/__init__.py:8-10). Here every table is a lazy
+DataFrame read straight from columnar Parquet — Catalyst prunes columns
+and pushes filters into the scan, which is the behavior the reference
+approximates by hand with narrow ``select``\\ s.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Test-corpus tables (TESTDATA.md). One parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Explicit schema for the reference's Takeout JSON ingest (S1).
+#: ``time`` is the only typed override in the reference; everything
+#: else passes through (``pl.all().exclude("time")``, takeout.py:62-68).
+TAKEOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("header", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("titleUrl", T.StringType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("products", T.ArrayType(T.StringType())),
+        T.StructField("activityControls", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS) by pandas writers.
+#: Spark has no nanosecond timestamp: with
+#: ``spark.sql.legacy.parquet.nanosAsLong`` they surface as LongType
+#: nanos and are truncated (floor-div) to microseconds here — the same
+#: truncation DuckDB applies converting ns → its µs TIMESTAMP, so both
+#: engines see identical values.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test-corpus table (S3: parquet source)."""
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable; required even on externally-built sessions
+        # (the driver constructs its own SparkSession for entry()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for spark.sql use."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_takeout_json(
+    spark: SparkSession, path: str, row_limit: int | None = None
+) -> DataFrame:
+    """S1 + S10: per-user activity JSON scan with typed ``time``.
+
+    Mirrors reference assets/takeout.py:57-76: schema'd read, rename
+    ``time`` -> ``timestamp``, optional deployment row limit applied
+    *after* the scan (the reference slices after filtering; the limit
+    ordering is part of the contract).
+    """
+    df = (
+        spark.read.schema(TAKEOUT_SCHEMA)
+        .option("multiLine", "true")
+        .json(path)
+        .withColumnRenamed("time", "timestamp")
+    )
+    if row_limit is not None:
+        df = df.limit(row_limit)
+    return df
+
+
+def apply_row_limit(df: DataFrame, limit: int | None) -> DataFrame:
+    """S10: env-gated row limit (reference consts.py:29, .slice(0, n))."""
+    return df if limit is None else df.limit(limit)
+
+
+def with_derived_time_columns(
+    df: DataFrame, ts_col: str = "timestamp"
+) -> DataFrame:
+    """P2/F1: derive ``date``, ``hour`` (HH:mm), ``month`` (yyyy-MM-dd).
+
+    Reference assets/takeout.py:65-67. Spark has no TimeType, so
+    time-of-day is an ``HH:mm`` string (display) — arithmetic uses the
+    full timestamp (SURVEY §1.2 hard part 1).
+    """
+    ts = F.col(ts_col)
+    return (
+        df.withColumn("date", F.to_date(ts))
+        .withColumn("hour", F.date_format(ts, "HH:mm"))
+        .withColumn("month", F.date_format(ts, "yyyy-MM-dd"))
+    )

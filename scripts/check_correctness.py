@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given SF dir, then compares row count, column names,
+and an order-insensitive value comparison (columns sorted by name,
+rows sorted by all columns, exact equality). Exit code 1 on any
+mismatch.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from enclaveid_data_pipeline_spark.session import get_spark  # noqa: E402
+from enclaveid_data_pipeline_spark.sources.readers import TABLES  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Engine-neutral cell representation: everything to display string.
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            out[c] = col.map(lambda v: repr(v))
+        elif str(col.dtype).startswith("float"):
+            out[c] = col.map(lambda v: "null" if pd.isna(v) else repr(float(v)))
+        else:
+            out[c] = col.map(lambda v: "null" if pd.isna(v) else repr(v))
+    if len(out.columns):
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(spark_pdf)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(spark_pdf) != len(duck_pdf):
+            problems.append(f"rows {len(spark_pdf)} != {len(duck_pdf)}")
+        s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+        if s_cols != d_cols:
+            problems.append(f"cols {s_cols} != {d_cols}")
+        if not problems:
+            a, b = normalize(spark_pdf), normalize(duck_pdf)
+            if not a.equals(b):
+                neq = (a != b).any(axis=0)
+                bad_cols = list(neq[neq].index)
+                diff_mask = (a != b).any(axis=1)
+                idx = list(a.index[diff_mask])[:3]
+                detail = []
+                for i in idx:
+                    detail.append(
+                        f"row{i}: "
+                        + "; ".join(
+                            f"{c}: {a.at[i, c]} != {b.at[i, c]}"
+                            for c in bad_cols
+                            if a.at[i, c] != b.at[i, c]
+                        )
+                    )
+                problems.append(f"values differ in {bad_cols}: " + " | ".join(detail))
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(spark_pdf)} rows match "
+                  f"({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
