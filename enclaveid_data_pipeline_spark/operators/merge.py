@@ -1,0 +1,122 @@
+"""Connected-components merge (SURVEY §2.3 J4 rewrite, §7.3 hard part 2).
+
+The reference merges near-duplicate sessions with a driver-side loop:
+for each candidate pair it UPDATEs one row to the merged span and
+DELETEs the other (assets/recent_history.py:416-447) — order-dependent
+(its own TODO flags "problems with the current logic", 375-383) and
+O(pairs) network round trips.
+
+The set-based rewrite: candidate pairs are edges; merge groups are
+connected components; the merged row is an aggregate over the
+component (min start / max end — A6 GREATEST/LEAST as aggregates).
+Deterministic, order-independent, idempotent.
+
+Algorithm: iterated min-label propagation with pointer-jumping
+(each round: label(v) ← min over v's neighbors' labels and the label
+of v's label), which converges in O(log n) rounds on any component —
+the "hash-to-min" scheme of Rastogi et al. (2012), the same family
+GraphFrames uses. Each round is two shuffles on bigint keys; rounds
+are cheap and the loop ends as soon as a round changes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label each node with the MIN node id of its component.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Returns ``(node, component)``. Nodes appear iff they appear in an
+    edge — union isolated nodes in upstream if needed.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # label(v) = min(v, min neighbor) as the starting point
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("mn")).alias("label"),
+        )
+    )
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iterations):
+        # neighbor minimum
+        nbr = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # pointer jump: label of my label
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.alias("l2"),
+                F.col("l1.label") == F.col("l2.node"),
+                "left",
+            )
+            .select(
+                F.col("l1.node").alias("node"),
+                F.col("l1.label").alias("label"),
+                F.col("l2.label").alias("jump_label"),
+            )
+        )
+        new_labels = (
+            jump.join(nbr, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("jump_label"), F.col("label")),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def merge_components(
+    rows: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    agg_exprs: dict[str, F.Column],
+) -> DataFrame:
+    """Collapse rows to one per component with the given aggregates.
+
+    Rows whose id has no component (never appeared in a candidate
+    pair) keep themselves as singleton components — matching the
+    reference's behavior of leaving unmerged sessions in place.
+    """
+    joined = rows.join(
+        components, rows[id_col] == components["node"], "left"
+    ).withColumn(
+        "component", F.coalesce(F.col("component"), rows[id_col])
+    ).drop("node")
+    return joined.groupBy("component").agg(
+        *[expr.alias(name) for name, expr in agg_exprs.items()]
+    )

@@ -1,0 +1,124 @@
+"""Similarity operators (SURVEY §2.3 J1/J2, §2.5 W2/W3, §2.8 F12).
+
+The reference computes pgvector cosine (`1 - (a.embedding <=>
+b.embedding)`) inside Postgres three ways: LAG-adjacent similarity
+(assets/recent_history.py:307-316), all-ordered-pairs theta self-joins
+for merge candidates (384-411) and for the top-1-neighbor session
+graph (469-514). Here all three are one family: an equi-join on the
+group key with a residual ordering predicate, cosine as a native
+column expression, norms precomputed once per row (the reference
+recomputes the distance per pair — at 100 TB precomputing halves the
+flops and the join stays a plain hash join on the group key).
+
+Scale notes: the pair space is quadratic *per group* by design (the
+reference bounds it per user). The group key rides the shuffle, so
+each group's pairs materialize on one executor — document the
+per-group bound, and band wide groups (see dedup.lsh for the banded
+alternative when no natural group exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, l2_norm
+
+
+def lag_similarity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts",),
+    out_col: str = "cosine_similarity",
+) -> DataFrame:
+    """W2: cosine between each row's vector and the previous row's.
+
+    NULL on each group's first row (reference filters it, P6).
+    One sort-based window pass; the vector rides the shuffle once.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    prev = F.lag(vec_col).over(w)
+    return df.withColumn(
+        out_col, cosine_similarity(F.col(vec_col), prev)
+    )
+
+
+def pairwise_similarity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    group_cols: tuple[str, ...] = ("user_id",),
+    ordered: bool = True,
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """J1/J2: per-group pair generation with cosine similarity.
+
+    ``ordered=True`` keeps only pairs where the left id precedes the
+    right id — the reference's "later sessions only" theta predicate
+    (assets/recent_history.py:486-490) with the id as the total order.
+
+    Output columns: group cols, ``left_id``, ``right_id``, ``sim_col``.
+    """
+    norms = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    a = norms.select(
+        *[F.col(c).alias(c) for c in group_cols],
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("__vec_a"),
+        F.col("__norm").alias("__norm_a"),
+    )
+    b = norms.select(
+        *[F.col(c).alias(c) for c in group_cols],
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("__vec_b"),
+        F.col("__norm").alias("__norm_b"),
+    )
+    pred = (
+        F.col("left_id") < F.col("right_id")
+        if ordered
+        else F.col("left_id") != F.col("right_id")
+    )
+    sim = cosine_similarity(
+        F.col("__vec_a"),
+        F.col("__vec_b"),
+        a_norm=F.col("__norm_a"),
+        b_norm=F.col("__norm_b"),
+    )
+    return (
+        a.join(b, on=list(group_cols), how="inner")
+        .filter(pred)
+        .withColumn(sim_col, sim)
+        .drop("__vec_a", "__vec_b", "__norm_a", "__norm_b")
+    )
+
+
+def top_k_neighbors(
+    pairs: DataFrame,
+    k: int = 1,
+    group_cols: tuple[str, ...] = ("user_id",),
+    anchor_col: str = "left_id",
+    neighbor_col: str = "right_id",
+    sim_col: str = "similarity",
+    rank_sim: Column | None = None,
+) -> DataFrame:
+    """W3/O3: top-k most-similar neighbor per anchor (reference builds
+    the session graph with k=1, assets/recent_history.py:493-514).
+
+    ``rank_sim`` lets the caller rank on a stabilized expression
+    (e.g. a rounded similarity) so near-equal float ranks stay
+    deterministic; ties then break on the neighbor id.
+    """
+    order_expr = rank_sim if rank_sim is not None else F.col(sim_col)
+    w = Window.partitionBy(*group_cols, anchor_col).orderBy(
+        F.desc(order_expr), F.asc(neighbor_col)
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -11,6 +11,7 @@ from .registry import REGISTRY, QueryDef, register
 # Import for registration side effects — order defines display order.
 from . import takeout_queries  # noqa: E402,F401
 from . import session_queries  # noqa: E402,F401
+from . import similarity_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

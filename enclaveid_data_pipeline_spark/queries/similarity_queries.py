@@ -1,0 +1,233 @@
+"""Vector-similarity queries (SURVEY §2.5 W2/W3, §2.3 J2/J4, §2.8 F12).
+
+The ``embeddings`` corpus table stands in for the reference's
+session-embedding table (pgvector column, 1024-d there, 64-d here);
+``label`` stands in for the per-user grouping, ``vec_id`` for the
+temporal order (FIXTURES.md §3).
+
+Float parity: cosine is computed in DOUBLE on both engines from the
+same float32 inputs, then rounded to 6 decimals; rank ties break on
+the neighbor id so graph edges are order-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..operators.merge import connected_components
+from ..operators.similarity import (
+    lag_similarity,
+    pairwise_similarity,
+    top_k_neighbors,
+)
+from ..sources.readers import read_table
+from .registry import register
+
+_NEAR_DUP_THRESHOLD = 0.3
+
+
+def _duck_cos(ea: str, eb: str) -> str:
+    """DuckDB double-precision cosine between two list columns
+    (positional multi-unnest zips the lists)."""
+    return (
+        f"((SELECT sum(x*y) FROM (SELECT unnest({ea})::DOUBLE AS x, "
+        f"unnest({eb})::DOUBLE AS y) z) / "
+        f"(sqrt((SELECT sum(x*x) FROM (SELECT unnest({ea})::DOUBLE AS x) z)) * "
+        f"sqrt((SELECT sum(y*y) FROM (SELECT unnest({eb})::DOUBLE AS y) z))))"
+    )
+
+
+_LAG_COS_ORACLE = f"""
+    WITH lagged AS (
+        SELECT label, vec_id, embedding,
+               lag(embedding) OVER (PARTITION BY label ORDER BY vec_id) AS prev_emb
+        FROM embeddings
+    )
+    SELECT label, vec_id,
+           round({_duck_cos('embedding', 'prev_emb')}, 6) AS cos_prev
+    FROM lagged
+    WHERE prev_emb IS NOT NULL
+"""
+
+
+@register("lag_cosine_by_label", oracle=_LAG_COS_ORACLE)
+def lag_cosine_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: adjacent-row cosine similarity per group.
+
+    Reference: assets/recent_history.py:307-316 (LAG(embedding) +
+    pgvector cosine, first row NULL-filtered).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = lag_similarity(
+        emb,
+        vec_col="embedding",
+        group_cols=("label",),
+        order_cols=("vec_id",),
+        out_col="cos_prev",
+    )
+    return out.filter(F.col("cos_prev").isNotNull()).select(
+        "label", "vec_id", F.round("cos_prev", 6).alias("cos_prev")
+    )
+
+
+@register(
+    "similarity_threshold_p90",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT label, vec_id, embedding,
+               lag(embedding) OVER (PARTITION BY label ORDER BY vec_id) AS prev_emb
+        FROM embeddings
+    ), sims AS (
+        SELECT label,
+               {_duck_cos('embedding', 'prev_emb')} AS cos_prev
+        FROM lagged WHERE prev_emb IS NOT NULL
+    )
+    SELECT label,
+           round(quantile_cont(cos_prev, 0.90), 6) AS similarity_threshold
+    FROM sims GROUP BY label
+    """,
+)
+def similarity_threshold_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 on W2: per-group 90th percentile of adjacent similarity —
+    the reference's ``similarity_threshold`` scalar
+    (assets/recent_history.py:299-341), kept in-plan as a grouped
+    aggregate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sims = lag_similarity(
+        emb,
+        vec_col="embedding",
+        group_cols=("label",),
+        order_cols=("vec_id",),
+        out_col="cos_prev",
+    ).filter(F.col("cos_prev").isNotNull())
+    return sims.groupBy("label").agg(
+        F.round(F.percentile("cos_prev", F.lit(0.90)), 6).alias(
+            "similarity_threshold"
+        )
+    )
+
+
+_PAIRS_ORACLE_CTE = f"""
+    WITH pairs AS (
+        SELECT a.label AS label,
+               a.vec_id AS left_id,
+               b.vec_id AS right_id,
+               round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS sim
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+"""
+
+
+@register(
+    "top1_neighbor_graph",
+    oracle=_PAIRS_ORACLE_CTE
+    + """
+    , ranked AS (
+        SELECT label, left_id, right_id, sim,
+               row_number() OVER (
+                   PARTITION BY label, left_id
+                   ORDER BY sim DESC, right_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT label,
+           left_id AS parent_id,
+           right_id AS child_id,
+           sim AS weight
+    FROM ranked WHERE rn = 1
+    """,
+)
+def top1_neighbor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+W3: top-1 most-similar LATER row per row, per group — the
+    reference's session graph build (assets/recent_history.py:467-527:
+    DocumentPairs CTE + ROW_NUMBER ... rank=1).
+
+    Rank uses the ROUNDED similarity so float noise can't reorder
+    near-ties; ties break on child id.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+    ).withColumn("sim", F.round("similarity", 6))
+    top1 = top_k_neighbors(
+        pairs,
+        k=1,
+        group_cols=("label",),
+        anchor_col="left_id",
+        neighbor_col="right_id",
+        sim_col="sim",
+    )
+    return top1.select(
+        "label",
+        F.col("left_id").alias("parent_id"),
+        F.col("right_id").alias("child_id"),
+        F.col("sim").alias("weight"),
+    )
+
+
+@register(
+    "embedding_near_duplicates",
+    oracle=_PAIRS_ORACLE_CTE
+    + f"""
+    SELECT label, left_id, right_id, sim
+    FROM pairs WHERE sim >= {_NEAR_DUP_THRESHOLD}
+    """,
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shaped candidate pairs: per-group pairs above a cosine
+    threshold (the reference's merge-candidate query,
+    assets/recent_history.py:384-411, with the similarity side of the
+    conjunctive predicate P8)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+    ).withColumn("sim", F.round("similarity", 6))
+    return pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
+        "label", "left_id", "right_id", "sim"
+    )
+
+
+@register(
+    "near_duplicate_components",
+    oracle=_PAIRS_ORACLE_CTE
+    + f"""
+    , edges AS (
+        SELECT left_id AS src, right_id AS dst
+        FROM pairs WHERE sim >= {_NEAR_DUP_THRESHOLD}
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), recursive_reach AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.root
+            FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT * FROM reach
+    )
+    SELECT node, CAST(min(root) AS BIGINT) AS component
+    FROM recursive_reach
+    GROUP BY node
+    """,
+)
+def near_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 rewrite: connected components over near-duplicate pairs.
+
+    Replaces the reference's order-dependent driver merge loop
+    (assets/recent_history.py:416-447) with deterministic min-label
+    propagation (see operators.merge). The oracle is a recursive-CTE
+    transitive closure — feasible at oracle scale, while the engine
+    side converges in O(log n) distributed rounds.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+    ).withColumn("sim", F.round("similarity", 6))
+    edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    return connected_components(edges).select("node", "component")
