@@ -1,0 +1,53 @@
+"""LLM-output validation counters (SURVEY §2.4 A3, §2.10 M9, §2.2 P10).
+
+The reference counts invalid LLM responses (wrong type, wrong key
+set, invalid times) and surfaces them as materialization metadata
+(utils/recent_history_utils.py:138-186, assets/recent_history.py:
+107-120). In-engine those counters are a grouped aggregation over
+validity predicates — a first-class DataFrame output (or an
+``observe()`` metric stream), not a side effect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: P5: the reference's HH:MM validity regex
+#: (utils/recent_history_utils.py:164-168).
+HHMM_RE = r"^\d{2}:\d{2}$"
+
+
+def validity_counters(
+    df: DataFrame,
+    valid_col: Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count rows / invalid rows / error rate per group.
+
+    ``valid_col`` is any boolean validity predicate (e.g. parsed
+    struct non-null, key set complete, times matching HHMM_RE).
+    """
+    invalid = (~valid_col).cast("long")
+    keys = list(group_cols)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(invalid).alias("n_invalid"),
+    )
+    return agg.withColumn(
+        "error_rate",
+        F.round(F.col("n_invalid").cast("double") / F.col("n_rows"), 6),
+    )
+
+
+def session_shape_valid(parsed: Column) -> Column:
+    """P10: the reference's dict-shape check — parsed struct non-null
+    and all four required fields present, with both times matching
+    the HH:MM regex (utils/recent_history_utils.py:140-168)."""
+    return (
+        parsed.isNotNull()
+        & parsed["description"].isNotNull()
+        & parsed["interests"].isNotNull()
+        & parsed["time_start"].rlike(HHMM_RE)
+        & parsed["time_end"].rlike(HHMM_RE)
+    )

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.functions.jsonextract import (
+    SESSION_SCHEMA,
+    extract_json_candidates,
+    json_candidates_udf,
+    parse_json_spans,
+)
+from enclaveid_data_pipeline_spark.operators.quality import (
+    session_shape_valid,
+    validity_counters,
+)
+
+
+def test_extract_json_candidates_pure():
+    assert extract_json_candidates(None) == []
+    assert extract_json_candidates("no json here") == []
+    assert extract_json_candidates('x {"a": 1} y') == ['{"a": 1}']
+    # multiple spans, nested, array
+    got = extract_json_candidates('a {"x": {"y": [1,2]}} b [3,4] c')
+    assert got == ['{"x": {"y": [1,2]}}', "[3,4]"]
+    # string-literal braces must not confuse the scanner
+    assert extract_json_candidates('{"s": "}{"}') == ['{"s": "}{"}']
+    # unbalanced → skipped
+    assert extract_json_candidates('{"a": 1') == []
+
+
+def test_json_candidates_udf_and_parse(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 'intro {"time_start":"09:00","time_end":"10:00",'
+                '"description":"d","interests":["a","b"]} outro'),
+            (2, "garbage"),
+            (3, '{"time_start":"9am","time_end":"10:00",'
+                '"description":"d","interests":[]}'),
+        ],
+        "id long, raw string",
+    )
+    spans = df.withColumn("cand", F.explode_outer(json_candidates_udf("raw")))
+    parsed = spans.withColumn("s", parse_json_spans(F.col("cand"), SESSION_SCHEMA))
+    out = parsed.withColumn("ok", session_shape_valid(F.col("s")))
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].ok is True
+    assert rows[2].ok is False  # no candidate at all
+    assert rows[3].ok is False  # time_start fails HH:MM regex
+
+
+def test_validity_counters(spark):
+    df = spark.createDataFrame(
+        [("a", True), ("a", False), ("a", True), ("b", True)],
+        "g string, ok boolean",
+    )
+    out = {
+        r.g: r
+        for r in validity_counters(df, F.col("ok"), group_cols=("g",)).collect()
+    }
+    assert out["a"].n_rows == 3 and out["a"].n_invalid == 1
+    assert abs(out["a"].error_rate - 0.333333) < 1e-9
+    assert out["b"].n_invalid == 0
