@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact; the oracle). Scale path:
+random-hyperplane LSH bucketing (Charikar 2002) — sign-pattern
+buckets shrink the candidate set from |corpus| to |bucket|, trading
+recall for a ~2^planes fan-in reduction. Hyperplane weights are
+derived deterministically from md5(plane|dim) so the oracle can
+replay them (and so the "random" projection is reproducible across
+runs and engines — a real pipeline would broadcast a seeded matrix).
+
+Both paths are pure DataFrame ops: pairwise cosine is the native
+zip_with/aggregate expression (functions.vectors), top-k is a
+row_number window. No UDFs, no driver-side loops; the corpus side
+of the join is hash-partitioned on the bucket key (LSH) or broadcast
+(brute force with a small query set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, l2_norm
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: cross join queries × corpus (queries side
+    broadcast — the query set is small by construction), rank per
+    query on rounded similarity with id tie-break.
+
+    Output: ``query_id, neighbor_id, sim, rank``; self-matches
+    excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__qv"), F.col("__cv"), a_norm=F.col("__qn"), b_norm=F.col("__cn")
+        ),
+        6,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .select("query_id", "neighbor_id", "sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_sign_bits(vec: Column, planes: int) -> Column:
+    """Deterministic random-hyperplane signature: plane ``p`` weights
+    dimension ``d`` by ±1 from the high bit of hex digit 1 of
+    ``md5(p|d)``; the signature bit is the sign of the ±1-weighted
+    sum. Returns the bucket id as a BIGINT in [0, 2^planes)."""
+    dims = F.sequence(F.lit(1), F.size(vec))
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.aggregate(
+            dims,
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(vec, d).cast("double")
+            * F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}|"), d.cast("string"))), 1, 1
+                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        out = out + (proj > 0).cast("long") * F.lit(1 << p)
+    return out
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's sign bucket.
+
+    At 100 TB the bucket column is what you'd write/bucket the corpus
+    by, making each query a partition-pruned scan instead of a full
+    pass. Recall loss is the standard LSH trade; raise ``planes``
+    bands-style (multiple tables) for recall, not bucket width.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__qv"), F.col("__cv"), a_norm=F.col("__qn"), b_norm=F.col("__cn")
+        ),
+        6,
+    )
+    pairs = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .select("bucket", "query_id", "neighbor_id", "sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("long").alias("rank"),
+            "bucket",
+        )
+    )

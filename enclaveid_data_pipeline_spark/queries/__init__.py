@@ -13,6 +13,7 @@ from . import takeout_queries  # noqa: E402,F401
 from . import session_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
+from . import dedup_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

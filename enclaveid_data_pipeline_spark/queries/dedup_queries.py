@@ -1,0 +1,439 @@
+"""Dedup / text-analysis / similarity-search queries on the
+``documents`` and ``embeddings`` corpus tables — the training-data
+pipeline operator suite (exact dedup, MinHash+LSH, SimHash, n-gram
+Jaccard, ANN top-k, language ID, quality scores, token counts,
+fingerprints).
+
+Every oracle replays the identical md5-seeded pipeline in DuckDB
+(generated SQL mirrors the Spark expression tree one-to-one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_RE,
+    fingerprint,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_similarity_pairs,
+    lsh_candidate_pairs,
+    minhash_columns,
+    simhash16,
+    tokenize,
+    with_lsh_bands,
+    word_shingles,
+)
+from ..operators.knn import brute_force_topk, lsh_bucketed_topk
+from ..sources.readers import read_table
+from .registry import register
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = 4
+
+# ---- shared DuckDB fragments -------------------------------------------
+
+_DUCK_TOKS = "string_split(text, ' ')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB word n-gram list over ``t`` (a token list column)."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
+    return (
+        f"list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)), "
+        f"i -> {parts})"
+    )
+
+
+_DUCK_MINHASH = ", ".join(
+    f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS mh{i}"
+    for i in range(_NUM_HASHES)
+)
+
+_DUCK_BANDS = ", ".join(
+    "md5(" + " || ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)) + f") AS band{b}"
+    for b in range(_BANDS)
+)
+
+_DUCK_BAND_PAIRS = "\n        UNION\n".join(
+    f"""        SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bands a JOIN bands b
+          ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+    for b in range(_BANDS)
+)
+
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+# ---- dedup --------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_prefix80",
+    oracle="""
+    SELECT md5(substr(text, 1, 80)) AS content_key,
+           CAST(min(doc_id) AS BIGINT) AS representative_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def exact_dedup_prefix80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content key (80-char prefix stands in
+    for a normalization pass; the corpus has no byte-identical dups).
+    Hash-groupBy — fully map-side partial-aggregable."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(
+        docs, key=F.md5(F.substring("text", 1, 80)), id_col="doc_id"
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), mh AS (
+        SELECT doc_id, {_DUCK_MINHASH} FROM sh WHERE len(s) > 0
+    ), bands AS (
+        SELECT doc_id, {_DUCK_BANDS} FROM mh
+    ), pairs AS (
+{_DUCK_BAND_PAIRS}
+    )
+    SELECT DISTINCT left_id, right_id FROM pairs
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → 16 seeded
+    min-hashes → 4 bands × 4 rows → band-bucket equi-joins.
+
+    The scale path for dedup: no all-pairs join ever materializes;
+    each band shuffle keys on a uniform md5, so no skew."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select("doc_id", word_shingles(F.col("t"), 3).alias("s")).filter(
+        F.size("s") > 0
+    )
+    mh = sh.select("doc_id", *minhash_columns(F.col("s"), _NUM_HASHES))
+    banded = with_lsh_bands(mh, _BANDS, _ROWS_PER_BAND)
+    return lsh_candidate_pairs(banded, id_col="doc_id", bands=_BANDS)
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS s FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = left_id
+    JOIN sizes sb ON sb.doc_id = right_id
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.8
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 pairs (the verify stage after LSH
+    candidate generation; here run standalone so the oracle checks the
+    full similarity computation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    return jaccard_similarity_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3), threshold=0.8
+    )
+
+
+def _duck_simhash_bits() -> str:
+    terms = []
+    for j in range(16):
+        cond = (
+            f"len(list_filter(t, x -> substr(md5(x), {j + 1}, 1) IN {_HEX_HIGH}))"
+            f" * 2 > len(t)"
+        )
+        terms.append(f"(CASE WHEN {cond} THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "simhash_by_doc",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST({_duck_simhash_bits()} AS BIGINT) AS simhash
+    FROM toks
+    """,
+)
+def simhash_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (bitwise token-majority signature;
+    equal signatures ≈ near-duplicates, Hamming bands for radius>0)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("t"))
+    return toks.select("doc_id", "lang", simhash16(F.col("t")).alias("simhash"))
+
+
+@register(
+    "doc_fingerprint_groups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), fp AS (
+        SELECT doc_id,
+               list_min(list_transform({_duck_shingles(5)}, x -> md5(x))) AS fp
+        FROM toks
+    )
+    SELECT fp AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS representative_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fp
+    WHERE fp IS NOT NULL
+    GROUP BY fp
+    HAVING count(*) >= 2
+    """,
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint dedup: min-md5 over 5-word shingles;
+    docs sharing a fingerprint cluster together (winnowing-lite)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    fp = toks.select(
+        "doc_id", fingerprint(word_shingles(F.col("t"), 5)).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---- text analysis ------------------------------------------------------
+
+
+@register(
+    "token_count_stats",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang,
+               len({_DUCK_TOKS}) AS ws_tokens,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS re_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+           round(sum(ws_tokens)::DOUBLE / count(*), 6) AS avg_ws_tokens
+    FROM stats GROUP BY lang
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (word|punct) tokens,
+    aggregated per language."""
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "lang",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("re_tokens"),
+    )
+    return stats.groupBy("lang").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("re_tokens").alias("total_re_tokens"),
+        F.round(
+            F.sum("ws_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_ws_tokens"),
+    )
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.4 * least(1.0, len(t)::DOUBLE / 100.0)
+           + 0.4 * (len(list_filter(t, x -> x IN ({_STOPS_SQL})))::DOUBLE / len(t))
+           + 0.2 * (1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE
+                           / length(text))), 6) AS quality
+    FROM toks
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document composite quality score (length saturation,
+    stopword ratio, punctuation sanity) — all JVM-side expressions."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", tokenize(F.col("text")).alias("t"))
+    return toks.select(
+        "doc_id", quality_score(F.col("text"), F.col("t")).alias("quality")
+    )
+
+
+def _duck_lang_case() -> str:
+    cnt = {
+        lang: f"((length(text) - length(replace(text, '{m}', ''))) / {len(m)})"
+        for lang, m in LANG_MARKERS
+    }
+    greatest = "greatest(" + ", ".join(cnt.values()) + ")"
+    whens = "\n".join(
+        f"           WHEN {cnt[lang]} = __best AND __best > 0 THEN '{lang}'"
+        for lang, _ in LANG_MARKERS
+    )
+    return (
+        f"SELECT doc_id, lang, CASE\n{whens}\n           ELSE 'unknown' END AS predicted\n"
+        f"    FROM (SELECT doc_id, lang, text, {greatest} AS __best FROM documents)"
+    )
+
+
+@register(
+    "lang_id_accuracy",
+    oracle=f"""
+    WITH pred AS (
+        {_duck_lang_case()}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(sum(CASE WHEN predicted = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unknown
+    FROM pred GROUP BY lang
+    """,
+)
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-substring argmax) scored against
+    the labeled ``lang`` column."""
+    docs = read_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", lang_guess(F.col("text")).alias("predicted")
+    )
+    return pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("predicted") == F.col("lang")).cast("long")).alias(
+            "n_correct"
+        ),
+        F.sum((F.col("predicted") == "unknown").cast("long")).alias("n_unknown"),
+    )
+
+
+# ---- similarity search --------------------------------------------------
+
+
+def _duck_cos(ea: str, eb: str) -> str:
+    return (
+        f"((SELECT sum(x*y) FROM (SELECT unnest({ea})::DOUBLE AS x, "
+        f"unnest({eb})::DOUBLE AS y) z) / "
+        f"(sqrt((SELECT sum(x*x) FROM (SELECT unnest({ea})::DOUBLE AS x) z)) * "
+        f"sqrt((SELECT sum(y*y) FROM (SELECT unnest({eb})::DOUBLE AS y) z))))"
+    )
+
+
+@register(
+    "knn_bruteforce_top5",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 50 = 0
+    ), pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM q JOIN embeddings c ON c.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-5 for a 2%-sample
+    query set (broadcast queries × corpus scan — one pass)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+def _duck_bucket(e: str) -> str:
+    terms = []
+    for p in range(4):
+        # 64 = fixed corpus embedding dim (DuckDB can't bind a column
+        # inside generate_series here; the Spark side stays dynamic)
+        proj = (
+            f"(SELECT sum(CASE WHEN substr(md5('{p}|' || i), 1, 1) IN {_HEX_HIGH} "
+            f"THEN {e}[i]::DOUBLE ELSE -{e}[i]::DOUBLE END) "
+            f"FROM generate_series(1, 64) z(i))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "knn_lsh_top5",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT vec_id, embedding,
+               {_duck_bucket('embedding')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe, bucket
+        FROM buckets WHERE vec_id % 50 = 0
+    ), pairs AS (
+        SELECT q.bucket, q.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM q JOIN buckets c
+          ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    ), ranked AS (
+        SELECT bucket, query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: 4 deterministic random-hyperplane sign bits →
+    16 buckets; rank only within the query's bucket. The bucket key
+    is the 100 TB partition/bucketing column."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucketed_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4
+    )

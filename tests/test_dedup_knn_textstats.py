@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.functions.textstats import (
+    lang_guess,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+)
+from enclaveid_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_similarity_pairs,
+    lsh_candidate_pairs,
+    minhash_columns,
+    simhash16,
+    tokenize,
+    with_lsh_bands,
+    word_shingles,
+)
+from enclaveid_data_pipeline_spark.operators.knn import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "xy"),  # fewer tokens than shingle width
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_word_shingles_and_short_doc(spark):
+    out = _docs(spark).select(
+        "doc_id", word_shingles(tokenize(F.col("text")), 3).alias("s")
+    )
+    rows = {r.doc_id: r.s for r in out.collect()}
+    assert rows[1][0] == "the quick brown"
+    assert len(rows[1]) == 9 - 2
+    assert rows[5] == []  # guarded: no descending-sequence garbage
+
+
+def test_exact_dedup_groups(spark):
+    groups = exact_dedup_groups(
+        _docs(spark), key=F.md5("text"), id_col="doc_id"
+    ).collect()
+    assert len(groups) == 1
+    assert groups[0].representative_id == 1 and groups[0].n_docs == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    toks = _docs(spark).select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select("doc_id", word_shingles(F.col("t"), 2).alias("s")).filter(
+        F.size("s") > 0
+    )
+    mh = sh.select("doc_id", *minhash_columns(F.col("s"), 8))
+    banded = with_lsh_bands(mh, bands=4, rows_per_band=2)
+    pairs = {
+        (r.left_id, r.right_id)
+        for r in lsh_candidate_pairs(banded, "doc_id", bands=4).collect()
+    }
+    assert (1, 4) in pairs  # exact dups always collide
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup collides in ≥1 band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_pairs_exact(spark):
+    toks = _docs(spark).select("doc_id", tokenize(F.col("text")).alias("t"))
+    pairs = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in jaccard_similarity_pairs(
+            toks, "doc_id", word_shingles(F.col("t"), 2), threshold=0.0
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs  # no shared shingles → never materializes
+
+
+def test_simhash_duplicates_equal(spark):
+    toks = _docs(spark).select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = {r.doc_id: r.sh for r in toks.select("doc_id", simhash16(F.col("t")).alias("sh")).collect()}
+    assert sh[1] == sh[4]
+    assert 0 <= sh[1] < (1 << 16)
+    assert sh[1] != sh[3]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_topk(spark):
+    emb = _vecs(spark)
+    q = emb.filter("vec_id = 0")
+    out = brute_force_topk(q, emb, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].sim > 0.99
+
+
+def test_lsh_bucketed_topk_subset_of_bucket(spark):
+    emb = _vecs(spark)
+    q = emb.filter("vec_id = 0")
+    out = lsh_bucketed_topk(q, emb, k=3, planes=2).collect()
+    buckets = {r.bucket for r in out}
+    assert len(buckets) <= 1  # all results share the query's bucket
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_textstats_basics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog, friends!")], "id long, text string"
+    )
+    row = df.select(
+        whitespace_token_count("text").alias("ws"),
+        regex_token_count("text").alias("re"),
+        quality_score(F.col("text"), tokenize(F.col("text"))).alias("q"),
+        lang_guess("text").alias("lang"),
+    ).first()
+    assert row.ws == 6
+    assert row.re == 8  # 6 words + ',' + '!'
+    assert 0.0 <= row.q <= 1.0
+    assert row.lang == "en"
