@@ -1,0 +1,113 @@
+"""Pluggable model backends (SURVEY §2.10 M1-M4, §7.0 design stance).
+
+The reference hard-wires its model calls: Mistral chat + embed over
+HTTP with an AsyncLimiter (utils/recent_history_utils.py:69-124,
+189-233), local vLLM two-turn generation (utils/old_history_utils.py:
+129-173), SentenceTransformers embedding (176-182). Here every model
+touchpoint is a Backend protocol so the operators are testable
+hermetically and swappable in production:
+
+- ``CompletionBackend.complete(prompts) -> responses`` (batch),
+- ``EmbeddingBackend.embed(texts) -> vectors`` (batch).
+
+The mocks are DETERMINISTIC md5 functions of their inputs — the same
+arithmetic is expressible in SQL, so even the model-shaped pipeline
+stages get DuckDB oracle coverage (the reference can only validate
+LLM output post-hoc; we can assert byte-equality end-to-end).
+
+Backends are constructed per executor (build_fn pattern in llm_ops)
+— model handles never ride the closure, matching the reference's
+load-once-per-process GPU lifecycle (old_history_utils.py:137-141).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Protocol, Sequence
+
+
+class CompletionBackend(Protocol):
+    def complete(self, prompts: Sequence[str]) -> list[str]: ...
+
+
+class EmbeddingBackend(Protocol):
+    def embed(self, texts: Sequence[str]) -> list[list[float]]: ...
+
+
+_HIGH = set("89abcdef")
+
+
+def _mock_dim_value(seed: int, text: str) -> float:
+    """Deterministic value in [-1, 1] with 1/4 steps: count of
+    high-bit hex digits among the first 8 of md5(seed|text)."""
+    h = hashlib.md5(f"{seed}|{text}".encode()).hexdigest()[:8]
+    return sum(1 for c in h if c in _HIGH) / 4.0 - 1.0
+
+
+class MockEmbeddingBackend:
+    """Deterministic stand-in for mistral-embed / SentenceTransformers
+    (M2/M4). dim defaults small; the reference's remote model is
+    1024-d float64 (utils/recent_history_utils.py:233)."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def embed(self, texts: Sequence[str]) -> list[list[float]]:
+        return [
+            [_mock_dim_value(j, t or "") for j in range(self.dim)]
+            for t in texts
+        ]
+
+
+class MockCompletionBackend:
+    """Deterministic stand-in for the chat model (M1/M3).
+
+    Emits one session-JSON per prompt in the reference's output
+    schema (utils/recent_history_utils.py:155-163). The operator
+    layer builds prompts as ``key=value`` header lines + rendered
+    rows; this mock summarizes those deterministically.
+    """
+
+    def complete(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            header, _, body = p.partition("\n---\n")
+            meta = dict(
+                kv.split("=", 1) for kv in header.split(";") if "=" in kv
+            )
+            lines = [ln for ln in body.splitlines() if ln.strip()]
+            hours = [ln.split(" ", 1)[0] for ln in lines]
+            kinds = sorted({ln.split(" ", 2)[1] for ln in lines if " " in ln})
+            doc = {
+                "time_start": min(hours) if hours else None,
+                "time_end": max(hours) if hours else None,
+                "description": f"{len(lines)} events starting with "
+                + (lines[0].split(" ", 2)[1] if lines else "nothing"),
+                "interests": kinds,
+            }
+            out.append(
+                "Here is the summary: " + json.dumps(doc, sort_keys=True)
+            )
+        return out
+
+
+class RateLimiter:
+    """Per-worker token bucket (M8). The reference rate-limits with
+    AsyncLimiter(5 req/s) per process (utils/recent_history_utils.py:
+    101,216); cluster-wide rate = per-task rate × max concurrent
+    tasks — cap the stage's task count to bound it."""
+
+    def __init__(self, rate_per_sec: float):
+        self.rate = rate_per_sec
+        self._next_free = 0.0
+
+    def acquire(self, n: int = 1) -> None:
+        import time
+
+        now = time.monotonic()
+        start = max(now, self._next_free)
+        self._next_free = start + n / self.rate
+        delay = start - now
+        if delay > 0:
+            time.sleep(delay)

@@ -1,0 +1,111 @@
+"""Model-backed batch operators (SURVEY §2.10 M1-M4, M8).
+
+Execution model: ``mapInPandas`` / ``applyInPandas`` with a backend
+built ONCE per python worker (executor-scoped cache), Arrow batches
+as the unit of model batching. This is the Spark-native shape of the
+reference's per-chunk async fan-out (utils/recent_history_utils.py:
+101-124): parallelism comes from partitions/tasks instead of an
+asyncio gather, and the per-worker RateLimiter bounds the external
+call rate (cluster-wide rate = task rate × concurrent tasks).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .backends import CompletionBackend, EmbeddingBackend
+
+# Executor-side backend cache: one instance per (worker, key).
+_BACKEND_CACHE: dict[str, object] = {}
+
+
+def _cached(key: str, build: Callable[[], object]) -> object:
+    if key not in _BACKEND_CACHE:
+        _BACKEND_CACHE[key] = build()
+    return _BACKEND_CACHE[key]
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str,
+    build_backend: Callable[[], EmbeddingBackend],
+    dim: int,
+    out_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """M2/M4: embedding operator.
+
+    ``mapInPandas`` so the vector is computed IN-ROW — no positional
+    column attach across a shuffle (the reference aligns an external
+    array by position, assets/recent_history.py:235-238; SURVEY §7.3
+    hard part 7 forbids that shape).
+    """
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    cols = [f.name for f in df.schema.fields]
+    # Unique per operator construction: caching is still once per
+    # worker per operator, but two operators with different configs
+    # (e.g. dims) can never collide in a reused python worker.
+    cache_key = cache_key or f"embed-{uuid.uuid4().hex}"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _cached(cache_key, build_backend)
+        for pdf in batches:
+            vecs = backend.embed(pdf[text_col].fillna("").tolist())
+            out = pdf[cols].copy()
+            out[out_col] = vecs
+            yield out
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def summarize_chunks(
+    chunked: DataFrame,
+    build_backend: Callable[[], CompletionBackend],
+    group_cols: tuple[str, ...] = ("user_id", "date_s", "chunk_id"),
+    hour_col: str = "hour_s",
+    title_col: str = "title",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """M1: chunk → prompt → completion → raw response, one row per
+    chunk (UDTF-shaped downstream: response parses into N sessions).
+
+    Prompt rendering mirrors the reference's deterministic row
+    formatting (utils/recent_history_utils.py:104-121): one
+    ``hour title`` line per event, ordered — no pretty-printer.
+    The response stays RAW here; json extraction + strict-schema
+    parse + validity counters are downstream relational stages
+    (functions.jsonextract, operators.quality).
+    """
+    keys = list(group_cols)
+    schema = T.StructType(
+        [chunked.schema[k] for k in keys]
+        + [
+            T.StructField("prompt", T.StringType()),
+            T.StructField("response", T.StringType()),
+        ]
+    )
+    cache_key = cache_key or f"complete-{uuid.uuid4().hex}"
+
+    def op(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        backend = _cached(cache_key, build_backend)
+        pdf = pdf.sort_values([hour_col, title_col], kind="mergesort")
+        header = ";".join(f"{k}={v}" for k, v in zip(keys, key))
+        body = "\n".join(
+            f"{h} {t}" for h, t in zip(pdf[hour_col], pdf[title_col])
+        )
+        prompt = f"{header}\n---\n{body}"
+        response = backend.complete([prompt])[0]
+        return pd.DataFrame(
+            [list(key) + [prompt, response]],
+            columns=keys + ["prompt", "response"],
+        )
+
+    return chunked.groupBy(*keys).applyInPandas(op, schema=schema)

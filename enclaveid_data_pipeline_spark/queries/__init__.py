@@ -14,6 +14,7 @@ from . import session_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
+from . import ml_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,189 @@
+"""Model-operator queries (SURVEY §2.10 M1-M7 with mock backends).
+
+The mocks are deterministic md5 arithmetic (ml.backends), so the
+mapInPandas/applyInPandas pipelines get full DuckDB oracle coverage —
+the oracle replays the backend math in SQL. Genuinely non-relational
+stages (per-group clustering) register rows-only where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.jsonextract import SESSION_SCHEMA, json_candidates_udf
+from ..ml.backends import MockCompletionBackend, MockEmbeddingBackend
+from ..ml.clustering import cluster_embeddings
+from ..ml.llm_ops import embed_text, summarize_chunks
+from ..operators.multimodal import extract_features, synthetic_assets
+from ..sources.readers import read_table
+from .registry import register
+
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+def _duck_mock_dim(seed: int, text_expr: str) -> str:
+    """SQL replay of backends._mock_dim_value."""
+    return (
+        f"(len(list_filter(list_transform(generate_series(1, 8), "
+        f"k -> substr(md5('{seed}|' || {text_expr}), k, 1)), "
+        f"c -> c IN {_HEX_HIGH}))::DOUBLE / 4.0 - 1.0)"
+    )
+
+
+@register(
+    "mock_embed_documents",
+    oracle=f"""
+    SELECT doc_id,
+           round({_duck_mock_dim(0, 'text')}, 6) AS dim0,
+           round({_duck_mock_dim(1, 'text')}, 6) AS dim1,
+           round({_duck_mock_dim(2, 'text')}, 6) AS dim2,
+           round({_duck_mock_dim(3, 'text')}, 6) AS dim3,
+           round(sqrt({' + '.join(f'{_duck_mock_dim(j, "text")} * {_duck_mock_dim(j, "text")}' for j in range(8))}), 6) AS norm
+    FROM documents
+    """,
+)
+def mock_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M4: embedding operator end-to-end (mapInPandas, executor-
+    cached backend, in-row vector attach). The oracle replays the
+    mock's md5 arithmetic, asserting byte-equality through the whole
+    Arrow round trip."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_text(
+        docs, "text", build_backend=lambda: MockEmbeddingBackend(dim=8), dim=8
+    )
+    e = F.col("embedding")
+    norm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return emb.select(
+        "doc_id",
+        F.round(F.element_at(e, 1), 6).alias("dim0"),
+        F.round(F.element_at(e, 2), 6).alias("dim1"),
+        F.round(F.element_at(e, 3), 6).alias("dim2"),
+        F.round(F.element_at(e, 4), 6).alias("dim3"),
+        F.round(norm, 6).alias("norm"),
+    )
+
+
+@register(
+    "mock_sessions_from_chunks",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS date_s,
+               strftime(ts, '%H:%M') AS hour_s,
+               row_number() OVER (
+                   PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), chunked AS (
+        SELECT *, CAST(floor((rn - 1) / 15) AS BIGINT) AS chunk_id
+        FROM numbered
+    ), ordered AS (
+        SELECT user_id, date_s, chunk_id, hour_s, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_s, chunk_id
+                   ORDER BY hour_s, event_type, event_id
+               ) AS ord
+        FROM chunked
+    )
+    SELECT user_id, date_s, chunk_id,
+           min(hour_s) AS time_start,
+           max(hour_s) AS time_end,
+           count(*) || ' events starting with '
+               || arg_min(event_type, ord) AS description,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_interests
+    FROM ordered
+    GROUP BY user_id, date_s, chunk_id
+    """,
+)
+def mock_sessions_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 end-to-end: chunk (G2) → render prompt → mock completion →
+    balanced-brace extraction (F9) → strict-schema parse (F10) →
+    session rows. The reference's whole recent-sessions path
+    (assets/recent_history.py:67-122) with the LLM swapped for the
+    deterministic mock; the oracle recomputes the expected sessions
+    relationally.
+
+    Note: the mock summarizes the PROMPT TEXT, so the oracle's
+    first-event tie-break must replay the prompt's (hour, title)
+    sort — here title = event_type.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("title"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_s"),
+        F.date_format("ts", "HH:mm").alias("hour_s"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id", "date_s").orderBy("ts", "event_id")
+    chunked = ev.withColumn(
+        "chunk_id", F.floor((F.row_number().over(w) - 1) / 15)
+    )
+    raw = summarize_chunks(
+        chunked,
+        build_backend=MockCompletionBackend,
+        group_cols=("user_id", "date_s", "chunk_id"),
+        hour_col="hour_s",
+        title_col="title",
+    )
+    parsed = raw.select(
+        "user_id",
+        "date_s",
+        "chunk_id",
+        F.from_json(
+            F.element_at(json_candidates_udf("response"), 1), SESSION_SCHEMA
+        ).alias("s"),
+    )
+    return parsed.select(
+        "user_id",
+        "date_s",
+        "chunk_id",
+        F.col("s.time_start").alias("time_start"),
+        F.col("s.time_end").alias("time_end"),
+        F.col("s.description").alias("description"),
+        F.size("s.interests").cast("long").alias("n_interests"),
+    )
+
+
+@register("mock_cluster_embeddings", oracle=None)
+def mock_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5-M7 (rows-only check): per-group threshold clustering via
+    applyInPandas with the deterministic fallback clusterer. The
+    label semantics (min-member-id labels, -1 noise) are pinned by
+    unit tests + the CC-oracle of near_duplicate_components, which
+    this must agree with on cluster membership."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cluster_embeddings(
+        emb,
+        group_cols=("label",),
+        id_col="vec_id",
+        vec_col="embedding",
+        similarity_threshold=0.3,
+        min_cluster_size=2,
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(n_chars AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column + typed metadata →
+    mapInPandas feature extraction (stubbed codec, real Arrow/schema
+    path). Oracle checks byte-count and content digest through the
+    binary round trip (text bytes stand in for media payloads)."""
+    docs = read_table(spark, sf_dir, "documents")
+    assets = synthetic_assets(spark, docs)
+    feats = extract_features(assets, dim=8, decode_stub=True)
+    return feats.select("asset_id", "modality", "n_bytes", "content_md5")
