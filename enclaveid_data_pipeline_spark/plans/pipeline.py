@@ -1,0 +1,154 @@
+"""Pipeline composition (SURVEY §2.12 X1-X7).
+
+The reference's orchestration layer is a Dagster asset DAG with
+per-user dynamic partitions and IO-manager persistence between every
+stage (__init__.py:11-23). In-engine, a pipeline is ordered pure
+``dict[str, DataFrame] -> dict[str, DataFrame]`` stages composed over
+LAZY DataFrames: no materialization between stages, so Catalyst
+optimizes across stage boundaries (the reference re-reads Parquet at
+every asset edge; we only touch storage at explicit sinks).
+
+X3's asset factory (sensitive/general prompt specs,
+assets/old_history.py:192-213) maps to parameterized stage
+constructors; X5's pydantic configs map to plain dataclasses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+Frames = dict[str, DataFrame]
+
+
+@dataclass(frozen=True)
+class Stage:
+    """One named transform: reads/writes keys of the frame namespace."""
+
+    name: str
+    fn: Callable[[Frames], Frames]
+
+
+@dataclass
+class Pipeline:
+    stages: list[Stage] = field(default_factory=list)
+
+    def add(self, name: str) -> Callable[[Callable[[Frames], Frames]], None]:
+        def deco(fn: Callable[[Frames], Frames]) -> None:
+            self.stages.append(Stage(name, fn))
+
+        return deco
+
+    def run(self, inputs: Frames) -> Frames:
+        frames = dict(inputs)
+        for stage in self.stages:
+            frames.update(stage.fn(frames))
+        return frames
+
+
+@dataclass(frozen=True)
+class RecentBranchConfig:
+    """X5: tunables of the recent branch (reference defaults:
+    chunk_size=15 assets/recent_history.py:48, threshold offset
+    '-3mo' assets/takeout.py:16-33, gap percentile 0.10 at 277-281,
+    similarity percentile 0.90 at 327-330)."""
+
+    recency_offset: str = "-3mo"
+    chunk_size: int = 15
+    gap_percentile: float = 0.10
+    embedding_dim: int = 8
+
+
+def build_recent_branch_pipeline(
+    build_completion_backend,
+    build_embedding_backend,
+    config: RecentBranchConfig = RecentBranchConfig(),
+) -> Pipeline:
+    """X1/X4: the reference's recent-history DAG as one lazy plan.
+
+    events → recency split (P3) → day chunking (G1/G2) → LLM
+    summarize (M1) → JSON extract/parse/validate (F9/F10/P10/M9) →
+    embed (M2) → per-user session analytics. Every model call is a
+    backend; with the mocks the whole DAG is deterministic.
+    """
+    from ..functions.jsonextract import SESSION_SCHEMA, json_candidates_udf
+    from ..ml.llm_ops import embed_text, summarize_chunks
+    from ..operators.quality import session_shape_valid, validity_counters
+    from ..operators.recency import recency_split
+
+    p = Pipeline()
+
+    @p.add("recency_split")
+    def _recency(frames: Frames) -> Frames:
+        recent = recency_split(
+            frames["events"], ts_col="ts", user_col="user_id",
+            offset=config.recency_offset,
+        )
+        return {"recent_events": recent}
+
+    @p.add("chunk")
+    def _chunk(frames: Frames) -> Frames:
+        ev = frames["recent_events"].select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("title"),
+            F.date_format("ts", "yyyy-MM-dd").alias("date_s"),
+            F.date_format("ts", "HH:mm").alias("hour_s"),
+            "ts",
+        )
+        w = Window.partitionBy("user_id", "date_s").orderBy("ts", "event_id")
+        chunked = ev.withColumn(
+            "chunk_id",
+            F.floor((F.row_number().over(w) - 1) / config.chunk_size),
+        )
+        return {"chunked": chunked}
+
+    @p.add("summarize")
+    def _summarize(frames: Frames) -> Frames:
+        raw = summarize_chunks(
+            frames["chunked"],
+            build_backend=build_completion_backend,
+            group_cols=("user_id", "date_s", "chunk_id"),
+        )
+        return {"raw_sessions": raw}
+
+    @p.add("parse_validate")
+    def _parse(frames: Frames) -> Frames:
+        parsed = frames["raw_sessions"].withColumn(
+            "s",
+            F.from_json(
+                F.element_at(json_candidates_udf("response"), 1), SESSION_SCHEMA
+            ),
+        )
+        flagged = parsed.withColumn("valid", session_shape_valid(F.col("s")))
+        sessions = (
+            flagged.filter("valid")
+            .select(
+                "user_id",
+                "date_s",
+                "chunk_id",
+                F.col("s.time_start").alias("time_start"),
+                F.col("s.time_end").alias("time_end"),
+                F.col("s.description").alias("description"),
+                F.col("s.interests").alias("interests"),
+            )
+        )
+        metrics = validity_counters(
+            flagged, valid_col=F.col("valid"), group_cols=("user_id",)
+        )
+        return {"sessions": sessions, "session_quality": metrics}
+
+    @p.add("embed")
+    def _embed(frames: Frames) -> Frames:
+        emb = embed_text(
+            frames["sessions"],
+            "description",
+            build_backend=build_embedding_backend,
+            dim=config.embedding_dim,
+        )
+        return {"session_embeddings": emb}
+
+    return p

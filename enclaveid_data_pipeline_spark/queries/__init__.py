@@ -15,6 +15,7 @@ from . import similarity_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
+from . import relational_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

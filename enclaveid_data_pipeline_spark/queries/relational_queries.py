@@ -1,0 +1,185 @@
+"""Extended relational coverage: rollup, pivot, set ops, range join,
+running windows — operators the reference delegates to Polars or
+Postgres internals (SURVEY §2.4 note, §2.7) and any engine user
+expects to just work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from .registry import register
+
+
+@register(
+    "rollup_lineitem_counts",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand-total rows with
+    NULLed keys) — one pass, partial-aggregated per grouping set."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a pinned value list (unpinned pivot would scan twice
+    to discover values — always pin at scale)."""
+    o = read_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_p"),
+    )
+
+
+@register(
+    "repeat_customers_y1_y2",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def repeat_customers_y1_y2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) of two filtered projections."""
+    o = read_table(spark, sf_dir, "orders")
+    y94 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y94.intersect(y95)
+
+
+@register(
+    "churned_customers_y1",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def churned_customers_y1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — ordered in year 1, never again after."""
+    o = read_table(spark, sf_dir, "orders")
+    y94 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    later = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct). exceptAll is MULTISET minus:
+    # a key with 3 hits in y1 and 1 later would survive it.
+    return y94.subtract(later)
+
+
+@register(
+    "order_fulfillment_lag",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS max_ship_lag_days
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (equi key + date band) — the engine's
+    interval-join shape: the equi key keeps it a hash join, the band
+    is a residual predicate, never a cross product."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    joined = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.timestamp_add("DAY", F.lit(90), o.o_orderdate)),
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.max(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("max_ship_lag_days"),
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE), 2) AS running_spend,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window (ROWS UNBOUNDED PRECEDING) + sequence
+    numbering in one sort pass per customer."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"),
+            2,
+        ).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )

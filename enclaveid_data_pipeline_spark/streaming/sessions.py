@@ -1,0 +1,91 @@
+"""Structured Streaming session windows (SURVEY §2.11).
+
+The reference is batch-only; its incremental story is a poll-based
+sensor plus full per-user re-materialization (sensors/__init__.py:
+16-40). The natural streaming extension of the gap-based sessionizer
+(operators.sessionize) is ``F.session_window(ts, gap)``: identical
+semantics to the batch cumsum form for a fixed gap, with watermarked
+state cleanup for late data — the piece the reference lacks entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The corpus events.parquet stores ts as TIMESTAMP(NANOS); the stream
+#: schema reads it as raw INT64 nanos and converts at the boundary
+#: (same convention as sources.readers for the batch path).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, directory: str, glob: str = "events*.parquet"
+) -> DataFrame:
+    """File-source stream over event parquet drops (the streaming
+    replacement for the reference's directory-diff sensor, S9)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sessionize a stream: one output row per (user, session window)
+    with the event count and span. Watermark bounds session state —
+    late events beyond it start new sessions instead of reopening
+    closed state (the batch path has no such cutoff; document the
+    divergence when replaying history through the stream).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a stream synchronously to completion against a memory
+    sink (local smoke harness; production sinks are files/Kafka via
+    the same writeStream)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
