@@ -26,13 +26,12 @@ from ..functions.textstats import (
     whitespace_token_count,
 )
 from ..operators.dedup import (
+    MINHASH_P,
     exact_dedup_groups,
     jaccard_similarity_pairs,
-    lsh_candidate_pairs,
-    minhash_columns,
+    minhash_lsh_pairs,
     simhash16,
     tokenize,
-    with_lsh_bands,
     word_shingles,
 )
 from ..operators.knn import brute_force_topk, lsh_bucketed_topk
@@ -57,21 +56,25 @@ def _duck_shingles(n: int) -> str:
     )
 
 
-_DUCK_MINHASH = ", ".join(
-    f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS mh{i}"
-    for i in range(_NUM_HASHES)
+#: Double-hashing minhash signature (operators.dedup.minhash_signature).
+_DUCK_SIG = (
+    f"list_transform(generate_series(0, {_NUM_HASHES - 1}), "
+    f"i -> list_min(list_transform(hs, h -> (h.h1 + i * h.h2) % {MINHASH_P})))"
 )
 
-_DUCK_BANDS = ", ".join(
-    "md5(" + " || ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)) + f") AS band{b}"
-    for b in range(_BANDS)
+_DUCK_HS = (
+    "list_transform(s, x -> struct_pack("
+    "h1 := ('0x' || substr(md5(x), 1, 7))::BIGINT, "
+    "h2 := ('0x' || substr(md5(x), 9, 7))::BIGINT))"
 )
 
-_DUCK_BAND_PAIRS = "\n        UNION\n".join(
-    f"""        SELECT a.doc_id AS left_id, b.doc_id AS right_id
-        FROM bands a JOIN bands b
-          ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
-    for b in range(_BANDS)
+_DUCK_BANDS = (
+    f"list_transform(generate_series(0, {_BANDS - 1}), b -> md5("
+    + " || '|' || ".join(
+        f"sig[b * {_ROWS_PER_BAND} + {r + 1}]::VARCHAR"
+        for r in range(_ROWS_PER_BAND)
+    )
+    + "))"
 )
 
 _HEX_HIGH = "('8','9','a','b','c','d','e','f')"
@@ -108,30 +111,39 @@ def exact_dedup_prefix80(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), sh AS (
         SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
-    ), mh AS (
-        SELECT doc_id, {_DUCK_MINHASH} FROM sh WHERE len(s) > 0
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
     ), bands AS (
-        SELECT doc_id, {_DUCK_BANDS} FROM mh
-    ), pairs AS (
-{_DUCK_BAND_PAIRS}
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM sigs
     )
-    SELECT DISTINCT left_id, right_id FROM pairs
+    SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
     """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 3-word shingles → 16 seeded
-    min-hashes → 4 bands × 4 rows → band-bucket equi-joins.
+    """MinHash+LSH near-dup candidates: 3-word shingles → 16
+    double-hashed min-hashes (one md5 per shingle) → 4 bands × 4 rows
+    → one band-bucket equi-join.
 
     The scale path for dedup: no all-pairs join ever materializes;
-    each band shuffle keys on a uniform md5, so no skew."""
+    the band shuffle keys on a uniform md5, so no skew."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    sh = toks.select("doc_id", word_shingles(F.col("t"), 3).alias("s")).filter(
-        F.size("s") > 0
+    return minhash_lsh_pairs(
+        toks,
+        id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
     )
-    mh = sh.select("doc_id", *minhash_columns(F.col("s"), _NUM_HASHES))
-    banded = with_lsh_bands(mh, _BANDS, _ROWS_PER_BAND)
-    return lsh_candidate_pairs(banded, id_col="doc_id", bands=_BANDS)
 
 
 @register(

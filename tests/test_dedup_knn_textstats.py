@@ -11,11 +11,9 @@ from enclaveid_data_pipeline_spark.functions.textstats import (
 from enclaveid_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_similarity_pairs,
-    lsh_candidate_pairs,
-    minhash_columns,
+    minhash_lsh_pairs,
     simhash16,
     tokenize,
-    with_lsh_bands,
     word_shingles,
 )
 from enclaveid_data_pipeline_spark.operators.knn import (
@@ -57,14 +55,16 @@ def test_exact_dedup_groups(spark):
 
 def test_minhash_lsh_finds_near_dups(spark):
     toks = _docs(spark).select("doc_id", tokenize(F.col("text")).alias("t"))
-    sh = toks.select("doc_id", word_shingles(F.col("t"), 2).alias("s")).filter(
-        F.size("s") > 0
-    )
-    mh = sh.select("doc_id", *minhash_columns(F.col("s"), 8))
-    banded = with_lsh_bands(mh, bands=4, rows_per_band=2)
     pairs = {
         (r.left_id, r.right_id)
-        for r in lsh_candidate_pairs(banded, "doc_id", bands=4).collect()
+        for r in minhash_lsh_pairs(
+            toks,
+            id_col="doc_id",
+            shingles=word_shingles(F.col("t"), 2),
+            num_hashes=8,
+            bands=4,
+            rows_per_band=2,
+        ).collect()
     }
     assert (1, 4) in pairs  # exact dups always collide
     assert (1, 2) in pairs or (2, 4) in pairs  # near-dup collides in ≥1 band
