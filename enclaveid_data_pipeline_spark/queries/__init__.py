@@ -16,6 +16,7 @@ from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
+from . import coverage_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,392 @@
+"""Coverage-widening queries: the composed session-merge semantics,
+classic TPC-H shapes (Q4/Q6/Q18 families), the full window-function
+surface, multi-quantiles, and corpus-sampling / vocabulary /
+TF-IDF operators for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..operators.merge import connected_components
+from ..operators.similarity import pairwise_similarity
+from ..sources.readers import read_table
+from .registry import register
+
+_DUCK_COS = (
+    "((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, "
+    "unnest(b.embedding)::DOUBLE AS y) z) / "
+    "(sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x) z)) * "
+    "sqrt((SELECT sum(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y) z))))"
+)
+
+
+@register(
+    "session_merge_full",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label
+         AND b.vec_id > a.vec_id
+         AND b.vec_id - a.vec_id <= 3
+        WHERE round({_DUCK_COS}, 6) >= 0.2
+    ), sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), recursive_reach AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT * FROM reach
+    ), cc AS (
+        SELECT node, min(root) AS component FROM recursive_reach GROUP BY node
+    ), labeled AS (
+        SELECT e.label, e.vec_id,
+               coalesce(cc.component, e.vec_id) AS component
+        FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id
+    )
+    SELECT label,
+           CAST(component AS BIGINT) AS merged_id,
+           CAST(min(vec_id) AS BIGINT) AS span_start,
+           CAST(max(vec_id) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM labeled
+    GROUP BY label, component
+    """,
+)
+def session_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL merge semantics composed (J1+P8+J4):
+    candidate pairs must satisfy BOTH the temporal-adjacency bound
+    (gap predicate, assets/recent_history.py:401-407; here id
+    distance ≤ 3 stands in for the epoch gap) AND the similarity
+    threshold (cosine ≥ s, 408-409), then transitive merge via
+    connected components with span aggregation (min start / max end
+    — the GREATEST/LEAST of the reference's UPDATE, 418-445).
+    Unpaired rows remain singleton spans."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+    )
+    edges = pairs.filter(
+        (F.col("right_id") - F.col("left_id") <= 3)
+        & (F.round("similarity", 6) >= 0.2)
+    ).select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    cc = connected_components(edges)
+    labeled = emb.join(cc, emb.vec_id == cc.node, "left").select(
+        "label",
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+    )
+    return labeled.groupBy("label", F.col("component").alias("merged_id")).agg(
+        F.min("vec_id").alias("span_start"),
+        F.max("vec_id").alias("span_end"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+               AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + 1-row agg —
+    the pushdown benchmark (every predicate reaches the parquet
+    reader; no shuffle at all beyond the final 1-row reduce)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(8,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 2) AS total_price,
+           CAST(t.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    ) t ON t.l_orderkey = o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join with HAVING — the
+    pre-aggregation side collapses lineitem to one row per order
+    BEFORE the join (aggregate pushdown by construction)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    t = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return o.join(t, o.o_orderkey == t.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q4_priority_with_late_items",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a correlated residual
+    predicate, then aggregate."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "window_function_surface",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(lead(o_totalprice, 1, 0.0) OVER w, 2) AS next_price,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family coverage in one sorted window pass: rank,
+    dense_rank, ntile, percent_rank, cume_dist, lead (with default),
+    first_value."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    )
+
+
+@register(
+    "quantile_profile",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           round(quantile_cont(c_acctbal, 0.95), 4) AS p95
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 generalized: multi-quantile in ONE pass via the array form
+    of exact percentile (Spark sorts the group once for all four)."""
+    c = read_table(spark, sf_dir, "customer")
+    q = F.percentile(
+        "c_acctbal", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.element_at(q, 1), 4).alias("p25"),
+        F.round(F.element_at(q, 2), 4).alias("p50"),
+        F.round(F.element_at(q, 3), 4).alias("p75"),
+        F.round(F.element_at(q, 4), 4).alias("p95"),
+    )
+
+
+@register(
+    "hash_sample_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 7))::BIGINT % 100 < 5
+    """,
+)
+def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% corpus sample by key hash — reproducible
+    across runs/engines/partitionings (unlike rand()-based sampling),
+    the right primitive for carving train/eval splits at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return ev.filter(bucket < 5).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: fixed quota per class, hash-ordered so
+    the draw is deterministic — class-balancing primitive for
+    training corpora."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "vocabulary_top20",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS freq FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS rn
+        FROM counts
+    )
+    SELECT token, CAST(freq AS BIGINT) AS freq, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def vocabulary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode tokens → count → global top-k.
+    The global sort is only over the (distinct-token) aggregate,
+    never the token stream."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "freq", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "tfidf_top3_per_doc",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keywords: term frequency ⋈ document frequency (tiny —
+    broadcast) × corpus size, top-3 terms per document. The df table
+    and scalar N are broadcast; only the tf table shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; embedded as a literal in the plan
+    scored = tf.join(F.broadcast(df), on="token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
