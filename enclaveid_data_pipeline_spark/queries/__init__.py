@@ -17,6 +17,7 @@ from . import dedup_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import coverage_queries  # noqa: E402,F401
+from . import asof_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.operators.asof import (
+    asof_join_pandas,
+    asof_join_union,
+)
+from enclaveid_data_pipeline_spark.operators.skew import (
+    replicate_for_salt,
+    salted_count_by_key,
+)
+
+
+def _frames(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(10)), (1, 101, t(20)), (1, 102, t(5)), (2, 200, t(30))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 900), (1, t(20), 901), (2, t(40), 902)],
+        "user_id long, ts timestamp, err long",
+    )
+    return left, right
+
+
+def test_asof_union_backward_with_ties_and_nulls(spark):
+    left, right = _frames(spark)
+    out = {
+        r.event_id: r.asof_err
+        for r in asof_join_union(
+            left, right, on="ts", by="user_id", value_cols=("err",)
+        ).collect()
+    }
+    assert out[102] is None  # before any error
+    assert out[100] == 900  # t8 < t10
+    assert out[101] == 901  # tie at t20 counts (<= semantics)
+    assert out[200] is None  # user 2's only error is after
+
+
+def test_asof_pandas_matches_union(spark):
+    left, right = _frames(spark)
+    a = {
+        r.event_id: r.asof_err
+        for r in asof_join_union(
+            left, right, on="ts", by="user_id", value_cols=("err",)
+        ).collect()
+    }
+    b = {
+        r.event_id: r.asof_err
+        for r in asof_join_pandas(
+            left, right, on="ts", by="user_id", value_cols=("err",)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_asof_pandas_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r.event_id: r.asof_err
+        for r in asof_join_pandas(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            value_cols=("err",),
+            tolerance=pd.Timedelta(minutes=1),
+        ).collect()
+    }
+    assert out[100] is None  # error at t8 is >1min before t10
+    assert out[101] == 901  # exact tie within tolerance
+
+
+def test_salted_count_matches_direct(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 97 + [("b",)] * 3, "k string"
+    )
+    salted = {r.k: r.n for r in salted_count_by_key(df, ["k"], buckets=8).collect()}
+    assert salted == {"a": 97, "b": 3}
+
+
+def test_replicate_for_salt(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = replicate_for_salt(df, buckets=4).collect()
+    # dunder-prefixed names need item access (Row.__getattr__ guards)
+    assert sorted(r["__salt"] for r in out) == [0, 1, 2, 3]
