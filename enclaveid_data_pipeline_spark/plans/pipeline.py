@@ -152,3 +152,108 @@ def build_recent_branch_pipeline(
         return {"session_embeddings": emb}
 
     return p
+
+
+@dataclass(frozen=True)
+class InterestsSpec:
+    """X3: the reference's asset-factory spec (sensitive/general
+    prompt sequences, assets/old_history.py:192-208;
+    utils/old_history_utils.py:16-19)."""
+
+    name: str
+    first_instruction: str
+    second_instruction: str
+
+
+def build_old_branch_pipeline(
+    build_completion_backend,
+    build_embedding_backend,
+    spec: InterestsSpec,
+    chunk_size: int = 15,
+    embedding_dim: int = 8,
+    cluster_threshold: float = 0.5,
+) -> Pipeline:
+    """X1/X3: the reference's old-history DAG — per-day chunked
+    interest extraction (two-turn in the reference, M3), explode +
+    distinct interests per day (G3/A4), embed each interest (M4),
+    per-user clustering (M5-M7). Instantiated per spec, exactly like
+    the reference's sensitive/general factory pair.
+    """
+    from ..ml.clustering import cluster_embeddings
+    from ..ml.llm_ops import embed_text, summarize_chunks
+
+    p = Pipeline()
+
+    @p.add(f"{spec.name}:chunk")
+    def _chunk(frames: Frames) -> Frames:
+        ev = frames["events"].select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("title"),
+            F.date_format("ts", "yyyy-MM-dd").alias("date_s"),
+            F.date_format("ts", "HH:mm").alias("hour_s"),
+            "ts",
+        )
+        w = Window.partitionBy("user_id", "date_s").orderBy("ts", "event_id")
+        return {
+            "old_chunked": ev.withColumn(
+                "chunk_id", F.floor((F.row_number().over(w) - 1) / chunk_size)
+            )
+        }
+
+    @p.add(f"{spec.name}:extract_interests")
+    def _extract(frames: Frames) -> Frames:
+        raw = summarize_chunks(
+            frames["old_chunked"],
+            build_backend=build_completion_backend,
+            group_cols=("user_id", "date_s", "chunk_id"),
+        )
+        # mock emits {"interests": [...]} JSON; production backends
+        # emit free text with a bracketed list (F6) — both parse paths
+        # land in an array<string> column.
+        interests = raw.select(
+            "user_id",
+            "date_s",
+            F.from_json(
+                F.regexp_extract("response", r"(\{.*\})", 1),
+                "interests ARRAY<STRING>",
+            )["interests"].alias("interests"),
+        )
+        exploded = (
+            interests.select(
+                "user_id", "date_s", F.explode_outer("interests").alias("interest")
+            )
+            .filter(F.col("interest").isNotNull())
+        )
+        daily = exploded.groupBy("user_id", "date_s").agg(
+            F.array_distinct(F.collect_list("interest")).alias("interests")
+        )
+        return {"daily_interests": daily, "interest_rows": exploded.distinct()}
+
+    @p.add(f"{spec.name}:embed")
+    def _embed(frames: Frames) -> Frames:
+        rows = frames["interest_rows"].withColumn(
+            "interest_id",
+            F.xxhash64("user_id", "interest"),
+        )
+        emb = embed_text(
+            rows,
+            "interest",
+            build_backend=build_embedding_backend,
+            dim=embedding_dim,
+        )
+        return {"interest_embeddings": emb}
+
+    @p.add(f"{spec.name}:cluster")
+    def _cluster(frames: Frames) -> Frames:
+        clustered = cluster_embeddings(
+            frames["interest_embeddings"],
+            group_cols=("user_id",),
+            id_col="interest_id",
+            vec_col="embedding",
+            similarity_threshold=cluster_threshold,
+            min_cluster_size=2,
+        )
+        return {"interest_clusters": clustered}
+
+    return p
