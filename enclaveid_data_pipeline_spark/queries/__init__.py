@@ -19,5 +19,6 @@ from . import relational_queries  # noqa: E402,F401
 from . import coverage_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
+from . import tpch2_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

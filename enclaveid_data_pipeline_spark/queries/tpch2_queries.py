@@ -1,0 +1,574 @@
+"""Second TPC-H-shaped pack: the canonical plan shapes the first pack
+does not cover (FIXTURES §4 / SURVEY §5.2 breadth goals).
+
+Covered here: order-by-limit top-k after a 3-way join (Q3), nation-pair
+conditional join (Q7), profit rollup over a 5-way star (Q9), returned-item
+top-k (Q10), scalar-subquery HAVING (Q11), conditional-aggregate share
+(Q14), global-max equality select (Q15), distinct-count grouped dims
+(Q16), correlated-average join (Q17), disjunctive multi-clause predicate
+(Q19), anti-join + scalar-subquery threshold (Q22).
+
+All money math follows the registry conventions: DECIMAL end-to-end,
+DOUBLE only in the output projection, ``round(x, 2)`` on sums of
+products. Timestamps are emitted as strings.
+
+The reference delegates these shapes to Postgres (SURVEY §2.3/§2.4);
+at 100 TB the interesting physical choices are noted per query:
+which side broadcasts, where the partial aggregate lands, and which
+predicates reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from .registry import register
+
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    return price * (one - disc)
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → agg → top-10.
+
+    customer is filtered to one segment before the join (predicate
+    reaches the scan, and the surviving ~1/5 broadcasts under AQE);
+    the global top-10 is a TakeOrdered physical op — no full sort.
+    The orderkey tiebreak makes LIMIT deterministic across engines.
+    """
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q7_nation_pair_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, ship_year
+    HAVING CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) > 0
+    """,
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two nation lookups on opposite sides of the
+    fact, inequality residual between them, year rollup.
+
+    Both nation copies broadcast (25 rows); supplier broadcasts under
+    AQE. The `<>` residual runs post-join — it references columns
+    from both branches so it cannot push down, which is the point of
+    the shape. One shuffle: the final 3-key aggregate.
+    """
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    ns = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("volume"))
+        .filter(F.col("volume") > 0)
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type LIKE 'PROMO%'
+    GROUP BY nation, order_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way star rollup to (nation, year).
+
+    The part filter (`p_type LIKE 'PROMO%'`) is the selective edge:
+    applied before the join so the fact⋈part join is semi-join-sized.
+    part/supplier/nation all broadcast; orders is the only co-shuffled
+    side. The rollup is fully partial-aggregable.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-revenue per customer, top 20.
+
+    Both date bounds and the returnflag equality push into the
+    parquet scans; the 4-key groupBy keys are functionally dependent
+    on c_custkey but kept (TPC-H text) — at scale this is fine because
+    the agg shuffles on the full key yet cardinality is |customers|.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2)))
+           > (SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_quantity AS DECIMAL(12,2)))
+                     * CAST(0.001 AS DECIMAL(6,4))
+              FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped sum HAVING > fraction-of-global-total.
+
+    The global total is a one-row aggregate broadcast into the filter
+    (scalar subquery → BroadcastNestedLoopJoin of a single row — free).
+    Both sides of the comparison stay DECIMAL, so the threshold is
+    exact and engine-portable; only the output casts to DOUBLE.
+    Two passes over lineitem, both partial-aggregated map-side.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    per_part = l.groupBy("l_partkey").agg(F.sum(value).alias("_value"))
+    total = l.agg(
+        (F.sum(value) * F.lit(0.001).cast("decimal(6,4)")).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_threshold"))
+        .select("l_partkey", F.col("_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS ship_month,
+           round(100.0 * CAST(round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+                 / CAST(round(sum({_REV_SQL}), 2) AS DOUBLE), 4) AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY ship_month
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio (promo share).
+
+    One join, one aggregate: the CASE folds the promo/non-promo split
+    into a single pass instead of two joins. part broadcasts. The
+    ratio divides two already-rounded DECIMAL sums in DOUBLE space so
+    both engines see bit-identical operands.
+    """
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type").like("PROMO%"), _revenue()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.round(F.sum(promo), 2).cast("double")
+                / F.round(F.sum(_revenue()), 2).cast("double"),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum({_REV_SQL}), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey,
+           s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax via equality against a global max.
+
+    The revenue aggregate computes once over the filtered fact; the
+    global max is a ONE-ROW aggregate of that (small) frame,
+    broadcast back as a filter — no empty-partition window, which
+    would funnel every supplier row through a single task. DECIMAL
+    equality is exact, so ties return every tied supplier,
+    identically in both engines.
+    """
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    top = revenue.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("_max")
+    )
+    return (
+        s.join(top, s.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand,
+           p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) over grouped dim attributes.
+
+    Spark expands distinct-agg into a two-phase plan (Expand +
+    two aggregates) — partial distinct runs map-side so the shuffle
+    carries (brand, size, suppkey) triples, not raw lineitems. The
+    IN-list and <> predicates prune part before the join; part then
+    broadcasts.
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey,
+                 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        / count(*)) AS qty_threshold
+          FROM lineitem
+          GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: row vs its group's average (correlated agg
+    decorrelated into a self-join).
+
+    The per-part average materializes as a |parts|-sized frame and
+    joins back on partkey — the decorrelation every modern optimizer
+    applies to Q17. The threshold is DECIMAL-sum / count in DOUBLE
+    (exact, portable). The brand filter prunes part before its join.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.
+
+    Catalyst derives the cross-side implied predicates: the brand
+    IN-list pushes to the part scan and the quantity range [1, 30]
+    pushes to the lineitem scan even though the full disjunction can
+    only evaluate post-join. One broadcast join, one scalar agg.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    WITH threshold AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join.
+
+    "Idle" = above-average balance with no orders since 2001 (the
+    corpus has no order-less customers, so a bare NOT EXISTS would be
+    vacuous). The positive-balance average is one broadcast row; the
+    anti-join against recent orders ships only o_custkey (column
+    pruning + pushed date bound) and builds the hash table on the
+    distinct custkeys. The threshold is a DECIMAL sum divided in
+    DOUBLE — identical operands in both engines, so the boundary
+    rows agree.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
