@@ -72,6 +72,129 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every corpus vector to its
+    nearest centroid cell, probe the query's ``nprobe`` nearest cells,
+    rank candidates only within them.
+
+    ``centroids`` is any small DataFrame of (id, vector) — here a
+    deterministic corpus subset so the oracle can replay it; a real
+    pipeline would feed k-means centers. Physical shape per side:
+
+    - corpus assignment: crossJoin(broadcast(centroids)) followed by a
+      ``min(struct(-sim, cent_id, vec))`` aggregation — the argmin
+      collapses map-side (partial agg), so the shuffle carries one row
+      per corpus vector, never |corpus|×|centroids|. No window on the
+      big side.
+    - query probing: same broadcast cross join, row_number ≤ nprobe
+      (the query set is small by construction).
+    - candidate ranking: hash join probes ⋈ cells on cent_id — at
+      100 TB cent_id is the bucketing/partition column, so a probe
+      touches nprobe partitions instead of the full corpus.
+
+    Each corpus vector lives in exactly one cell, so probing distinct
+    cells never duplicates candidates. Ties break on rounded sim then
+    id, identically in the oracle.
+    """
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("__ce"),
+        l2_norm(F.col(vec_col)).alias("__cen"),
+    )
+
+    def _sim_to_centroid(vn_col: str) -> Column:
+        return F.round(
+            cosine_similarity(
+                F.col("__v"),
+                F.col("__ce"),
+                a_norm=F.col(vn_col),
+                b_norm=F.col("__cen"),
+            ),
+            6,
+        )
+
+    corpus_pairs = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            (-_sim_to_centroid("__vn")).alias("negsim"),
+            "cent_id",
+            F.col("__v").alias("cv"),
+            F.col("__vn").alias("cn"),
+        )
+    )
+    cells = corpus_pairs.groupBy("neighbor_id").agg(
+        F.min(F.struct("negsim", "cent_id", "cv", "cn")).alias("s")
+    ).select(
+        "neighbor_id",
+        F.col("s.cent_id").alias("cent_id"),
+        F.col("s.cv").alias("__cv"),
+        F.col("s.cn").alias("__cn"),
+    )
+
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("negsim"), F.asc("cent_id")
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            (-_sim_to_centroid("__vn")).alias("negsim"),
+            "cent_id",
+            F.col("__v").alias("__qv"),
+            F.col("__vn").alias("__qn"),
+        )
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cent_id", "__qv", "__qn")
+    )
+
+    sim = F.round(
+        cosine_similarity(
+            F.col("__qv"), F.col("__cv"), a_norm=F.col("__qn"), b_norm=F.col("__cn")
+        ),
+        6,
+    )
+    pairs = (
+        probes.join(cells, on="cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .select("query_id", "neighbor_id", "sim", "cent_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+
+
 def hyperplane_sign_bits(vec: Column, planes: int) -> Column:
     """Deterministic random-hyperplane signature: plane ``p`` weights
     dimension ``d`` by ±1 from the high bit of hex digit 1 of

@@ -34,7 +34,7 @@ from ..operators.dedup import (
     tokenize,
     word_shingles,
 )
-from ..operators.knn import brute_force_topk, lsh_bucketed_topk
+from ..operators.knn import brute_force_topk, ivf_topk, lsh_bucketed_topk
 from ..sources.readers import read_table
 from .registry import register
 
@@ -448,4 +448,58 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucketed_topk(
         queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4
+    )
+
+
+@register(
+    "knn_ivf_top5",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1
+    ), sims AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), ranked_assign AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM sims
+    ), cells AS (
+        SELECT vec_id, embedding, cent_id FROM ranked_assign WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cent_id
+        FROM ranked_assign WHERE rn <= 2 AND vec_id % 50 = 0
+    ), pairs AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('p.qe', 'c.embedding')}, 6) AS sim,
+               c.cent_id
+        FROM probes p JOIN cells c
+          ON c.cent_id = p.cent_id AND c.vec_id != p.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim, cent_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank,
+           CAST(cent_id AS BIGINT) AS cell
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN, IVF flavor: ~2.5% of the corpus doubles as a
+    deterministic centroid set (vec_id % 40 = 1 — an oracle-replayable
+    stand-in for k-means centers); every vector joins its nearest
+    cell, queries probe their 2 nearest cells. cent_id is the 100 TB
+    bucketing column; a probe reads 2 cells, not the corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 40 == 1)
+    return ivf_topk(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding",
+        k=5, nprobe=2,
     )
