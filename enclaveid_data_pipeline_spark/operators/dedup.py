@@ -285,3 +285,76 @@ def jaccard_similarity_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PPJoin-style prefix
+    filtering (Xiao et al., WWW'08) — the scale path for
+    :func:`jaccard_similarity_pairs`.
+
+    Prefix-filter theorem: order every document's distinct shingles by
+    one GLOBAL total order; if J(A,B) ≥ t, then the first
+    ``|A| - ⌈t·|A|⌉ + 1`` shingles of A and the corresponding prefix
+    of B must intersect. So the candidate join explodes only prefixes
+    (~(1-t)·|A| + 1 rows per doc instead of |A|), and each candidate
+    pair is then verified EXACTLY on the full shingle sets
+    (``array_intersect``) — the output is identical to the quadratic
+    form, the savings are in the shuffle: at t=0.8 the exploded join
+    input shrinks ~5× and the candidate pair set with it (measured 5×
+    at sf0.1). The global order is xxhash64 (cheap, uniform); ordering
+    by ascending document frequency would shrink candidates further at
+    the cost of an extra aggregation pass — worth it at 100 TB, not at
+    test SF.
+
+    Verification joins candidates (bare id pairs) back to the full
+    shingle arrays — array payloads ride only |candidates| rows, never
+    the shingle-explode shuffle.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    pref = (
+        base.withColumn(
+            "sorted",
+            F.expr(
+                "transform(array_sort(transform(sh,"
+                " s -> struct(xxhash64(s) as h, s as s))), p -> p.s)"
+            ),
+        )
+        .withColumn("plen", prefix_len)
+        .select("id", F.explode(F.expr("slice(sorted, 1, plen)")).alias("s"))
+    )
+    cand = (
+        pref.select("s", F.col("id").alias("left_id"))
+        .join(pref.select("s", F.col("id").alias("right_id")), on="s")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sa = base.select(
+        F.col("id").alias("left_id"), F.col("sh").alias("__sha"), F.col("n").alias("__na")
+    )
+    sb = base.select(
+        F.col("id").alias("right_id"), F.col("sh").alias("__shb"), F.col("n").alias("__nb")
+    )
+    return (
+        cand.join(sa, on="left_id")
+        .join(sb, on="right_id")
+        .withColumn("__i", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )

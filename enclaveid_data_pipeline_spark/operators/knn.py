@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import as_double, cosine_similarity, l2_norm
 
 
 def brute_force_topk(
@@ -39,17 +39,21 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        as_double(F.col(vec_col)).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        as_double(F.col(vec_col)).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
     sim = F.round(
         cosine_similarity(
-            F.col("__qv"), F.col("__cv"), a_norm=F.col("__qn"), b_norm=F.col("__cn")
+            F.col("__qv"),
+            F.col("__cv"),
+            a_norm=F.col("__qn"),
+            b_norm=F.col("__cn"),
+            assume_double=True,
         ),
         6,
     )
@@ -108,7 +112,7 @@ def ivf_topk(
 
     cent = centroids.select(
         F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("__ce"),
+        as_double(F.col(vec_col)).alias("__ce"),
         l2_norm(F.col(vec_col)).alias("__cen"),
     )
 
@@ -119,6 +123,7 @@ def ivf_topk(
                 F.col("__ce"),
                 a_norm=F.col(vn_col),
                 b_norm=F.col("__cen"),
+                assume_double=True,
             ),
             6,
         )
@@ -126,7 +131,7 @@ def ivf_topk(
     corpus_pairs = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__v"),
+            as_double(F.col(vec_col)).alias("__v"),
             l2_norm(F.col(vec_col)).alias("__vn"),
         )
         .crossJoin(F.broadcast(cent))
@@ -153,7 +158,7 @@ def ivf_topk(
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__v"),
+            as_double(F.col(vec_col)).alias("__v"),
             l2_norm(F.col(vec_col)).alias("__vn"),
         )
         .crossJoin(F.broadcast(cent))
@@ -171,7 +176,11 @@ def ivf_topk(
 
     sim = F.round(
         cosine_similarity(
-            F.col("__qv"), F.col("__cv"), a_norm=F.col("__qn"), b_norm=F.col("__cn")
+            F.col("__qv"),
+            F.col("__cv"),
+            a_norm=F.col("__qn"),
+            b_norm=F.col("__cn"),
+            assume_double=True,
         ),
         6,
     )
@@ -236,19 +245,23 @@ def lsh_bucketed_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        as_double(F.col(vec_col)).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
         hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        as_double(F.col(vec_col)).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
         hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
     )
     sim = F.round(
         cosine_similarity(
-            F.col("__qv"), F.col("__cv"), a_norm=F.col("__qn"), b_norm=F.col("__cn")
+            F.col("__qv"),
+            F.col("__cv"),
+            a_norm=F.col("__qn"),
+            b_norm=F.col("__cn"),
+            assume_double=True,
         ),
         6,
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import as_double, cosine_similarity, l2_norm
 
 
 def lag_similarity(
@@ -38,10 +38,11 @@ def lag_similarity(
     One sort-based window pass; the vector rides the shuffle once.
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    prev = F.lag(vec_col).over(w)
+    df = df.withColumn("__vd", as_double(F.col(vec_col)))
+    prev = F.lag("__vd").over(w)
     return df.withColumn(
-        out_col, cosine_similarity(F.col(vec_col), prev)
-    )
+        out_col, cosine_similarity(F.col("__vd"), prev, assume_double=True)
+    ).drop("__vd")
 
 
 def pairwise_similarity(
@@ -60,12 +61,12 @@ def pairwise_similarity(
 
     Output columns: group cols, ``left_id``, ``right_id``, ``sim_col``.
     """
+    # cast to double ONCE per row; every pair then reuses it
     norms = df.select(
         *group_cols,
         F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("__norm"),
-    )
+        as_double(F.col(vec_col)).alias(vec_col),
+    ).withColumn("__norm", l2_norm(F.col(vec_col), assume_double=True))
     a = norms.select(
         *[F.col(c).alias(c) for c in group_cols],
         F.col(id_col).alias("left_id"),
@@ -88,6 +89,7 @@ def pairwise_similarity(
         F.col("__vec_b"),
         a_norm=F.col("__norm_a"),
         b_norm=F.col("__norm_b"),
+        assume_double=True,
     )
     return (
         a.join(b, on=list(group_cols), how="inner")

@@ -135,3 +135,42 @@ def test_textstats_basics(spark):
     assert row.re == 8  # 6 words + ',' + '!'
     assert 0.0 <= row.q <= 1.0
     assert row.lang == "en"
+
+
+def test_prefix_filtered_jaccard_equals_exact(spark, sf_dir):
+    """PPJoin prefix filter must be a pure physical optimization:
+    identical output to the quadratic exact form on the real corpus."""
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    exact = jaccard_similarity_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3), threshold=0.8
+    )
+    fast = prefix_filtered_jaccard_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3), threshold=0.8
+    )
+    assert exact.count() > 0
+    assert exact.exceptAll(fast).count() == 0
+    assert fast.exceptAll(exact).count() == 0
+
+
+def test_prefix_filtered_jaccard_low_threshold(spark):
+    """At a low threshold the prefix is most of the set — degenerates
+    gracefully to the exact join, still identical output."""
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    exact = jaccard_similarity_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 2), threshold=0.3
+    )
+    fast = prefix_filtered_jaccard_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 2), threshold=0.3
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, fast.collect()))
