@@ -1,0 +1,125 @@
+"""Physical-plan assertions (SURVEY §4/§7: "the plan you'd want").
+
+These tests pin the *shape* of the executed plans, not their output:
+filters and projections must reach the parquet scan, constant-size
+dims must broadcast, aggregates must partial-aggregate map-side, and
+no registered relational query may fall back to a row-at-a-time
+Python UDF. Plan regressions (a lost pushdown, an accidental
+cartesian, a silent broadcast→SMJ flip) change these strings long
+before they show up as a timing regression at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.queries import REGISTRY
+
+
+def _plan(df, execute: bool = False) -> str:
+    """Executed-plan string. ``execute=True`` runs the query first so
+    AQE finalizes the plan (codegen spans and final join strategies
+    only appear in the post-run plan)."""
+    if execute:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(df, execute=True)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan reads only the 7 referenced columns, not the full table
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # two-phase aggregate: partial map-side, final after one shuffle
+    assert plan.count("HashAggregate") >= 2
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(" in plan
+
+
+def test_revenue_by_nation_broadcasts_dim(spark, sf_dir):
+    plan = _plan(REGISTRY["revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_top10_is_take_ordered(spark, sf_dir):
+    plan = _plan(REGISTRY["q3_shipping_priority"].fn(spark, sf_dir))
+    # global ORDER BY + LIMIT must plan as TakeOrdered, never full Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_shape(spark, sf_dir):
+    plan = _plan(REGISTRY["q22_idle_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the scalar threshold is a one-row broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_customers_without_orders_is_anti_join(spark, sf_dir):
+    plan = _plan(REGISTRY["customers_without_orders"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_recency_split_prunes_columns(spark, sf_dir):
+    df = REGISTRY["recency_split_3mo"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # events.parquet scan must not read the wide `props` column
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    """Registered relational/TPC-H queries must stay wholly JVM-side.
+
+    (ML-backed queries use mapInPandas by design; text/JSON queries
+    may use one narrowly-scoped UDF for balanced-brace extraction.)
+    """
+    relational = [
+        n
+        for n in REGISTRY
+        if n.startswith("q")
+        or n
+        in (
+            "revenue_by_nation",
+            "top3_orders_per_customer",
+            "customers_without_orders",
+            "suppliers_in_customer_nations",
+            "order_priority_counts",
+            "nations_union_regions",
+            "recency_split_3mo",
+            "sessionize_30m",
+            "session_gaps",
+            "knn_bruteforce_top5",
+            "knn_lsh_top5",
+            "knn_ivf_top5",
+            "minhash_lsh_candidates",
+            "ngram_jaccard_dups",
+            "top1_neighbor_graph",
+        )
+    ]
+    for name in relational:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_broadcast_hint_survives_in_ivf_assignment(spark, sf_dir):
+    plan = _plan(REGISTRY["knn_ivf_top5"].fn(spark, sf_dir))
+    # centroid set broadcast on both assignment paths
+    assert plan.count("BroadcastHashJoin") >= 1 or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1
+    # corpus-side argmin is an aggregate (map-side combinable), not a window
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    plan = _plan(REGISTRY["exact_dedup_prefix80"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
