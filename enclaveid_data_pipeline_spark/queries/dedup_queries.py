@@ -503,3 +503,42 @@ def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, centroids, id_col="vec_id", vec_col="embedding",
         k=5, nprobe=2,
     )
+
+
+@register(
+    "ppjoin_jaccard_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS s FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = left_id
+    JOIN sizes sb ON sb.doc_id = right_id
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.8
+    """,
+)
+def ppjoin_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``ngram_jaccard_dups`` — the oracle IS the
+    quadratic formulation — but the Spark plan is the PPJoin prefix
+    filter (operators.dedup.prefix_filtered_jaccard_pairs): explode
+    only each doc's ``|A|-⌈0.8|A|⌉+1`` hash-least shingles, verify
+    candidates exactly on the full sets. ~5× fewer candidate pairs at
+    sf0.1; the gap widens with corpus size, which is the point at
+    100 TB."""
+    from ..operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    return prefix_filtered_jaccard_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3), threshold=0.8
+    )

@@ -572,3 +572,119 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count distribution (customers with
+    zero qualifying orders must appear in the c_count=0 bucket).
+
+    The priority filter lives in the JOIN CONDITION, not a WHERE —
+    on an outer join those are different queries, which is what this
+    shape pins. count(o_orderkey) counts non-null matches only. Two
+    aggregations, both partial-combinable; the second one's input is
+    |customers| rows.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                              THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END), 2)
+                   AS nation_volume,
+               round(sum({_REV_SQL}), 2) AS total_volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY order_year
+    )
+    SELECT order_year,
+           round(CAST(nation_volume AS DOUBLE)
+                 / CAST(total_volume AS DOUBLE), 6) AS mkt_share
+    FROM flat
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional aggregate
+    over a 7-table star, ratio per order-year.
+
+    One pass computes both the nation-filtered and the total volume
+    (CASE inside sum — no second scan/join); region prunes the
+    customer branch before the fact join. The two DECIMAL sums are
+    rounded before the DOUBLE division, so both engines divide
+    identical operands.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nc = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nation_rev = F.when(
+        F.col("supp_nation") == "NATION_3", _revenue()
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    flat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(F.sum(nation_rev), 2).alias("nation_volume"),
+            F.round(F.sum(_revenue()), 2).alias("total_volume"),
+        )
+    )
+    return flat.select(
+        "order_year",
+        F.round(
+            F.col("nation_volume").cast("double")
+            / F.col("total_volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
