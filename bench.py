@@ -27,10 +27,14 @@ from enclaveid_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
 #: Headline suite: one per operator family (scan/agg, star join,
 #: window top-k, learned-threshold sessionization, recency split,
-#: MinHash LSH, Jaccard verify, all-pairs graph, ANN, model operator).
+#: MinHash LSH, Jaccard verify + its PPJoin scale path, all-pairs
+#: graph, ANN brute/IVF, model operator, multi-way star shapes).
 HEADLINE = (
     "q1_pricing_summary",
     "revenue_by_nation",
+    "q3_shipping_priority",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
     "top3_orders_per_customer",
     "customer_running_spend",
     "recency_split_3mo",
@@ -39,6 +43,7 @@ HEADLINE = (
     "ngram_jaccard_dups",
     "top1_neighbor_graph",
     "knn_bruteforce_top5",
+    "knn_ivf_top5",
     "mock_embed_documents",
 )
 

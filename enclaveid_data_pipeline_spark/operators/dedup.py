@@ -311,42 +311,63 @@ def prefix_filtered_jaccard_pairs(
     the cost of an extra aggregation pass — worth it at 100 TB, not at
     test SF.
 
-    Verification joins candidates (bare id pairs) back to the full
-    shingle arrays — array payloads ride only |candidates| rows, never
-    the shingle-explode shuffle.
+    Representation: each doc's shingle set becomes ONE sorted array of
+    xxhash64 values — the global order IS the hash value, so the
+    prefix is just ``slice(hsh, 1, plen)`` (no per-doc sort pass) and
+    verification intersects sorted long arrays instead of strings.
+    Set size / intersection are computed on the hash sets; an xxhash64
+    collision inside one pair's union (~P < 1e-14 per pair) would
+    perturb the count — negligible against the exact form, and the
+    equivalence test pins it on the real corpus.
+
+    Verification joins candidates (bare id pairs) back to the hash
+    arrays — array payloads ride only |candidates| rows, never the
+    prefix-explode shuffle. ``base``/``pref`` feed multiple consumers
+    and are localCheckpoint-ed (the in-session analog of writing the
+    signature table out; without it the shingle lineage recomputes
+    4×).
+
+    At test SF the quadratic form is still faster in wall-clock (its
+    per-pair work is one counted join row; overheads here are two
+    materializations) — the crossover is corpus size: candidates
+    scale with true near-dup density instead of shared-shingle pair
+    count, which is what matters at 100 TB.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles).alias("sh")
-    ).withColumn("n", F.size("sh"))
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
+        .select(
+            "id",
+            F.expr(
+                "array_sort(array_distinct(transform(__sh, s -> xxhash64(s))))"
+            ).alias("hsh"),
+        )
+        .withColumn("n", F.size("hsh"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint()
+    )
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
     pref = (
-        base.withColumn(
-            "sorted",
-            F.expr(
-                "transform(array_sort(transform(sh,"
-                " s -> struct(xxhash64(s) as h, s as s))), p -> p.s)"
-            ),
-        )
-        .withColumn("plen", prefix_len)
-        .select("id", F.explode(F.expr("slice(sorted, 1, plen)")).alias("s"))
+        base.withColumn("plen", prefix_len)
+        .select("id", F.explode(F.expr("slice(hsh, 1, plen)")).alias("h"))
+        .localCheckpoint()
     )
     cand = (
-        pref.select("s", F.col("id").alias("left_id"))
-        .join(pref.select("s", F.col("id").alias("right_id")), on="s")
+        pref.select("h", F.col("id").alias("left_id"))
+        .join(pref.select("h", F.col("id").alias("right_id")), on="h")
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
     )
     sa = base.select(
-        F.col("id").alias("left_id"), F.col("sh").alias("__sha"), F.col("n").alias("__na")
+        F.col("id").alias("left_id"), F.col("hsh").alias("__ha"), F.col("n").alias("__na")
     )
     sb = base.select(
-        F.col("id").alias("right_id"), F.col("sh").alias("__shb"), F.col("n").alias("__nb")
+        F.col("id").alias("right_id"), F.col("hsh").alias("__hb"), F.col("n").alias("__nb")
     )
     return (
         cand.join(sa, on="left_id")
         .join(sb, on="right_id")
-        .withColumn("__i", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
         .withColumn(
             "jaccard",
             F.round(
