@@ -149,13 +149,49 @@ def mock_sessions_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mock_cluster_embeddings", oracle=None)
+_DUCK_PAIR_COS = (
+    "((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,"
+    " unnest(b.embedding)::DOUBLE AS y) z) / "
+    "(sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x) z)) * "
+    "sqrt((SELECT sum(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y) z))))"
+)
+
+
+@register(
+    "mock_cluster_embeddings",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.label AS grp, a.vec_id AS u, b.vec_id AS v
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE {_DUCK_PAIR_COS} >= 0.3
+    ), reach AS (
+        SELECT label AS grp, vec_id AS node, vec_id AS r FROM embeddings
+        UNION
+        SELECT re.grp, re.node, p.v
+        FROM reach re JOIN pairs p ON p.grp = re.grp AND p.u = re.r
+    ), comp AS (
+        SELECT grp, node, min(r) AS comp FROM reach GROUP BY grp, node
+    ), sized AS (
+        SELECT grp, comp, count(*) AS csize FROM comp GROUP BY grp, comp
+    )
+    SELECT c.grp AS label, c.node AS vec_id,
+           CAST(CASE WHEN s.csize >= 2 THEN c.comp ELSE -1 END AS BIGINT)
+               AS cluster_label
+    FROM comp c JOIN sized s ON s.grp = c.grp AND s.comp = c.comp
+    """,
+)
 def mock_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5-M7 (rows-only check): per-group threshold clustering via
-    applyInPandas with the deterministic fallback clusterer. The
-    label semantics (min-member-id labels, -1 noise) are pinned by
-    unit tests + the CC-oracle of near_duplicate_components, which
-    this must agree with on cluster membership."""
+    """M5-M7: per-group threshold clustering via applyInPandas with
+    the deterministic fallback clusterer (cosine ≥ θ graph, connected
+    components, min-member-id labels, size < 2 → -1 noise).
+
+    The oracle replays the full semantics in DuckDB: pairwise cosine
+    edges per group, transitive closure via a recursive reachability
+    CTE, min-id component labels, small-cluster noise — so the whole
+    applyInPandas clustering surface is value-checked, not just
+    row-counted. (A real HDBSCAN backend slots in via ``label_fn``;
+    only the deterministic fallback is oracle-checkable.)"""
     emb = read_table(spark, sf_dir, "embeddings")
     return cluster_embeddings(
         emb,
