@@ -271,3 +271,59 @@ def daily_chunks_15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunked.groupBy("user_id", "date_s", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "session_window_30m_builtin",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >= {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start_s,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_30m_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN ``F.session_window`` in batch mode, value-checked
+    against the cumsum formulation.
+
+    Two deliberate semantic deltas vs ``sessionize_30m`` that the
+    oracle encodes: windows are half-open, so a gap of EXACTLY the
+    threshold starts a new session (``>=``, where the cumsum form
+    uses ``>``), and the reported end is ``last_event + gap``, not
+    ``max(ts)``. Proving the built-in against the hand-rolled form
+    pins both, so either can serve as the streaming/batch twin of the
+    other (SURVEY §2.11).
+    """
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start_s"),
+            F.date_format("w.end", _TS_FMT_SPARK).alias("session_end_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
