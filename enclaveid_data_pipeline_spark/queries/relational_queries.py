@@ -183,3 +183,29 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_spend"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_totalprice
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 2^2 grouping sets in one
+    pass — Spark plans one Expand (4 replicas of each row's grouping
+    columns only) + a single partial-aggregated shuffle; NULL marks
+    the rolled-up dimensions exactly as in the DuckDB oracle."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    )
