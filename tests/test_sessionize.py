@@ -85,3 +85,38 @@ def test_group_percentile_and_join(spark):
     assert t == {1: 20.0, 2: 100.0}
     joined = with_group_threshold(df, "v", 0.5)
     assert joined.filter("user_id = 1 and threshold = 20.0").count() == 3
+
+
+def test_group_percentile_approx_close_to_exact(spark, sf_dir):
+    """§7.3.5: the approx escape hatch must track the exact percentile
+    closely on real gap data (relative error bound from Greenwald-
+    Khanna accuracy at the default 10000)."""
+    from enclaveid_data_pipeline_spark.operators.sessionize import session_gaps
+    from enclaveid_data_pipeline_spark.operators.thresholds import group_percentile
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    gaps = session_gaps(read_table(spark, sf_dir, "events")).filter(
+        "gap_seconds IS NOT NULL"
+    )
+    approx = group_percentile(gaps, "gap_seconds", 0.9, out_col="thr", approx=True)
+    # GK sketches bound RANK error, not value error (p90 of a heavy
+    # tail can sit in a sparse region): assert the approx value's rank
+    # lands near 0.9, with slack for per-user rank granularity (1/n).
+    from pyspark.sql import functions as F
+
+    ranked = (
+        gaps.join(approx, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("gap_seconds") <= F.col("thr")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("frac"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(ranked) > 0
+    for r in ranked:
+        slack = max(0.02, 2.0 / r.n)
+        assert 0.9 - slack <= r.frac <= 0.9 + slack, (r.user_id, r.frac, r.n)
