@@ -124,3 +124,66 @@ def top_k_neighbors(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def banded_pairwise_similarity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    group_cols: tuple[str, ...] = ("user_id",),
+    band_width: int = 4,
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """J1 with §4.3.2 candidate banding: ordered pairs whose id
+    distance is ≤ ``band_width``, WITHOUT materializing the quadratic
+    pair space.
+
+    Each left row replicates into its own band ``floor(id/W)`` and the
+    next one; right rows keep their single band; the equi-join key is
+    (group, band). Completeness: ``right - left ≤ W`` implies the band
+    indices differ by at most 1, so every qualifying pair meets in
+    exactly one band (left's two replicas live in different bands) —
+    no dedup pass needed. Candidates are O(n·W) per group instead of
+    O(n²); at 100 TB the band column is also the shuffle key, so one
+    group's pairs no longer land on one task.
+
+    The id is the total order stand-in for the reference's epoch gap
+    bound (assets/recent_history.py:401-407) — swap ``id_col`` for a
+    bucketized timestamp to band on real time.
+    """
+    norms = df.select(
+        *group_cols,
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias(vec_col),
+    ).withColumn("__norm", l2_norm(F.col(vec_col), assume_double=True))
+    band = (F.col(id_col) / band_width).cast("long")
+    a = norms.select(
+        *[F.col(c).alias(c) for c in group_cols],
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("__vec_a"),
+        F.col("__norm").alias("__norm_a"),
+        F.explode(F.array(band, band + 1)).alias("__band"),
+    )
+    b = norms.select(
+        *[F.col(c).alias(c) for c in group_cols],
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("__vec_b"),
+        F.col("__norm").alias("__norm_b"),
+        band.alias("__band"),
+    )
+    sim = cosine_similarity(
+        F.col("__vec_a"),
+        F.col("__vec_b"),
+        a_norm=F.col("__norm_a"),
+        b_norm=F.col("__norm_b"),
+        assume_double=True,
+    )
+    return (
+        a.join(b, on=[*group_cols, "__band"], how="inner")
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.col("right_id") - F.col("left_id") <= band_width)
+        )
+        .withColumn(sim_col, sim)
+        .drop("__vec_a", "__vec_b", "__norm_a", "__norm_b", "__band")
+    )

@@ -13,7 +13,7 @@ from ..functions.vectors import cosine_similarity
 from ..operators.merge import connected_components
 from ..operators.similarity import pairwise_similarity
 from ..sources.readers import read_table
-from .registry import register
+from .registry import REGISTRY, register
 
 _DUCK_COS = (
     "((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, "
@@ -389,4 +389,38 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register("session_merge_banded", oracle=REGISTRY["session_merge_full"].oracle)
+def session_merge_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3.2 banded twin of ``session_merge_full`` — same oracle,
+    same output, but candidate pairs come from the (group, band)
+    equi-join (operators.similarity.banded_pairwise_similarity) so
+    the quadratic per-group pair space never materializes. The gap
+    bound (id distance ≤ 3) IS the band width, which is what makes
+    banding lossless here."""
+    from ..operators.similarity import banded_pairwise_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = banded_pairwise_similarity(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        group_cols=("label",),
+        band_width=3,
+    )
+    edges = pairs.filter(F.round("similarity", 6) >= 0.2).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    cc = connected_components(edges)
+    labeled = emb.join(cc, emb.vec_id == cc.node, "left").select(
+        "label",
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+    )
+    return labeled.groupBy("label", F.col("component").alias("merged_id")).agg(
+        F.min("vec_id").alias("span_start"),
+        F.max("vec_id").alias("span_end"),
+        F.count(F.lit(1)).alias("n_members"),
     )
