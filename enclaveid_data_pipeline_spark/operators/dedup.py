@@ -262,9 +262,12 @@ def jaccard_similarity_pairs(
     not the quadratic pair space. Feed LSH candidates in as a
     semi-join to bound it further at scale.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("s"))
-    )
+    # the exploded shingle frame feeds both join sides + the size agg:
+    # materialize it once (in-session analog of a stored shingle table)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles)).alias("s"),
+    ).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("s"), F.col("id").alias("left_id"))
     b = sh.select(F.col("s"), F.col("id").alias("right_id"))
