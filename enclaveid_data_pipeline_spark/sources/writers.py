@@ -31,7 +31,16 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def insert_into_partitioned(df: DataFrame, path: str) -> None:
+def insert_into_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("user_id",),
+) -> None:
     """S7: table-to-table append (reference INSERT INTO ... SELECT,
-    assets/recent_history.py:366-373)."""
-    df.write.mode("append").parquet(path)
+    assets/recent_history.py:366-373).
+
+    The append MUST use the target's partitioning: unpartitioned files
+    dropped into a partitioned layout are invisible to partition
+    discovery (rows silently vanish on read — pinned by test).
+    """
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
