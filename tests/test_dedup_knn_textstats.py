@@ -174,3 +174,42 @@ def test_prefix_filtered_jaccard_low_threshold(spark):
         toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 2), threshold=0.3
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_hof_minhash_equals_agg_form(spark, sf_dir):
+    """The column-level minhash API (shingle_hashes →
+    minhash_signature_from_hashes → lsh_band_keys) must produce the
+    SAME candidate pairs as the exploded/aggregated form used by
+    minhash_lsh_pairs — it exists for callers that need the signature
+    as a column (e.g. streaming rows), so the two paths must never
+    drift."""
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_lsh_pairs,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+
+    agg_pairs = minhash_lsh_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3),
+        num_hashes=16, bands=4, rows_per_band=4,
+    )
+
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("t"), 3).alias("s")
+    ).filter(F.size("s") > 0)
+    hs = sh.withColumn("hs", shingle_hashes(F.col("s")))
+    sig = hs.withColumn("sig", minhash_signature_from_hashes(F.col("hs"), 16))
+    banded = sig.select(
+        "doc_id", lsh_band_keys(F.col("sig"), bands=4, rows_per_band=4).alias("bands")
+    )
+    hof_pairs = lsh_candidate_pairs(banded, id_col="doc_id")
+
+    assert agg_pairs.exceptAll(hof_pairs).count() == 0
+    assert hof_pairs.exceptAll(agg_pairs).count() == 0
+    assert agg_pairs.count() > 0
