@@ -89,3 +89,25 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.dedup.exact_dedup_groups: emit each
+    key once, suppressing re-deliveries across micro-batches.
+
+    ``dropDuplicates`` keyed on (key, event-time) with a watermark
+    bounds the dedup state: keys older than the watermark are evicted,
+    so state is O(keys within the watermark window), not O(stream
+    history) — the property that makes exact dedup runnable on an
+    unbounded 100 TB/day feed. A re-delivery later than the watermark
+    is NOT suppressed (document the at-least-once boundary; batch
+    reconciliation owns the tail).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
+    )

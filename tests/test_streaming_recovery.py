@@ -76,3 +76,46 @@ def test_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
     assert out.count() == n_total  # no loss, no reprocessing
     # exactly-once per key, not just per count
     assert out.select("event_id").distinct().count() == n_total
+
+
+def test_streaming_exact_dedup_across_batches(spark, sf_dir, tmp_path):
+    """Duplicate event_ids re-delivered in a LATER micro-batch must be
+    suppressed by carried dedup state."""
+    import pyarrow.parquet as pq
+    from enclaveid_data_pipeline_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    src = pathlib.Path(sf_dir) / "events.parquet"
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    tbl = pq.read_table(src)
+    n = tbl.num_rows
+    half = n // 2
+    pq.write_table(tbl.slice(0, half), stream_dir / "d0.parquet")
+    # second drop re-delivers the last 100 rows of drop 1 + the rest
+    dup = tbl.slice(half - 100, 100 + (n - half))
+    pq.write_table(dup, stream_dir / "d1.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = streaming_exact_dedup(events, watermark="365 days")
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id FROM dedup_stream")
+    assert out.count() == n  # 100 re-deliveries suppressed
+    assert out.distinct().count() == n
