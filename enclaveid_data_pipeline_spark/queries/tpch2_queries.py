@@ -688,3 +688,97 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share"),
     )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey
+                        AND p.p_type LIKE 'PROMO%'
+                        AND p.p_size <= 5)
+          AND l.l_quantity >= 49
+    )
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested EXISTS decorrelated into a semi-join
+    chain — suppliers with a large shipment of a promo-class part.
+
+    Inner EXISTS = lineitem ⋉ part (broadcast, part pre-filtered);
+    outer EXISTS = supplier ⋉ that result. Each semi-join ships only
+    its join key upward; no duplicates ever materialize, so no
+    DISTINCT pass is needed anywhere.
+    """
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("PROMO%") & (F.col("p_size") <= 5)
+    )
+    promo_lines = l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+    return s.join(
+        promo_lines, s.s_suppkey == promo_lines.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT l1.l_suppkey,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the SAME
+    table with inequality correlation — the supplier who alone
+    returned items on a multi-supplier finalized order.
+
+    Both subqueries decorrelate into joins against per-order
+    aggregates (distinct supplier count, distinct returning-supplier
+    count) — one extra scan each, partial-aggregated, instead of two
+    correlated per-row probes. 'Multi-supplier' ⋀ 'no OTHER returner'
+    ≡ n_suppliers ≥ 2 ⋀ (n_returners = 1 ⋀ returner = me).
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = l.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    returners = (
+        l.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("r_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_returners"),
+            F.min("l_suppkey").alias("only_returner"),
+        )
+    )
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .join(returners, F.col("l_orderkey") == F.col("r_orderkey"))
+        .filter(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("n_returners") == 1)
+            & (F.col("only_returner") == F.col("l_suppkey"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+    )
