@@ -2,11 +2,14 @@
 does not cover (FIXTURES §4 / SURVEY §5.2 breadth goals).
 
 Covered here: order-by-limit top-k after a 3-way join (Q3), nation-pair
-conditional join (Q7), profit rollup over a 5-way star (Q9), returned-item
-top-k (Q10), scalar-subquery HAVING (Q11), conditional-aggregate share
-(Q14), global-max equality select (Q15), distinct-count grouped dims
-(Q16), correlated-average join (Q17), disjunctive multi-clause predicate
-(Q19), anti-join + scalar-subquery threshold (Q22).
+conditional join (Q7), market-share conditional ratio over a 7-table
+star (Q8), profit rollup over a 5-way star (Q9), returned-item top-k
+(Q10), scalar-subquery HAVING (Q11), outer-join count distribution
+(Q13), conditional-aggregate share (Q14), global-max equality select
+(Q15), distinct-count grouped dims (Q16), correlated-average join
+(Q17), disjunctive multi-clause predicate (Q19), nested semi-join
+chain (Q20), exists/not-exists decorrelation (Q21), anti-join +
+scalar-subquery threshold (Q22).
 
 All money math follows the registry conventions: DECIMAL end-to-end,
 DOUBLE only in the output projection, ``round(x, 2)`` on sums of
