@@ -252,22 +252,25 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_quantity AS DECIMAL(12,2)))
-           > (SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                         * CAST(l_quantity AS DECIMAL(12,2)))
-                     * CAST(0.001 AS DECIMAL(6,4))
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           > (SELECT 1.5 * (CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                            / count(DISTINCT l_partkey))
               FROM lineitem)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: grouped sum HAVING > fraction-of-global-total.
+    """TPC-H Q11 shape: grouped sum HAVING > global-scalar threshold.
 
-    The global total is a one-row aggregate broadcast into the filter
-    (scalar subquery → BroadcastNestedLoopJoin of a single row — free).
-    Both sides of the comparison stay DECIMAL, so the threshold is
-    exact and engine-portable; only the output casts to DOUBLE.
-    Two passes over lineitem, both partial-aggregated map-side.
+    The threshold is 1.5× the average per-part value — scale-FREE
+    (a fixed fraction-of-total shrinks per part as |parts| grows and
+    empties the result at larger SF; tested non-empty at sf0.01 AND
+    sf0.1). It is a one-row aggregate broadcast into the filter
+    (scalar subquery → BroadcastNestedLoopJoin of a single row).
+    Sums stay DECIMAL (exact) and convert to DOUBLE once, so both
+    engines compare identical operands. Two passes over lineitem,
+    both partial-aggregated map-side.
     """
     l = read_table(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
@@ -275,11 +278,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(12,2)")
     per_part = l.groupBy("l_partkey").agg(F.sum(value).alias("_value"))
     total = l.agg(
-        (F.sum(value) * F.lit(0.001).cast("decimal(6,4)")).alias("_threshold")
+        (
+            F.lit(1.5)
+            * (F.sum(value).cast("double") / F.countDistinct("l_partkey"))
+        ).alias("_threshold")
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("_value") > F.col("_threshold"))
+        .filter(F.col("_value").cast("double") > F.col("_threshold"))
         .select("l_partkey", F.col("_value").cast("double").alias("part_value"))
     )
 
