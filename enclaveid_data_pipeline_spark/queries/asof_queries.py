@@ -86,3 +86,62 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot key over 16 reducers first."""
     ev = read_table(spark, sf_dir, "events")
     return salted_count_by_key(ev, ["event_type"], buckets=16)
+
+
+@register(
+    "events_in_shrunk_windows",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS date_s,
+               epoch_us(min(ts)) + 3600000000 AS start_us,
+               epoch_us(max(ts)) - 3600000000 AS end_us
+        FROM events
+        GROUP BY 1, 2
+        HAVING epoch_us(min(ts)) + 3600000000 <= epoch_us(max(ts)) - 3600000000
+    )
+    SELECT w.user_id, w.date_s,
+           CAST(count(e.event_id) AS BIGINT) AS n_interior
+    FROM w JOIN events e
+      ON e.user_id = w.user_id
+     AND epoch_us(e.ts) >= w.start_us
+     AND epoch_us(e.ts) <= w.end_us
+    GROUP BY 1, 2
+    """,
+)
+def events_in_shrunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators.rangejoin): count events inside each
+    user-day's interior window (first/last hour trimmed).
+
+    The bucketized equi-join replaces the non-equi BNLJ/cartesian the
+    planner would otherwise pick for point-in-interval predicates —
+    candidates are per (user, hour-bucket), the range check is a
+    residual filter. Interior-trimmed windows make the residual do
+    real work (boundary events must NOT match).
+    """
+    from ..operators.rangejoin import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    hour_us = 3_600_000_000
+    w = (
+        ev.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("date_s")
+        )
+        .agg(
+            (F.unix_micros(F.min("ts")) + hour_us).alias("start_us"),
+            (F.unix_micros(F.max("ts")) - hour_us).alias("end_us"),
+        )
+        .filter(F.col("start_us") <= F.col("end_us"))
+    )
+    joined = interval_join(
+        pts,
+        w,
+        point_ts="ts_us",
+        group_cols=("user_id",),
+        bucket_width_us=hour_us,
+    )
+    return joined.groupBy("user_id", "date_s").agg(
+        F.count("event_id").cast("long").alias("n_interior")
+    )

@@ -542,3 +542,87 @@ def ppjoin_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filtered_jaccard_pairs(
         toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3), threshold=0.8
     )
+
+
+@register(
+    "minhash_verified_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    )
+    SELECT c.left_id, c.right_id,
+           round(len(list_intersect(la.s, lb.s))::DOUBLE
+                 / (len(la.s) + len(lb.s) - len(list_intersect(la.s, lb.s))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN dsh la ON la.doc_id = c.left_id
+    JOIN dsh lb ON lb.doc_id = c.right_id
+    WHERE round(len(list_intersect(la.s, lb.s))::DOUBLE
+                / (len(la.s) + len(lb.s) - len(list_intersect(la.s, lb.s))),
+                6) >= 0.8
+    """,
+)
+def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CANONICAL two-stage dedup pipeline composed end-to-end:
+    MinHash+LSH candidate generation (probabilistic, banded — never
+    quadratic) followed by exact Jaccard verification of ONLY the
+    candidates (array_intersect on the full distinct-shingle sets).
+
+    Differs from ``ngram_jaccard_dups`` (exact over every
+    intersecting pair) exactly where LSH recall loses pairs — the
+    oracle replays the same bands, so the driver checks the composed
+    semantics, not just each stage alone. This is the shape that runs
+    at 100 TB: stage-1 cost tracks corpus size, stage-2 cost tracks
+    candidate count.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    cand = minhash_lsh_pairs(
+        toks,
+        id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    sh = toks.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+    ).localCheckpoint()
+    la = sh.select(
+        F.col("doc_id").alias("left_id"), F.col("s").alias("__sa")
+    )
+    lb = sh.select(
+        F.col("doc_id").alias("right_id"), F.col("s").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("__sa") + F.size("__sb") - inter),
+        6,
+    )
+    return (
+        cand.join(la, on="left_id")
+        .join(lb, on="right_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("left_id", "right_id", "jaccard")
+    )
