@@ -145,3 +145,66 @@ def events_in_shrunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "date_s").agg(
         F.count("event_id").cast("long").alias("n_interior")
     )
+
+
+@register(
+    "daily_event_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(min(ts) AS DATE) AS d0,
+               CAST(max(ts) AS DATE) AS d1
+        FROM events GROUP BY user_id
+    ), spine AS (
+        SELECT b.user_id, CAST(unnest(generate_series(b.d0, b.d1,
+                          INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds b
+    ), daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               count(*) AS n, sum(CAST(value AS DECIMAL(14,4))) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day_s,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           CAST(round(coalesce(d.v, 0), 4) AS DOUBLE) AS total_value
+    FROM spine s
+    LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap-filling): one row per (user, day)
+    between each user's first and last event, zero-filled where no
+    events occurred — the shape every daily-metrics training table
+    needs (missing days must be explicit zeros, not absent rows).
+
+    ``sequence(min_date, max_date)`` + explode builds the spine from
+    a per-user aggregate (no driver-side calendar); the left join
+    back to the daily rollup is an equi-join on (user, day). Spine
+    size is users × days — linear, and generated, not shuffled.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,4)")).alias("v"),
+    )
+    return (
+        spine.join(daily, on=["user_id", "day"], how="left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.round(F.coalesce(F.col("v"), F.lit(0).cast("decimal(14,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
