@@ -387,3 +387,64 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 16,
+    radius: int = 2,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``radius`` of their
+    SimHash signatures — WITHOUT an all-pairs comparison.
+
+    Pigeonhole banding: split the signature into ``radius + 1``
+    chunks; two signatures within distance r must agree EXACTLY on at
+    least one chunk, so candidates come from equi-joins on
+    (chunk_idx, chunk_value) and only candidates pay the XOR popcount
+    check. Same shape as MinHash LSH banding, but lossless — the
+    pigeonhole bound is a theorem, not a probability. Distinct-ing
+    the pair (a pair can agree on several chunks) happens on bare id
+    pairs.
+
+    Output: ``left_id, right_id, hamming`` (≤ radius).
+    """
+    chunks = radius + 1
+    width = (bits + chunks - 1) // chunks
+    mask = (1 << width) - 1
+    keyed = signed.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col(sig_col), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", "ck.chunk_idx", "ck.chunk_val")
+    a = keyed.select(
+        "chunk_idx", "chunk_val", F.col("id").alias("left_id"), F.col("sig").alias("__sa")
+    )
+    b = keyed.select(
+        "chunk_idx", "chunk_val", F.col("id").alias("right_id"), F.col("sig").alias("__sb")
+    )
+    cand = (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "__sa", "__sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= radius)
+        .select("left_id", "right_id", "hamming")
+    )

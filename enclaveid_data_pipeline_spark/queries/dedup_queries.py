@@ -626,3 +626,33 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+@register(
+    "simhash_hamming_pairs_r2",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sigs AS (
+        SELECT doc_id, {_duck_simhash_bits()} AS sig FROM toks
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """,
+)
+def simhash_hamming_pairs_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 2 via pigeonhole
+    chunk banding (operators.dedup.simhash_hamming_pairs) — lossless,
+    so the oracle can afford the quadratic formulation while the
+    Spark side joins on (chunk_idx, chunk_value) and only popcounts
+    candidates."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    signed = toks.select("doc_id", simhash16(F.col("t")).alias("simhash"))
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
+    )
