@@ -46,27 +46,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     must not shuffle — the SURVEY §7 co-located-join scale path."""
     # warehouse dir is a static conf — the session default
     # (spark-warehouse/ under cwd, gitignored) is fine for the test
-    import shutil
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        drop_table,
+        save_bucketed,
+    )
 
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    # orphaned dirs survive DROP when a prior session died mid-write
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("b_orders", "b_lineitem"):
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
-    (
-        orders.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("b_orders")
-    )
-    (
-        lineitem.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("b_lineitem")
+    drop_table(spark, "b_orders")
+    drop_table(spark, "b_lineitem")
+    save_bucketed(orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+    save_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", 8, sort_col="l_orderkey"
     )
     # disable broadcast so the planner must choose sort-merge — the
     # scale-regime plan this test is about (at 100 TB neither side
