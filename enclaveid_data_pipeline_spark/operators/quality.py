@@ -51,3 +51,27 @@ def session_shape_valid(parsed: Column) -> Column:
         & parsed["time_start"].rlike(HHMM_RE)
         & parsed["time_end"].rlike(HHMM_RE)
     )
+
+
+def observe_validity(
+    df: DataFrame,
+    valid_col: Column,
+    name: str = "quality",
+) -> DataFrame:
+    """M9 as a zero-cost metric stream: attach the validity counters
+    with ``Dataset.observe`` — computed DURING whatever action next
+    consumes ``df`` (no second pass over the data, unlike a separate
+    counters aggregation) and read back via
+    ``df.observe``'s Observation or the QueryExecutionListener.
+
+    Use when the counters are operational telemetry rather than a
+    downstream input; use :func:`validity_counters` when they are a
+    first-class output table. At 100 TB the difference is one full
+    extra scan.
+    """
+    invalid = (~valid_col).cast("long")
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(invalid).alias("n_invalid"),
+    )

@@ -59,3 +59,30 @@ def test_validity_counters(spark):
     assert out["a"].n_rows == 3 and out["a"].n_invalid == 1
     assert abs(out["a"].error_rate - 0.333333) < 1e-9
     assert out["b"].n_invalid == 0
+
+
+def test_observe_validity_piggybacks_on_action(spark):
+    """M9 via Dataset.observe: counters arrive with the action that
+    consumes the frame — no second scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.quality import (
+        observe_validity,
+    )
+
+    df = spark.createDataFrame(
+        [("08:00",), ("bad",), ("23:59",), (None,)], "t string"
+    )
+    obs = Observation("q")
+    valid = F.col("t").rlike(r"^\d{2}:\d{2}$")
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.coalesce(valid, F.lit(False))).cast("long")).alias("n_invalid"),
+    )
+    assert observed.count() == 4
+    assert obs.get == {"n_rows": 4, "n_invalid": 2}
+
+    # the named-observation wrapper drives the same machinery
+    out = observe_validity(df, F.coalesce(valid, F.lit(False)), name="q2")
+    assert out.count() == 4
