@@ -209,3 +209,47 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_totalprice"),
     )
+
+
+@register(
+    "value_outliers_2sigma",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE e.value IS NOT NULL
+      AND s.n >= 10 AND s.sigma > 0
+      AND abs((e.value - s.mu) / s.sigma) > 2.0
+    """,
+)
+def value_outliers_2sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (|z| > 2σ) — the moment-aggregate
+    family (avg + stddev_samp) as a broadcast-back grouped scalar,
+    the standard anomaly screen a metrics pipeline runs per entity.
+
+    Spark and DuckDB accumulate float moments in different orders;
+    agreement to round(z, 4) holds because both use exact-count /
+    compensated variance forms and |events per user| is far below
+    where 1e-12 drift could cross a 4-decimal boundary.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), on="user_id")
+        .filter((F.col("n") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.0))
+        .select("user_id", "event_id", F.round(z, 4).alias("z"))
+    )
