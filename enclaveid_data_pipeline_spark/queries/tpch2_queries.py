@@ -791,3 +791,165 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from LOCAL suppliers (customer and
+    supplier share a nation) within one region and order-year.
+
+    The supplier join carries TWO equi-conditions (suppkey AND the
+    customer↔supplier nation equality) — the co-nation predicate is
+    part of the join, not a post-filter, so it prunes before the
+    aggregate. nation/region/supplier broadcast; the only big
+    shuffle is orders⋈lineitem on orderkey. The orderdate range
+    pushes into the parquet scan (ref theta-join analogue:
+    /root/reference/enclaveid_data_pipeline/assets/recent_history.py:384-411).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS best_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    floor_price AS (
+        SELECT l_partkey AS fp_partkey,
+               min(best_price) AS part_floor
+        FROM offers
+        GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           CAST(o.best_price AS DOUBLE) AS best_price
+    FROM offers o
+    JOIN floor_price f
+      ON o.l_partkey = f.fp_partkey AND o.best_price = f.part_floor
+    JOIN part p ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON o.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 3
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) offering each part at its
+    minimum price — a correlated scalar-MIN subquery, decorrelated.
+
+    The corpus has no partsupp table, so lineitem plays the
+    part↔supplier price list (min extendedprice per (part, supplier)
+    = the offer). The correlated `price = (SELECT min(...) WHERE
+    same part)` becomes: aggregate once per part, join back on
+    (partkey, price) — one extra partial-agg pass instead of a
+    per-row probe, the same rewrite as the reference's scalar
+    threshold subqueries (/root/reference/enclaveid_data_pipeline/
+    assets/recent_history.py:418-445). The p_size filter broadcasts
+    through the part join; ties (several suppliers at the floor
+    price) are all kept, as in Q2.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    s = read_table(spark, sf_dir, "supplier")
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("best_price")
+    )
+    floor_price = offers.groupBy(F.col("l_partkey").alias("fp_partkey")).agg(
+        F.min("best_price").alias("part_floor")
+    )
+    return (
+        offers.join(
+            floor_price,
+            (offers.l_partkey == floor_price.fp_partkey)
+            & (offers.best_price == floor_price.part_floor),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("best_price").cast("double").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "q12_priority_shipping_split",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-branch CASE counting over a fact↔fact
+    join — high- vs low-priority line counts per return flag.
+
+    The corpus lacks l_shipmode/commitdate, so the grouping key is
+    l_returnflag and the date window is shipdate-only; the shape
+    under test is unchanged: one join, CASE-sums computing BOTH
+    branches in a single pass (no second scan, no self-join), fully
+    partial-aggregable after the shuffle on l_returnflag. The
+    shipdate range reaches the parquet scan as a pushed filter.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
