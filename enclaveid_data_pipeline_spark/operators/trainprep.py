@@ -1,0 +1,164 @@
+"""Training-set preparation operators: deterministic splits,
+stride-overlap chunking, benchmark-contamination detection, and
+mixture sampling.
+
+The reference pipeline stops at "clean sessions + embeddings"
+(/root/reference/enclaveid_data_pipeline/assets/recent_history.py);
+an LLM-training corpus pipeline additionally needs the steps between
+"deduplicated documents" and "tokenizer-ready shards". Everything
+here is hash-deterministic (md5, same hex in Spark and DuckDB) so:
+
+- assignments are reproducible run-to-run and engine-to-engine (no
+  ``rand()``: a resumed or re-partitioned job must land every doc in
+  the same split/sample),
+- the DuckDB oracle can replay each operator exactly.
+
+Scale notes: splits and sampling are stateless row-local expressions
+(no shuffle at all); chunking is a generate-and-explode (row-local,
+output ~len/stride rows per doc); contamination broadcasts the
+benchmark n-gram set — benchmark suites are tiny (~10^5 n-grams)
+next to a 100 TB corpus, so the probe side never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 256) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from the md5 of
+    ``key`` (cast to string first). 7 hex chars = 28 bits, unbiased
+    for bucket counts that divide 2^28 and negligibly biased
+    otherwise."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key: Column,
+    boundaries: Sequence[tuple[str, int]] = (("train", 240), ("val", 248)),
+    last: str = "test",
+    buckets: int = 256,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a deterministic train/val/test split from a hash of the
+    document key. ``boundaries`` are (name, exclusive-upper-bucket)
+    pairs in ascending order; rows at or above the final boundary get
+    ``last``. Defaults: 240/256 train (93.75%), 8/256 val, 8/256 test.
+
+    Hash-based (not ``rand()``-based) so membership is a pure function
+    of the key: stable under retries, repartitioning, and incremental
+    appends — new documents never reshuffle old ones across splits.
+    """
+    bucket = hash_bucket(key, buckets)
+    expr = None
+    for name, upper in boundaries:
+        cond = bucket < upper
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(last))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    tokens: Column,
+    size: int,
+    stride: int,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Split each row's token array into fixed-``size`` windows that
+    advance by ``stride`` tokens (overlap = size - stride), the
+    standard packing step before tokenizer sharding. Short documents
+    (≤ size tokens) yield exactly one (possibly short) chunk; the
+    last window of a long document may be short.
+
+    Emits one row per chunk with ``{out_col}_id`` (0-based ordinal
+    within the doc) and ``{out_col}`` (the token slice). Pure
+    generate-and-explode: row-local, no shuffle, no UDF; output row
+    count is ~tokens/stride per document, so input partition sizing
+    controls output partition sizing.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n_extra = (
+        (F.greatest(F.size(tokens) - size, F.lit(0)) + (stride - 1))
+        .cast("long")
+        / stride
+    ).cast("long")
+    ids = F.sequence(F.lit(0).cast("long"), n_extra)
+    return (
+        df.withColumn("_toks", tokens)
+        .withColumn(f"{out_col}_id", F.explode(ids))
+        .withColumn(
+            out_col,
+            F.slice(
+                F.col("_toks"),
+                (F.col(f"{out_col}_id") * stride + 1).cast("int"),
+                size,
+            ),
+        )
+        .drop("_toks")
+    )
+
+
+def contaminated_docs(
+    corpus_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+) -> DataFrame:
+    """Benchmark-contamination check (the n-gram membership test used
+    to scrub eval sets out of training corpora): count, per corpus
+    document, how many of its distinct n-grams appear anywhere in the
+    benchmark set.
+
+    Both inputs are (id, shingle) exploded frames; the benchmark side
+    is deduplicated and broadcast — the corpus side streams through a
+    map-side hash probe with no shuffle until the final per-doc count.
+    """
+    bench = F.broadcast(
+        benchmark_shingles.select(shingle_col).distinct()
+    )
+    return (
+        corpus_shingles.join(bench, shingle_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: Column,
+    source_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    buckets: int = 65536,
+) -> DataFrame:
+    """Per-source deterministic downsampling — the "data mixture"
+    step that reweights corpus sources (keep 100% of wiki, 10% of
+    crawl, ...). A row survives iff its hash bucket falls below
+    ``rate * buckets`` for its source's rate.
+
+    Hash-gated rather than ``sample()``: exact reproducibility,
+    stable under repartitioning, and per-source rates in one pass
+    (``DataFrame.sampleBy`` is seed-stable but not portable to the
+    oracle). Row-local filter: no shuffle, fully pushdown-friendly.
+    """
+    rate_expr = None
+    for src, rate in rates.items():
+        cond = F.col(source_col) == src
+        rate_expr = (
+            F.when(cond, rate) if rate_expr is None else rate_expr.when(cond, rate)
+        )
+    rate_expr = (
+        rate_expr.otherwise(default_rate)
+        if rate_expr is not None
+        else F.lit(default_rate)
+    )
+    return df.filter(hash_bucket(key, buckets) < rate_expr * buckets)

@@ -20,5 +20,6 @@ from . import coverage_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 from . import tpch2_queries  # noqa: E402,F401
+from . import trainprep_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

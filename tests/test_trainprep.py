@@ -1,0 +1,144 @@
+"""Unit tests for operators.trainprep: chunk boundary cases, split
+determinism and coverage, mixture-rate gating, contamination
+broadcast plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.operators.trainprep import (
+    chunk_tokens,
+    contaminated_docs,
+    hash_bucket,
+    mixture_sample,
+    with_split,
+)
+
+
+def _toks_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, r.split()) for i, r in enumerate(rows)], "id long, t array<string>"
+    )
+
+
+class TestChunkTokens:
+    def test_short_doc_single_chunk(self, spark):
+        df = _toks_df(spark, ["a b c"])
+        out = chunk_tokens(df, F.col("t"), size=5, stride=3).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_id"] == 0
+        assert out[0]["chunk"] == ["a", "b", "c"]
+
+    def test_exact_size_single_chunk(self, spark):
+        df = _toks_df(spark, ["a b c d e"])
+        out = chunk_tokens(df, F.col("t"), size=5, stride=3).collect()
+        assert len(out) == 1
+
+    def test_overlap_and_tail(self, spark):
+        # 8 tokens, size 5, stride 3 -> chunks at 1..5 and 4..8: the
+        # tail chunk is full here; 9 tokens would add a short third.
+        df = _toks_df(spark, ["t0 t1 t2 t3 t4 t5 t6 t7"])
+        out = sorted(
+            chunk_tokens(df, F.col("t"), size=5, stride=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk"] for r in out] == [
+            ["t0", "t1", "t2", "t3", "t4"],
+            ["t3", "t4", "t5", "t6", "t7"],
+        ]
+
+    def test_every_token_covered(self, spark):
+        df = _toks_df(spark, ["w%d" % i for i in range(1)] * 0 + [" ".join(f"w{i}" for i in range(50))])
+        out = chunk_tokens(df, F.col("t"), size=8, stride=5).collect()
+        covered = {tok for r in out for tok in r["chunk"]}
+        assert covered == {f"w{i}" for i in range(50)}
+
+    def test_invalid_params_raise(self, spark):
+        df = _toks_df(spark, ["a b"])
+        with pytest.raises(ValueError):
+            chunk_tokens(df, F.col("t"), size=0, stride=3)
+        with pytest.raises(ValueError):
+            chunk_tokens(df, F.col("t"), size=3, stride=0)
+
+
+class TestSplit:
+    def test_deterministic_and_total(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = with_split(df, F.col("doc_id")).groupBy("split").count().collect()
+        b = with_split(df, F.col("doc_id")).groupBy("split").count().collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        counts = {r["split"]: r["count"] for r in a}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 500
+        # 93.75% expected train share; loose band for n=500
+        assert 0.85 < counts["train"] / 500 < 0.99
+
+    def test_row_local_no_shuffle_before_filter(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        plan = (
+            with_split(df, F.col("doc_id"))
+            .filter(F.col("split") == "val")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestMixtureSample:
+    def test_rates_gate_per_source(self, spark):
+        df = (
+            spark.range(2000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "source", F.when(F.col("doc_id") % 2 == 0, "keep").otherwise("drop")
+            )
+        )
+        kept = mixture_sample(
+            df, F.col("doc_id"), "source", {"keep": 1.0, "drop": 0.0}
+        )
+        rows = kept.groupBy("source").count().collect()
+        counts = {r["source"]: r["count"] for r in rows}
+        assert counts == {"keep": 1000}
+
+    def test_default_rate_applies(self, spark):
+        df = (
+            spark.range(2000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("source", F.lit("other"))
+        )
+        n = mixture_sample(
+            df, F.col("doc_id"), "source", {}, default_rate=0.25
+        ).count()
+        assert 0.15 < n / 2000 < 0.35
+
+    def test_bucket_range(self, spark):
+        row = (
+            spark.range(1000)
+            .select(hash_bucket(F.col("id"), 256).alias("b"))
+            .agg(F.min("b"), F.max("b"))
+            .collect()[0]
+        )
+        assert row[0] >= 0 and row[1] < 256
+
+
+class TestContamination:
+    def test_counts_and_broadcast(self, spark):
+        sh = spark.createDataFrame(
+            [(1, "a b c"), (1, "b c d"), (2, "x y z"), (2, "a b c")],
+            "doc_id long, s string",
+        )
+        bench = spark.createDataFrame(
+            [(99, "a b c"), (99, "q r s")], "doc_id long, s string"
+        )
+        out = contaminated_docs(sh, bench).collect()
+        counts = {r["doc_id"]: r["n_shared"] for r in out}
+        assert counts == {1: 1, 2: 1}
+        plan = (
+            contaminated_docs(sh, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
