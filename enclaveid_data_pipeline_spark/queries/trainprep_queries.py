@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import tokenize, word_shingles
+from ..operators.dedup import minhash_lsh_pairs, tokenize, word_shingles
+from ..operators.knn import brute_force_topk, lsh_bucketed_topk
 from ..operators.trainprep import (
     chunk_tokens,
     contaminated_docs,
@@ -20,7 +21,7 @@ from ..operators.trainprep import (
     with_split,
 )
 from ..sources.readers import read_table
-from .registry import register
+from .registry import REGISTRY, register
 
 #: DuckDB twin of operators.trainprep.hash_bucket.
 _DUCK_BUCKET = "('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT"
@@ -174,3 +175,166 @@ def source_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.1,
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---- composed evaluation queries ---------------------------------------
+# These reuse other registered queries' oracle SQL as CTEs; this module
+# is imported last in queries/__init__, so REGISTRY already holds them.
+
+_DUCK_SPLIT = (
+    "CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 256 < 240"
+    " THEN 'train'"
+    " WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 256 < 248"
+    " THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "cross_split_leakage",
+    oracle=f"""
+    WITH cand AS ({REGISTRY["minhash_lsh_candidates"].oracle}),
+    sp AS (
+        SELECT doc_id, {_DUCK_SPLIT} AS split FROM documents
+    )
+    SELECT c.left_id, c.right_id,
+           sa.split AS left_split, sb.split AS right_split,
+           (sa.split <> sb.split) AS cross_split
+    FROM cand c
+    JOIN sp sa ON sa.doc_id = c.left_id
+    JOIN sp sb ON sb.doc_id = c.right_id
+    """,
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate candidate pairs (MinHash
+    LSH) annotated with each side's train/val/test assignment — a
+    pair with ``cross_split = true`` is an eval answer leaking into
+    training. Composes the LSH dedup path with the hash split; the
+    split lookup side is a projection of the corpus joined back on
+    doc_id (at 100 TB the split is a row-local expression, so these
+    joins stay thin: (doc_id, split) only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    cand = minhash_lsh_pairs(
+        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3),
+        num_hashes=16, bands=4, rows_per_band=4,
+    )
+    sp = with_split(docs, key=F.col("doc_id")).select("doc_id", "split")
+    return (
+        cand.join(
+            sp.select(
+                F.col("doc_id").alias("left_id"),
+                F.col("split").alias("left_split"),
+            ),
+            "left_id",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("right_id"),
+                F.col("split").alias("right_split"),
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id", "right_id", "left_split", "right_split",
+            (F.col("left_split") != F.col("right_split")).alias("cross_split"),
+        )
+    )
+
+
+@register(
+    "ann_recall_at_5",
+    oracle=f"""
+    WITH bf AS ({REGISTRY["knn_bruteforce_top5"].oracle}),
+    approx AS ({REGISTRY["knn_lsh_top5"].oracle})
+    SELECT bf.query_id,
+           CAST(count(approx.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(approx.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf
+    LEFT JOIN approx
+      ON approx.query_id = bf.query_id
+     AND approx.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the LSH-bucketed index
+    against the exact brute-force ground truth, per query point — the
+    standard accuracy/throughput trade-off measurement for an
+    approximate index. Both sides are existing operators; the
+    comparison itself is a thin (query_id, neighbor_id) join, so the
+    eval costs no more than the two searches."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = brute_force_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = lsh_bucketed_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4
+    ).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    return (
+        bf.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").alias("n_hits"),
+            F.round(F.count("a_neighbor_id") / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    "length_filter_p5_p95",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), th AS (
+        SELECT quantile_cont(n_tok, 0.05) AS lo,
+               quantile_cont(n_tok, 0.95) AS hi
+        FROM toks
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN n_tok >= lo AND n_tok <= hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN n_tok < lo OR n_tok > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(any_value(lo), 4) AS lo,
+           round(any_value(hi), 4) AS hi
+    FROM toks, th
+    GROUP BY lang
+    """,
+)
+def length_filter_p5_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned length filter (the quality-filter pattern where
+    thresholds come from the data, not a config): exact 5th/95th
+    token-count percentiles over the whole corpus, then per-language
+    kept/dropped counts against that band. The two scalars stay
+    inside the plan as a broadcast 1-row cross join (SURVEY X7 — no
+    driver round-trip); the percentile itself is the documented
+    exact-vs-approx trade-off (switch to approx_percentile for
+    truly unbounded groups)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.size(tokenize(F.col("text"))).alias("n_tok")
+    )
+    th = toks.agg(
+        F.expr("percentile(n_tok, 0.05)").alias("lo"),
+        F.expr("percentile(n_tok, 0.95)").alias("hi"),
+    )
+    kept = F.col("n_tok").between(F.col("lo"), F.col("hi"))
+    return (
+        toks.crossJoin(F.broadcast(th))
+        .groupBy("lang")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.round(F.first("lo"), 4).alias("lo"),
+            F.round(F.first("hi"), 4).alias("hi"),
+        )
+    )
