@@ -137,7 +137,7 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     id_col: str,
     shingles: Column,
@@ -145,16 +145,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH candidate generation, whole-stage-
-    codegen shape: EXPLODE shingles to rows (higher-order-function
-    lambdas are interpreted in Spark — k×|shingles| lambda calls per
-    doc dominated the runtime; exploded rows stay in codegen), hash
-    each shingle once (md5 → two 28-bit ints), then ONE groupBy(id)
-    with k ``min((h1 + i*h2) % p)`` aggregates — partially aggregated
-    map-side, so the shuffle carries one k-slot row per (partition,
-    doc). Band keys fold the k columns and a single (band_idx,
-    band_key) self-join emits candidate pairs. Measured at sf0.1:
-    38s (HOF lambdas, per-band joins) → ~4s end-to-end.
+    """MinHash band signatures: (id, bands array<string>) — the
+    shared front half of LSH candidate generation, exposed so
+    incremental dedup can band a NEW batch against a persisted corpus
+    band table without recomputing the corpus (at 100 TB the corpus
+    band table is a bucketed-by-band_key table written once per
+    compaction cycle).
+
+    Whole-stage-codegen shape: EXPLODE shingles to rows (higher-
+    order-function lambdas are interpreted in Spark — k×|shingles|
+    lambda calls per doc dominated the runtime; exploded rows stay in
+    codegen), hash each shingle once (md5 → two 28-bit ints), then
+    ONE groupBy(id) with k ``min((h1 + i*h2) % p)`` aggregates —
+    partially aggregated map-side, so the shuffle carries one k-slot
+    row per (partition, doc). Band keys fold the k columns.
     """
     ex = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
     hashed = ex.select(
@@ -186,8 +190,71 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+    return sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """End-to-end MinHash+LSH candidate generation: band signatures
+    (minhash_bands) + a single (band_idx, band_key) self-join
+    (lsh_candidate_pairs). Measured at sf0.1: 38s (HOF lambdas,
+    per-band joins) → ~4s end-to-end."""
+    banded = minhash_bands(
+        df, id_col, shingles,
+        num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+    )
     return lsh_candidate_pairs(banded, id_col=id_col)
+
+
+def incremental_dedup(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Incremental near-dup dedup: mark each NEW document as a
+    duplicate iff any of its LSH band keys collides with the existing
+    corpus — the operational form of dedup on a growing corpus, where
+    the already-deduplicated mass is never re-paired against itself.
+
+    Inputs are exploded (id, band_idx, band_key) frames (from
+    ``lsh_band_table``). Returns (id, is_dup). The probe is a
+    left-semi join on (band_idx, band_key): only keys ship, only
+    matching ids come back, and at scale both sides read from tables
+    bucketed by band_key, so the semi-join is co-located. False
+    positives follow LSH's usual contract — collide-then-verify by
+    running exact Jaccard on the collided ids only.
+    """
+    hits = (
+        new_bands.join(
+            corpus_bands.select("band_idx", "band_key"),
+            ["band_idx", "band_key"],
+            "leftsemi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        new_bands.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+def lsh_band_table(banded: DataFrame, id_col: str = "id") -> DataFrame:
+    """Explode (id, bands array) to the (id, band_idx, band_key) form
+    that persists as the corpus band table (bucket by band_key)."""
+    return banded.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    ).filter(F.col("band_key").isNotNull())
 
 
 def lsh_candidate_pairs(

@@ -28,7 +28,10 @@ from ..functions.textstats import (
 from ..operators.dedup import (
     MINHASH_P,
     exact_dedup_groups,
+    incremental_dedup,
     jaccard_similarity_pairs,
+    lsh_band_table,
+    minhash_bands,
     minhash_lsh_pairs,
     simhash16,
     tokenize,
@@ -655,4 +658,57 @@ def simhash_hamming_pairs_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return simhash_hamming_pairs(
         signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
+    )
+
+
+@register(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM sigs
+    ), hits AS (
+        SELECT DISTINCT n.doc_id
+        FROM bands n JOIN bands c
+          ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+        WHERE n.doc_id >= 400 AND c.doc_id < 400
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM bands WHERE doc_id >= 400) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch (doc_id >= 400) against the
+    existing corpus (doc_id < 400): LSH band keys of the batch
+    semi-joined against the corpus band table — the growing-corpus
+    form of dedup where the deduplicated mass is never re-paired with
+    itself. At 100 TB the corpus side is a persisted table bucketed
+    by band_key (sources.layout.save_bucketed), so the daily batch
+    probe is a co-located join that reads no corpus text at all."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    banded = minhash_bands(
+        toks,
+        id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    bt = lsh_band_table(banded, id_col="doc_id")
+    new_bands = bt.filter(F.col("id") >= 400)
+    corpus_bands = bt.filter(F.col("id") < 400)
+    return incremental_dedup(new_bands, corpus_bands).withColumnRenamed(
+        "id", "doc_id"
     )
