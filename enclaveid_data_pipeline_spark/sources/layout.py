@@ -18,7 +18,11 @@ counts fall back to a shuffle on one side).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def save_bucketed(
@@ -36,6 +40,73 @@ def save_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.mode(mode).saveAsTable(table)
+
+
+def cluster_by(
+    df: DataFrame, *cols: str, partitions: int | None = None
+) -> DataFrame:
+    """Range-cluster rows on ``cols`` before writing (the
+    linear-order cousin of Z-ordering): ``repartitionByRange`` puts
+    disjoint key ranges in disjoint files and the within-partition
+    sort tightens each file's per-column min/max. Parquet footers
+    then carry narrow column statistics, so any engine reading the
+    table skips whole files/row-groups for selective predicates on
+    the leading column — data skipping bought at write time, no table
+    format required.
+
+    Use for the second-priority predicate dimension: partition
+    pruning handles the partitionBy column (usually date/user),
+    clustering handles the next one (e.g. event_type, doc length).
+    """
+    parts = [F.col(c) for c in cols]
+    rp = (
+        df.repartitionByRange(partitions, *parts)
+        if partitions
+        else df.repartitionByRange(*parts)
+    )
+    return rp.sortWithinPartitions(*parts)
+
+
+def compact_to_file_size(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
+) -> int:
+    """Compact a small-file parquet directory in place: coalesce to
+    ``ceil(total_bytes / target_bytes)`` files (~HDFS-block-sized —
+    the small-files problem is the dominant operational failure of
+    long-running ingest at scale: listing cost, task-per-file
+    scheduling, footer overhead). Returns the new file count.
+
+    Rewrites via a temp dir then swaps, so a crash mid-compaction
+    leaves either the old or the new layout, never a mix. With
+    ``sort_cols`` the rewrite also range-clusters (see cluster_by),
+    folding layout maintenance into the same pass. Per-partition
+    compaction at 100 TB: run this per partition directory, newest
+    partitions only (old ones are already compact).
+    """
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    out = (
+        cluster_by(df, *sort_cols, partitions=n_files)
+        if sort_cols
+        else df.coalesce(n_files)
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
 
 
 def drop_table(spark: SparkSession, table: str) -> None:
