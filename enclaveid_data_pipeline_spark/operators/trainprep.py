@@ -86,11 +86,14 @@ def chunk_tokens(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    n_extra = (
-        (F.greatest(F.size(tokens) - size, F.lit(0)) + (stride - 1))
-        .cast("long")
-        / stride
-    ).cast("long")
+    # Extra windows beyond the first: enough to cover the tail
+    # (ceil((n-size)/stride)), but never past the last token — with
+    # stride > size (gapped sampling) the coverage form would emit an
+    # empty trailing window (hypothesis-found; pinned in tests).
+    n = F.size(tokens).cast("long")
+    cover = (F.greatest(n - size, F.lit(0).cast("long")) + (stride - 1)) / stride
+    last_start = (n - 1) / stride
+    n_extra = F.least(cover.cast("long"), last_start.cast("long"))
     ids = F.sequence(F.lit(0).cast("long"), n_extra)
     return (
         df.withColumn("_toks", tokens)

@@ -5,6 +5,8 @@ broadcast plan shape."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from enclaveid_data_pipeline_spark.operators.trainprep import (
@@ -53,6 +55,37 @@ class TestChunkTokens:
         out = chunk_tokens(df, F.col("t"), size=8, stride=5).collect()
         covered = {tok for r in out for tok in r["chunk"]}
         assert covered == {f"w{i}" for i in range(50)}
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_tok=st.integers(min_value=1, max_value=120),
+        size=st.integers(min_value=1, max_value=40),
+        stride=st.integers(min_value=1, max_value=40),
+    )
+    def test_chunking_properties(self, spark, n_tok, size, stride):
+        """For any (doc length, size, stride): every token appears in
+        some chunk, chunk ids are dense from 0, every chunk is
+        size-bounded, and all chunks except the last are full when
+        stride <= size (full coverage regime)."""
+        df = _toks_df(spark, [" ".join(f"w{i}" for i in range(n_tok))])
+        out = sorted(
+            chunk_tokens(df, F.col("t"), size=size, stride=stride).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_id"] for r in out] == list(range(len(out)))
+        assert all(1 <= len(r["chunk"]) <= size for r in out)
+        expected = 1 + min(
+            max(0, -(-(n_tok - size) // stride)), (n_tok - 1) // stride
+        )
+        assert len(out) == expected
+        if stride <= size:
+            covered = {tok for r in out for tok in r["chunk"]}
+            assert covered == {f"w{i}" for i in range(n_tok)}
+            assert all(len(r["chunk"]) == size for r in out[:-1])
 
     def test_invalid_params_raise(self, spark):
         df = _toks_df(spark, ["a b"])
