@@ -41,6 +41,7 @@ HEADLINE = (
     "sessionize_learned_gap",
     "minhash_lsh_candidates",
     "ngram_jaccard_dups",
+    "benchmark_contamination_4gram",
     "top1_neighbor_graph",
     "knn_bruteforce_top5",
     "knn_ivf_top5",

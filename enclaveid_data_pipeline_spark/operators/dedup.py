@@ -35,16 +35,21 @@ def tokenize(text: Column) -> Column:
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """Overlapping word n-grams, 1-based element_at for engine parity
-    with the oracle's 1-based list indexing. Empty when fewer than
-    ``n`` tokens (guarded: Spark's ``sequence(1, 0)`` counts DOWN
-    rather than returning an empty array)."""
+    """Overlapping word n-grams. Empty when fewer than ``n`` tokens
+    (guarded: Spark's ``sequence(1, 0)`` counts DOWN rather than
+    returning an empty array).
+
+    Built as ``concat_ws(' ', slice(tokens, i, n))`` — one array
+    reference per shingle. The per-position ``element_at`` form
+    references ``tokens`` n times per lambda call, which Catalyst may
+    expand to n copies of the tokens expression (measured 2× slower
+    at sf0.1, and pathological when callers inline ``tokenize()``
+    instead of resolving it in a prior projection — see
+    queries/trainprep_queries.py for the call-site rule)."""
     count = F.size(tokens) - (n - 1)
     sh = F.transform(
         F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
     return F.when(count >= 1, sh).otherwise(
         F.array().cast("array<string>")
@@ -382,9 +387,13 @@ def prefix_filtered_jaccard_pairs(
     form, the savings are in the shuffle: at t=0.8 the exploded join
     input shrinks ~5× and the candidate pair set with it (measured 5×
     at sf0.1). The global order is xxhash64 (cheap, uniform); ordering
-    by ascending document frequency would shrink candidates further at
-    the cost of an extra aggregation pass — worth it at 100 TB, not at
-    test SF.
+    by ascending document frequency (the canonical PPJoin order)
+    shrinks candidates further on Zipfian vocabularies — measured on
+    THIS corpus it does not pay (the synthetic 40-word vocabulary
+    saturates the shingle space, so even each doc's rarest shingles
+    are common: candidates only dropped 222k→119k and the prefix join
+    skewed). Wire it in behind the same interface when the corpus has
+    a real vocabulary distribution.
 
     Representation: each doc's shingle set becomes ONE sorted array of
     xxhash64 values — the global order IS the hash value, so the

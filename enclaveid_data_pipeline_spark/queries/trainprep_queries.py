@@ -132,10 +132,15 @@ def benchmark_contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame
     a 100 TB corpus), so the corpus side is a map-side hash probe —
     the only shuffle is the final per-doc count."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # Two-step projection: tokenize ONCE, then shingle the resolved
+    # column. Inlining tokenize() inside the shingle lambda makes
+    # Catalyst re-evaluate split() at every element reference
+    # (measured 9× slower at sf0.1).
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(word_shingles(tokenize(F.col("text")), 4))
+            F.array_distinct(word_shingles(F.col("t"), 4))
         ).alias("s"),
     )
     bench = sh.filter(F.col("doc_id") % 50 == 0)

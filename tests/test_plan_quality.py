@@ -102,6 +102,14 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
             "minhash_lsh_candidates",
             "ngram_jaccard_dups",
             "top1_neighbor_graph",
+            "train_val_test_split",
+            "chunk_docs_32x24",
+            "benchmark_contamination_4gram",
+            "source_mixture_counts",
+            "cross_split_leakage",
+            "ann_recall_at_5",
+            "length_filter_p5_p95",
+            "incremental_dedup_batch",
         )
     ]
     for name in relational:
@@ -123,3 +131,16 @@ def test_broadcast_hint_survives_in_ivf_assignment(spark, sf_dir):
 def test_exact_dedup_partial_aggregates(spark, sf_dir):
     plan = _plan(REGISTRY["exact_dedup_prefix80"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    plan = _plan(REGISTRY["benchmark_contamination_4gram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # benchmark n-grams never shuffle
+
+
+def test_split_and_mixture_have_no_exchange_before_agg(spark, sf_dir):
+    # Split assignment and the mixture gate are row-local: the ONLY
+    # Exchange in each plan is the final summary aggregation's.
+    for name in ("train_val_test_split", "source_mixture_counts"):
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert plan.count("Exchange") <= 2, name  # partial→final agg only
