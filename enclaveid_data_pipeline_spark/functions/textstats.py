@@ -89,3 +89,15 @@ def fingerprint(shingles: Column) -> Column:
     md5(shingle) — robust to local edits outside the minimizing
     window; NULL for docs with no shingle."""
     return F.array_min(F.transform(shingles, F.md5))
+
+
+def repetition_ratio(shingles: Column) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the SAME document — the Gopher/DCLM-style intra-doc
+    repetition rule (templated or looping text scores high). 0 when
+    every n-gram is unique; row-local, no shuffle."""
+    total = F.size(shingles)
+    distinct = F.size(F.array_distinct(shingles))
+    return F.when(total > 0, (total - distinct).cast("double") / total).otherwise(
+        F.lit(0.0)
+    )

@@ -712,3 +712,40 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new_bands, corpus_bands).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "repetition_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(2)} AS s FROM toks
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(s) > 0
+                 THEN (len(s) - len(list_distinct(s)))::DOUBLE / len(s)
+                 ELSE 0.0 END, 6) AS rep_ratio
+    FROM sh
+    ORDER BY rep_ratio DESC, doc_id
+    LIMIT 50
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/DCLM quality rule): fraction
+    of 2-gram occurrences that repeat an earlier 2-gram in the same
+    doc — templated/looping text scores high. Row-local expression;
+    the only cross-row work is the global top-50, which plans as
+    TakeOrderedAndProject (no full sort)."""
+    from ..functions.textstats import repetition_ratio
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select("doc_id", word_shingles(F.col("t"), 2).alias("s"))
+    return (
+        sh.select(
+            "doc_id", F.round(repetition_ratio(F.col("s")), 6).alias("rep_ratio")
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(50)
+    )
