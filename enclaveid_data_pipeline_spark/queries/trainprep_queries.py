@@ -343,3 +343,37 @@ def length_filter_p5_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("hi"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "token_budget_by_split_source",
+    oracle=f"""
+    WITH b AS (
+        SELECT source, len(string_split(text, ' ')) AS n_tok,
+               {_DUCK_SPLIT} AS split
+        FROM documents
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM b
+    GROUP BY split, source
+    """,
+)
+def token_budget_by_split_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning table: document and token counts per
+    (split, source) cell — the input to mixture-weight design (how
+    many tokens each source can contribute to each split before
+    repetition). Row-local split + one partial-aggregated groupBy;
+    at 100 TB this is the query that runs after every ingest batch,
+    so it must stay one-shuffle, and does."""
+    docs = read_table(spark, sf_dir, "documents")
+    split = with_split(docs, key=F.col("doc_id"))
+    return (
+        split.withColumn("n_tok", F.size(tokenize(F.col("text"))))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
