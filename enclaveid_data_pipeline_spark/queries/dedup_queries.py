@@ -33,7 +33,7 @@ from ..operators.dedup import (
     lsh_band_table,
     minhash_bands,
     minhash_lsh_pairs,
-    simhash16,
+    simhash16_grouped,
     tokenize,
     word_shingles,
 )
@@ -206,10 +206,11 @@ def _duck_simhash_bits() -> str:
 )
 def simhash_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (bitwise token-majority signature;
-    equal signatures ≈ near-duplicates, Hamming bands for radius>0)."""
+    equal signatures ≈ near-duplicates, Hamming bands for radius>0).
+    Explode→groupBy codegen shape (operators.dedup.simhash16_grouped)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("t"))
-    return toks.select("doc_id", "lang", simhash16(F.col("t")).alias("simhash"))
+    return simhash16_grouped(toks, F.col("t"), id_cols=["doc_id", "lang"])
 
 
 @register(
@@ -653,7 +654,7 @@ def simhash_hamming_pairs_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    signed = toks.select("doc_id", simhash16(F.col("t")).alias("simhash"))
+    signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
     from ..operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(

@@ -58,9 +58,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -110,7 +112,8 @@ def main() -> int:
             print(f"ok    {name}: {len(spark_pdf)} rows match "
                   f"({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{attempted - len(failures)}/{attempted} passed"
+          + (f" ({len(qs) - attempted} not attempted)" if attempted < len(qs) else ""))
     return 1 if failures else 0
 
 

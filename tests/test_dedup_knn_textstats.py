@@ -13,6 +13,7 @@ from enclaveid_data_pipeline_spark.operators.dedup import (
     jaccard_similarity_pairs,
     minhash_lsh_pairs,
     simhash16,
+    simhash16_grouped,
     tokenize,
     word_shingles,
 )
@@ -90,6 +91,29 @@ def test_simhash_duplicates_equal(spark):
     assert sh[1] == sh[4]
     assert 0 <= sh[1] < (1 << 16)
     assert sh[1] != sh[3]
+
+
+def test_simhash_grouped_matches_column_form(spark):
+    """The codegen (explode→groupBy) form and the Column reference
+    form must produce identical signatures — incl. the empty-token
+    edge (doc 5 tokenizes to 2 tokens; add a null-text doc too)."""
+    docs = _docs(spark).union(
+        spark.createDataFrame([(6, None)], "doc_id long, text string")
+    )
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    ref = {
+        r.doc_id: r.sh
+        for r in toks.select(
+            "doc_id", simhash16(F.col("t")).alias("sh")
+        ).collect()
+    }
+    grouped = {
+        r.doc_id: r.simhash
+        for r in simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"]).collect()
+    }
+    assert set(grouped) == set(ref)
+    for d in ref:
+        assert grouped[d] == (ref[d] if ref[d] is not None else 0), d
 
 
 def _vecs(spark):
