@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize as _materialize
+
 
 def tokenize(text: Column) -> Column:
     """Whitespace tokenization (documents corpus is single-spaced)."""
@@ -263,7 +265,10 @@ def lsh_band_table(banded: DataFrame, id_col: str = "id") -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    banded: DataFrame, id_col: str, bands_col: str = "bands"
+    banded: DataFrame,
+    id_col: str,
+    bands_col: str = "bands",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Distinct id pairs (left < right) sharing at least one band
     bucket — the scale-path replacement for the all-pairs theta join.
@@ -272,19 +277,20 @@ def lsh_candidate_pairs(
     from the signature lineage, and a single equi-join on (band_idx,
     band_key) replaces per-band joins (which recompute the signature
     lineage 2×bands times — measured 38s → 4s at sf0.1). The keyed
-    frame is then localCheckpoint-ed so the self-join's two sides read
-    the materialized rows instead of re-running the signature subtree
-    (a further 1.1s → 0.8s one-shot at sf0.1) — the in-session analog
-    of writing the signature table out at 100 TB. Uniform md5 keys →
-    no skew.
+    frame is then materialized (``materialize=`` — see
+    ``materialize.py``; default localCheckpoint, ``reliable``/
+    ``table`` for fault-tolerant cluster runs) so the self-join's two
+    sides read the materialized rows instead of re-running the
+    signature subtree (a further 1.1s → 0.8s one-shot at sf0.1) — the
+    in-session analog of writing the signature table out at 100 TB.
+    Uniform md5 keys → no skew.
     """
-    keyed = (
+    keyed = _materialize(
         banded.select(
             F.col(id_col).alias("id"),
             F.posexplode(F.col(bands_col)).alias("band_idx", "band_key"),
-        )
-        .filter(F.col("band_key").isNotNull())
-        .localCheckpoint()
+        ).filter(F.col("band_key").isNotNull()),
+        materialize,
     )
     a = keyed.select("band_idx", "band_key", F.col("id").alias("left_id"))
     b = keyed.select("band_idx", "band_key", F.col("id").alias("right_id"))
@@ -376,6 +382,7 @@ def jaccard_similarity_pairs(
     id_col: str,
     shingles: Column,
     threshold: float = 0.8,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all intersecting pairs.
 
@@ -387,10 +394,13 @@ def jaccard_similarity_pairs(
     """
     # the exploded shingle frame feeds both join sides + the size agg:
     # materialize it once (in-session analog of a stored shingle table)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles)).alias("s"),
-    ).localCheckpoint()
+    sh = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles)).alias("s"),
+        ),
+        materialize,
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("s"), F.col("id").alias("left_id"))
     b = sh.select(F.col("s"), F.col("id").alias("right_id"))
@@ -423,6 +433,7 @@ def prefix_filtered_jaccard_pairs(
     id_col: str,
     shingles: Column,
     threshold: float = 0.8,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs via PPJoin-style prefix
     filtering (Xiao et al., WWW'08) — the scale path for
@@ -458,9 +469,9 @@ def prefix_filtered_jaccard_pairs(
     Verification joins candidates (bare id pairs) back to the hash
     arrays — array payloads ride only |candidates| rows, never the
     prefix-explode shuffle. ``base``/``pref`` feed multiple consumers
-    and are localCheckpoint-ed (the in-session analog of writing the
-    signature table out; without it the shingle lineage recomputes
-    4×).
+    and are materialized (``materialize=`` — default localCheckpoint;
+    ``reliable``/``table`` for fault tolerance on clusters; without a
+    boundary the shingle lineage recomputes 4×).
 
     At test SF the quadratic form is still faster in wall-clock (its
     per-pair work is one counted join row; overheads here are two
@@ -468,7 +479,7 @@ def prefix_filtered_jaccard_pairs(
     scale with true near-dup density instead of shared-shingle pair
     count, which is what matters at 100 TB.
     """
-    base = (
+    base = _materialize(
         df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
         .select(
             "id",
@@ -477,14 +488,14 @@ def prefix_filtered_jaccard_pairs(
             ).alias("hsh"),
         )
         .withColumn("n", F.size("hsh"))
-        .filter(F.col("n") > 0)
-        .localCheckpoint()
+        .filter(F.col("n") > 0),
+        materialize,
     )
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
-    pref = (
+    pref = _materialize(
         base.withColumn("plen", prefix_len)
-        .select("id", F.explode(F.expr("slice(hsh, 1, plen)")).alias("h"))
-        .localCheckpoint()
+        .select("id", F.explode(F.expr("slice(hsh, 1, plen)")).alias("h")),
+        materialize,
     )
     cand = (
         pref.select("h", F.col("id").alias("left_id"))

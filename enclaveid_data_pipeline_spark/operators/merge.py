@@ -24,18 +24,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize as _materialize
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Label each node with the MIN node id of its component.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Returns ``(node, component)``. Nodes appear iff they appear in an
     edge — union isolated nodes in upstream if needed.
+
+    ``materialize`` picks the per-round lineage-cut strategy (see
+    ``materialize.py``): default localCheckpoint for single-JVM runs;
+    ``reliable``/``table`` make every round durable so an executor
+    loss mid-iteration recovers instead of failing the job — the
+    cluster setting for corpus-scale components.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -51,7 +60,7 @@ def connected_components(
             F.least(F.col("a"), F.col("mn")).alias("label"),
         )
     )
-    sym = sym.localCheckpoint()
+    sym = _materialize(sym, materialize)
 
     for _ in range(max_iterations):
         # neighbor minimum
@@ -86,7 +95,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        new_labels = _materialize(new_labels, materialize)  # cut lineage per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")

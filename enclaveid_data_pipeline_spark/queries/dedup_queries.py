@@ -37,6 +37,7 @@ from ..operators.dedup import (
     tokenize,
     word_shingles,
 )
+from ..materialize import materialize as _materialize
 from ..operators.knn import brute_force_topk, ivf_topk, lsh_bucketed_topk
 from ..sources.readers import read_table
 from .registry import register
@@ -607,10 +608,12 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         rows_per_band=_ROWS_PER_BAND,
     )
-    sh = toks.select(
-        F.col("doc_id"),
-        F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
-    ).localCheckpoint()
+    sh = _materialize(
+        toks.select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+        )
+    )
     la = sh.select(
         F.col("doc_id").alias("left_id"), F.col("s").alias("__sa")
     )

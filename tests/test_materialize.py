@@ -1,0 +1,105 @@
+"""Materialization boundary (materialize.py): every mode must (a)
+preserve rows exactly, (b) actually cut lineage (the returned plan
+reads materialized data, not the producing subtree), and operators
+that accept ``materialize=`` must give identical results under the
+durable modes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.materialize import (
+    MODES,
+    materialize,
+    resolve_mode,
+)
+from enclaveid_data_pipeline_spark.operators.dedup import (
+    jaccard_similarity_pairs,
+    lsh_candidate_pairs,
+    prefix_filtered_jaccard_pairs,
+    tokenize,
+    word_shingles,
+)
+from enclaveid_data_pipeline_spark.operators.merge import connected_components
+
+
+def _base(spark):
+    return spark.range(100).select(
+        "id", (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_resolve_mode_precedence(monkeypatch):
+    assert resolve_mode("table") == "table"
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    assert resolve_mode(None) == "reliable"
+    assert resolve_mode("none") == "none"  # explicit beats env
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE")
+    assert resolve_mode(None) == "local"
+    with pytest.raises(ValueError):
+        resolve_mode("bogus")
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_rows_preserved_and_lineage_cut(spark, mode, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    df = _base(spark)
+    out = materialize(df, mode)
+    assert sorted(out.collect()) == sorted(df.collect())
+    plan = _optimized_plan(out)
+    if mode == "none":
+        assert "Range" in plan  # untouched lazy plan
+    elif mode == "table":
+        # plan is a parquet scan of the scratch table, source gone
+        assert "Range" not in plan and "parquet" in plan.lower()
+        assert any(p.startswith("mat-") for p in os.listdir(tmp_path))
+    else:
+        # checkpoint forms surface as a scan over materialized rows
+        assert "Range" not in plan
+    if mode == "reliable":
+        # reliable checkpoint auto-set a durable dir and wrote to it
+        ckpt = os.path.join(str(tmp_path), "_checkpoints")
+        assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+
+@pytest.mark.parametrize("mode", ["reliable", "table"])
+def test_durable_modes_match_default_results(spark, mode, tmp_path, monkeypatch):
+    """The durable boundaries are drop-in: same candidate pairs, same
+    Jaccard output, same components as the localCheckpoint default."""
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "entirely different words in this one here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(tokenize(F.col("text")), 3)
+    for fn in (jaccard_similarity_pairs, prefix_filtered_jaccard_pairs):
+        ref = sorted(fn(docs, "doc_id", sh, threshold=0.5).collect())
+        got = sorted(fn(docs, "doc_id", sh, threshold=0.5, materialize=mode).collect())
+        assert got == ref, fn.__name__
+
+    banded = docs.select(
+        "doc_id",
+        F.array(F.md5("text"), F.substring(F.md5("text"), 1, 8)).alias("bands"),
+    )
+    ref = sorted(lsh_candidate_pairs(banded, "doc_id").collect())
+    got = sorted(lsh_candidate_pairs(banded, "doc_id", materialize=mode).collect())
+    assert got == ref
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long"
+    )
+    ref = sorted(connected_components(edges).collect())
+    got = sorted(connected_components(edges, materialize=mode).collect())
+    assert got == ref
