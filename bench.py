@@ -11,6 +11,16 @@ JSON line::
 Each query is timed to full materialization (count of a cached-free
 plan — results are consumed, not collected to the driver). Session
 startup is excluded; a warmup no-op JVM action runs first.
+
+Scale decade: if the 10× fixture exists (``testdata_scaled/sf1``,
+built by ``scripts/make_scale_fixture.py`` — deterministic key-offset
+replication of the driver's sf0.1), the same suite plus the scale-path
+twins (PPJoin, banded merge) re-runs at sf1 and a ``scale`` object is
+added to the SAME JSON line with per-query sf1 times and sf1/sf0.1
+ratios. Data grows 10×; a ratio ≲ 10 is at-worst-linear (sub-linear
+ratios reflect fixed per-query overhead amortizing). Set
+``SPARK_GRAFT_SKIP_SF1=1`` to skip. ``value`` stays the sf0.1 headline
+total, comparable across rounds.
 """
 
 from __future__ import annotations
@@ -49,6 +59,45 @@ HEADLINE = (
 )
 
 
+#: Scale-path / fixed-workload twins of headline queries, used for
+#: the sf1 decade check. The swapped-out headline forms either have a
+#: documented scale path (exact Jaccard → PPJoin, full merge →
+#: banded) or couple workload size to corpus size (proportional
+#: query/centroid/benchmark samples — ANY algorithm goes quadratic
+#: per decade when 10× more queries each scan 10× more data; the
+#: twins fix the workload, which is the production model).
+SCALE_TWINS = (
+    "ppjoin_jaccard_dups",
+    "session_merge_banded",
+    "knn_bruteforce_fixedq",
+    "knn_ivf_fixedcent",
+    "contamination_fixed_benchmark",
+)
+
+#: Headline queries whose sf1 twin replaces them in the decade suite.
+SF1_SWAP_OUT = (
+    "ngram_jaccard_dups",
+    "knn_bruteforce_top5",
+    "knn_ivf_top5",
+    "benchmark_contamination_4gram",
+)
+
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "testdata_scaled", "sf1"
+)
+
+
+def _run_suite(spark, names, sf_dir: str, tag: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"# [{tag}] {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -61,27 +110,52 @@ def main() -> int:
         10_000
     ).selectExpr("sum(l_quantity)").collect()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
-
+    per_query = _run_suite(spark, HEADLINE, sf_dir, f"sf{sf}")
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+
+    result = {
+        "metric": "headline_suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+
+    run_sf1 = (
+        os.path.isdir(SF1_DIR)
+        and not os.environ.get("SPARK_GRAFT_SKIP_SF1")
+        and abs(sf - 0.1) < 1e-9
     )
+    if run_sf1:
+        base_twins = _run_suite(spark, SCALE_TWINS, sf_dir, f"sf{sf}")
+        suite = tuple(n for n in HEADLINE if n not in SF1_SWAP_OUT) + SCALE_TWINS
+        sf1_query = _run_suite(spark, suite, SF1_DIR, "sf1")
+        base = {**per_query, **base_twins}
+        ratios = {
+            n: round(sf1_query[n] / base[n], 2) if base[n] > 0 else None
+            for n in suite
+        }
+        result["scale"] = {
+            "sf1_dir": SF1_DIR,
+            "data_ratio": 10.0,
+            "swapped_for_twins": dict(
+                zip(
+                    SF1_SWAP_OUT,
+                    (
+                        "ppjoin_jaccard_dups",
+                        "knn_bruteforce_fixedq",
+                        "knn_ivf_fixedcent",
+                        "contamination_fixed_benchmark",
+                    ),
+                )
+            ),
+            "sf0.1_twins": base_twins,
+            "sf1_queries": sf1_query,
+            "sf1_total": round(sum(sf1_query.values()), 3),
+            "time_ratio_sf1_vs_sf0.1": ratios,
+        }
+
+    print(json.dumps(result))
     return 0
 
 

@@ -510,6 +510,103 @@ def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-workload ANN twins: the `_top5` forms sample queries (and
+# centroids) PROPORTIONALLY to the corpus (vec_id % k), which couples
+# workload size to corpus size — total work grows ~quadratically per
+# data decade no matter the algorithm (10× queries × 10× corpus).
+# Production ANN serves a query RATE independent of corpus size and
+# picks the centroid count as a tuning knob, so the decade-scaling
+# measurement (bench.py sf1 suite) uses these fixed-workload twins:
+# bounded query/centroid sets → per-decade cost is linear in corpus.
+# At sf ≤ 0.1 every vec_id < 2000, so the bound is inactive and the
+# sf0.01 oracle checks the exact same semantics.
+
+
+@register(
+    "knn_bruteforce_fixedq",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM q JOIN embeddings c ON c.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 with a FIXED query set (40 queries at
+    any sf ≥ 0.1): the full-scan cost per query is the honest O(n)
+    baseline; total work scales linearly with the corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@register(
+    "knn_ivf_fixedcent",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1 AND vec_id < 2000
+    ), sims AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), ranked_assign AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM sims
+    ), cells AS (
+        SELECT vec_id, embedding, cent_id FROM ranked_assign WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cent_id
+        FROM ranked_assign
+        WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), pairs AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('p.qe', 'c.embedding')}, 6) AS sim,
+               c.cent_id
+        FROM probes p JOIN cells c
+          ON c.cent_id = p.cent_id AND c.vec_id != p.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim, cent_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank,
+           CAST(cent_id AS BIGINT) AS cell
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_ivf_fixedcent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with FIXED query and centroid sets: assignment is
+    |corpus| × |centroids| (linear in corpus for a fixed centroid
+    budget), probes read nprobe cells. Centroid count is the
+    speed/recall knob you raise deliberately — not something that
+    silently grows with the corpus and quadratics the assignment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    centroids = emb.filter((F.col("vec_id") % 40 == 1) & (F.col("vec_id") < 2000))
+    return ivf_topk(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding",
+        k=5, nprobe=2,
+    )
+
+
 @register(
     "ppjoin_jaccard_dups",
     oracle=f"""

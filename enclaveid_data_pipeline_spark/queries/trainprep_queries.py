@@ -151,6 +151,43 @@ def benchmark_contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "contamination_fixed_benchmark",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES4})) AS s
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0 AND doc_id < 5000
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN bench b ON a.s = b.s
+    WHERE a.doc_id % 50 <> 0 OR a.doc_id >= 5000
+    GROUP BY a.doc_id
+    """,
+)
+def contamination_fixed_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decade-scaling twin of ``benchmark_contamination_4gram`` with a
+    FIXED benchmark set (docs 0,50,…,4950 at any sf ≥ 0.1 — inactive
+    bound below that, so the sf0.01 oracle checks identical
+    semantics). Real benchmark suites are a constant ~10^5 n-grams no
+    matter how big the training corpus gets, so the broadcast build
+    side stays constant and the per-decade cost is one linear pass
+    over the corpus probe side."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), 4))).alias("s"),
+    )
+    is_bench = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000)
+    return contaminated_docs(sh.filter(~is_bench), sh.filter(is_bench)).withColumn(
+        "n_shared", F.col("n_shared").cast("long")
+    )
+
+
+@register(
     "source_mixture_counts",
     oracle=f"""
     SELECT source,
