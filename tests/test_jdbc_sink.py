@@ -1,0 +1,77 @@
+"""S5 JDBC partition-upsert sink, end-to-end against embedded Derby
+(the JDBC database Spark ships with): replaying one partition's batch
+replaces exactly that partition, other partitions survive untouched —
+the reference's delete-then-insert contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from enclaveid_data_pipeline_spark.sources.jdbc import (
+    delete_partition_sql,
+    read_jdbc_table,
+    write_jdbc_partition_upsert,
+)
+
+URL = "jdbc:derby:memory:upsertdb;create=true"
+
+
+def test_delete_sql_is_parameterized_and_guarded():
+    assert (
+        delete_partition_sql("sessions", "user_id")
+        == 'DELETE FROM sessions WHERE "user_id" = ?'
+    )
+    with pytest.raises(ValueError, match="unsafe"):
+        delete_partition_sql("t; DROP TABLE x", "user_id")
+    with pytest.raises(ValueError, match="unsafe"):
+        delete_partition_sql("t", 'user" OR 1=1')
+
+
+def test_partition_upsert_replaces_only_replayed_partitions(spark):
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 11.0), (2, "c", 20.0)],
+        "user_id long, item string, score double",
+    )
+    keys = write_jdbc_partition_upsert(batch1, URL, "sessions")
+    assert sorted(keys) == [1, 2]
+
+    # replay user 2 with different content + a brand-new user 3
+    batch2 = spark.createDataFrame(
+        [(2, "c2", 21.0), (3, "d", 30.0)],
+        "user_id long, item string, score double",
+    )
+    keys = write_jdbc_partition_upsert(batch2, URL, "sessions")
+    assert sorted(keys) == [2, 3]
+
+    rows = sorted(
+        (r.user_id, r.item, r.score)
+        for r in read_jdbc_table(spark, URL, "sessions").collect()
+    )
+    # user 1 intact from batch1; user 2 ONLY batch2 rows; user 3 new
+    assert rows == [
+        (1, "a", 10.0),
+        (1, "b", 11.0),
+        (2, "c2", 21.0),
+        (3, "d", 30.0),
+    ]
+
+    # idempotency: exact replay changes nothing
+    write_jdbc_partition_upsert(batch2, URL, "sessions")
+    again = sorted(
+        (r.user_id, r.item, r.score)
+        for r in read_jdbc_table(spark, URL, "sessions").collect()
+    )
+    assert again == rows
+
+
+def test_parallel_range_read(spark):
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(40)], "user_id long, name string"
+    )
+    write_jdbc_partition_upsert(df, URL, "users_tbl")
+    out = read_jdbc_table(
+        spark, URL, "users_tbl", partition_col="user_id",
+        num_partitions=4, lower_bound=0, upper_bound=40,
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 40
