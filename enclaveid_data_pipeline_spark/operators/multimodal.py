@@ -2,11 +2,18 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
-partition sizing, mapInPandas signatures — is real and tested; the
-codec step is STUBBED (this container has no image/audio libraries):
-``decode_stub=True`` produces a deterministic fake decode from the
-bytes' md5, and ``decode_stub=False`` raises NotImplementedError at
-the point where Pillow/ffmpeg would be invoked on the worker.
+partition sizing, mapInPandas signatures — is real and tested. The
+codec step has two branches:
+
+- ``decode_stub=True`` (default; what the oracle queries replay):
+  deterministic fake decode from the bytes' md5.
+- ``decode_stub=False``: REAL decode via :func:`decode_payload` —
+  WAV through the stdlib ``wave`` module, uncompressed 24-bit BMP
+  through pure ``struct`` parsing, any other image through Pillow
+  when importable (import-guarded with a clear error naming the
+  missing codec otherwise). Both real paths are round-trip tested on
+  genuine payloads; video frame decode still requires an external
+  codec (pyav/ffmpeg) and raises until one is present.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of
@@ -18,6 +25,9 @@ the parquet scan (they do: Spark columnar pruning).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -67,25 +77,121 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _decode_wav(payload: bytes) -> list[float]:
+    """Stdlib WAV decode → [n_channels, sample_rate, n_frames,
+    duration_ms, peak_amplitude] (16-bit PCM peak; 0.0 for other
+    sample widths — good enough for a quality filter feature)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, rate, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        frames = w.readframes(n_frames)
+    peak = 0.0
+    if width == 2 and frames:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        peak = max(abs(s) for s in samples) / 32768.0
+    return [
+        float(n_ch),
+        float(rate),
+        float(n_frames),
+        1000.0 * n_frames / rate if rate else 0.0,
+        peak,
+    ]
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Pure-struct decode of an uncompressed 24-bit BMP →
+    [width, height, mean_blue, mean_green, mean_red]."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"builtin BMP decoder handles uncompressed 24-bit only "
+            f"(got {bpp}bpp compression={comp}); install Pillow"
+        )
+    height_abs = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    sums = [0, 0, 0]
+    for r in range(height_abs):
+        base = data_off + r * row_stride
+        for c in range(width):
+            px = base + c * 3
+            sums[0] += payload[px]
+            sums[1] += payload[px + 1]
+            sums[2] += payload[px + 2]
+    n = max(width * height_abs, 1)
+    return [float(width), float(height_abs)] + [s / n for s in sums]
+
+
+def _decode_image_pil(payload: bytes) -> list[float]:
+    """Pillow fallback for non-BMP images (import-guarded)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "decoding this image format requires Pillow on executors "
+            "(builtin decoder covers uncompressed 24-bit BMP only)"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    px = list(img.getdata())
+    n = max(len(px), 1)
+    means = [sum(p[i] for p in px) / n for i in range(3)]
+    return [float(img.width), float(img.height)] + means
+
+
+def decode_payload(modality: str, payload: bytes) -> list[float]:
+    """Real decode dispatch: modality + magic bytes → feature vector.
+
+    Raises NotImplementedError naming the missing codec for formats
+    beyond the builtin decoders — at the batch boundary on the
+    worker, so a misconfigured cluster fails with an actionable
+    message instead of garbage features.
+    """
+    if modality == "audio":
+        if payload[:4] == b"RIFF":
+            return _decode_wav(payload)
+        raise NotImplementedError(
+            "builtin audio decoder handles WAV/RIFF only; install "
+            "librosa/soundfile for compressed audio"
+        )
+    if modality == "image":
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        return _decode_image_pil(payload)
+    raise NotImplementedError(
+        f"no builtin decoder for modality {modality!r}; video frame "
+        "decode requires pyav/ffmpeg on executors"
+    )
+
+
 def extract_features(
     assets: DataFrame, dim: int = 8, decode_stub: bool = True
 ) -> DataFrame:
     """Decode + feature-extract over binary content via mapInPandas.
 
-    Real pipeline: replace the stub branch with the actual codec
-    (PIL.Image.open/librosa/pyav) — the operator contract (Arrow
-    batch in, fixed feature schema out, executor-side import) is
-    already the production shape.
+    ``decode_stub=True`` (oracle path) derives the feature from the
+    payload md5; ``decode_stub=False`` runs :func:`decode_payload` —
+    real WAV/BMP decoding builtin, Pillow import-guarded for other
+    images. The operator contract (Arrow batch in, fixed feature
+    schema out, executor-side codec work) is identical either way;
+    the real path's feature is the decoder's (truncated/zero-padded
+    to ``dim`` so the output schema is decode-mode-independent).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires image/audio codecs not present "
-                    "in this environment; use decode_stub=True"
-                )
             payloads = [bytes(b) if b is not None else b"" for b in pdf["content"]]
+            if decode_stub:
+                feats = [_fake_feature(b, dim) for b in payloads]
+            else:
+                feats = []
+                for m, b in zip(pdf["modality"], payloads):
+                    f = decode_payload(m, b)[:dim]
+                    feats.append(f + [0.0] * (dim - len(f)))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -94,7 +200,7 @@ def extract_features(
                     "content_md5": [
                         hashlib.md5(b).hexdigest() for b in payloads
                     ],
-                    "feature": [_fake_feature(b, dim) for b in payloads],
+                    "feature": feats,
                 }
             )
 

@@ -126,12 +126,85 @@ def test_multimodal_features_and_frames(spark, sf_dir):
         assert len(rows) == expected
 
 
-def test_extract_features_stub_off_raises(spark, sf_dir):
+def test_extract_features_stub_off_needs_codec(spark, sf_dir):
+    """Non-decodable payloads (text bytes posing as image/video) fail
+    loudly naming the missing codec instead of yielding garbage."""
     from enclaveid_data_pipeline_spark.sources.readers import read_table
 
     docs = read_table(spark, sf_dir, "documents").limit(1)
-    assets = synthetic_assets(spark, docs)
+    assets = synthetic_assets(spark, docs)  # doc 0 → "image" of utf-8 text
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|real decode"):
+    with _pytest.raises(Exception, match="NotImplementedError|Pillow"):
         extract_features(assets, decode_stub=False).collect()
+
+
+def _tiny_wav(freq_frames: int = 8000, rate: int = 16000, peak: int = 12000) -> bytes:
+    """A genuine 16-bit mono PCM WAV: a square-ish ramp peaking at
+    ``peak``, built with the same stdlib module the decoder uses."""
+    import io
+    import struct
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [int(peak * (i % 100) / 100) for i in range(freq_frames)]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _tiny_bmp(width: int = 3, height: int = 2, bgr=(10, 200, 30)) -> bytes:
+    """A genuine uncompressed 24-bit BMP, hand-packed."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = b""
+    for _ in range(height):
+        row = bytes(bgr) * width
+        rows += row + b"\x00" * (row_stride - len(row))
+    return header + info + rows
+
+
+def test_real_decode_wav_and_bmp(spark):
+    """decode_stub=False round-trips genuine WAV and BMP payloads
+    through the Spark operator: decoded dimensions/amplitudes come
+    back exactly."""
+    wav, bmp = _tiny_wav(), _tiny_bmp()
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav), "audio/wav", (None, None, None)),
+            (2, "image", bytearray(bmp), "image/bmp", (3, 2, None)),
+        ],
+        schema="asset_id long, modality string, content binary, "
+        "mime_type string, meta struct<width:int,height:int,duration_ms:bigint>",
+    )
+    rows = {r.asset_id: r for r in extract_features(assets, dim=5, decode_stub=False).collect()}
+    # WAV: [n_channels, rate, n_frames, duration_ms, peak]
+    a = rows[1].feature
+    assert a[0] == 1.0 and a[1] == 16000.0 and a[2] == 8000.0
+    assert a[3] == 500.0  # 8000 frames @ 16 kHz
+    assert abs(a[4] - (12000 * 99 // 100) / 32768.0) < 1e-9
+    # BMP: [width, height, mean_b, mean_g, mean_r] — constant color
+    i = rows[2].feature
+    assert i == [3.0, 2.0, 10.0, 200.0, 30.0]
+
+
+def test_decode_payload_unit_paths():
+    """Driver-side unit coverage of the dispatch: magic-byte routing,
+    Pillow guard, unsupported modality."""
+    from enclaveid_data_pipeline_spark.operators.multimodal import decode_payload
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="WAV/RIFF"):
+        decode_payload("audio", b"\xff\xf1not-riff")
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_payload("image", b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+        decode_payload("video", b"anything")
