@@ -69,6 +69,7 @@ HEADLINE = (
 SCALE_TWINS = (
     "ppjoin_jaccard_dups",
     "session_merge_banded",
+    "skewed_merge_banded_hotkey",
     "knn_bruteforce_fixedq",
     "knn_ivf_fixedcent",
     "contamination_fixed_benchmark",

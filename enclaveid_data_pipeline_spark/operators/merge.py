@@ -33,6 +33,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     materialize: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node with the MIN node id of its component.
 
@@ -45,6 +46,10 @@ def connected_components(
     ``reliable``/``table`` make every round durable so an executor
     loss mid-iteration recovers instead of failing the job — the
     cluster setting for corpus-scale components.
+
+    ``stats`` (optional dict) receives ``{"rounds": r}`` — the number
+    of propagation rounds actually run, pinned ≲ log₂(diameter)+2 by
+    the stress test so convergence-rate regressions fail CI.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -62,7 +67,9 @@ def connected_components(
     )
     sym = _materialize(sym, materialize)
 
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # neighbor minimum
         nbr = (
             sym.join(labels, sym.a == labels.node)
@@ -106,6 +113,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -424,3 +424,83 @@ def session_merge_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vec_id").alias("span_end"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@register(
+    "skewed_merge_banded_hotkey",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding,
+               CASE WHEN vec_id % 2 = 0 THEN -1 ELSE label END AS label
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst
+        FROM emb a
+        JOIN emb b
+          ON a.label = b.label
+         AND b.vec_id > a.vec_id
+         AND b.vec_id - a.vec_id <= 3
+        WHERE round({_DUCK_COS}, 6) >= 0.2
+    ), sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), recursive_reach AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT * FROM reach
+    ), cc AS (
+        SELECT node, min(root) AS component FROM recursive_reach GROUP BY node
+    ), labeled AS (
+        SELECT e.label, e.vec_id,
+               coalesce(cc.component, e.vec_id) AS component
+        FROM emb e LEFT JOIN cc ON cc.node = e.vec_id
+    )
+    SELECT label,
+           CAST(component AS BIGINT) AS merged_id,
+           CAST(min(vec_id) AS BIGINT) AS span_start,
+           CAST(max(vec_id) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM labeled
+    GROUP BY label, component
+    """,
+)
+def skewed_merge_banded_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key stress twin of ``session_merge_banded``: every even
+    vec_id is remapped into ONE group (label -1), so half the corpus
+    shares a single merge key — the skew shape that breaks per-group
+    all-pairs plans. The banded path survives by construction: the
+    shuffle/join key is (label, band), so the hot group's candidates
+    spread across ~n/W band buckets instead of one task, and AQE
+    skew-join (on in session defaults) splits any residual fat
+    partition. Oracle replays the identical remap in SQL; the stress
+    suite additionally pins the band-key spread on a synthetic
+    hot-key fixture (tests/test_scale_stress.py)."""
+    from ..operators.similarity import banded_pairwise_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, F.lit(-1)).otherwise(F.col("label")),
+    )
+    pairs = banded_pairwise_similarity(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        group_cols=("label",),
+        band_width=3,
+    )
+    edges = pairs.filter(F.round("similarity", 6) >= 0.2).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    cc = connected_components(edges)
+    labeled = emb.join(cc, emb.vec_id == cc.node, "left").select(
+        "label",
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+    )
+    return labeled.groupBy("label", F.col("component").alias("merged_id")).agg(
+        F.min("vec_id").alias("span_start"),
+        F.max("vec_id").alias("span_end"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
