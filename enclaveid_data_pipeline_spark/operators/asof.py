@@ -32,14 +32,24 @@ def asof_join_union(
     union sorts right rows before left at equal timestamps).
 
     Output: all left columns + ``asof_<c>`` for each value column.
+
+    The right side rides as ONE struct column and the window carries
+    ``last(struct) IGNORE NULLS`` — all ``asof_*`` outputs come from
+    the SAME matched right row. (Per-column last-ignorenulls would
+    backfill a NULL field of the true match from an older right row,
+    diverging from pd.merge_asof / :func:`asof_join_pandas`, which
+    return the matched row's NULL.)
     """
     lcols = left.columns
+    struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     tagged_left = left.select(
         F.col(by),
         F.col(on),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols if c not in (by, on)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     tagged_right = right.select(
         F.col(by),
@@ -50,7 +60,7 @@ def asof_join_union(
             for c in lcols
             if c not in (by, on)
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -59,17 +69,14 @@ def asof_join_union(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__asof")
     )
     return (
         filled.filter(F.col("__side") == 1)
-        .drop("__side", *[f"__r_{c}" for c in value_cols])
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
     )
 
 

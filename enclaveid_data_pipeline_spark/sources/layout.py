@@ -79,13 +79,19 @@ def compact_to_file_size(
     long-running ingest at scale: listing cost, task-per-file
     scheduling, footer overhead). Returns the new file count.
 
-    Rewrites via a temp dir then swaps, so a crash mid-compaction
-    leaves either the old or the new layout, never a mix. With
-    ``sort_cols`` the rewrite also range-clusters (see cluster_by),
-    folding layout maintenance into the same pass. Per-partition
-    compaction at 100 TB: run this per partition directory, newest
-    partitions only (old ones are already compact).
+    Rewrites via a temp dir, then swaps with rename-aside: the old
+    layout moves to ``*.compact.old`` in one rename, the new one
+    renames into place, and only then is the old directory deleted.
+    The no-live-data window is a single rename (not an rmtree), and a
+    crash anywhere leaves a complete layout on disk — either live at
+    ``path`` or recoverable from ``.compact.old``/``.compact.tmp``.
+    With ``sort_cols`` the rewrite also range-clusters (see
+    cluster_by), folding layout maintenance into the same pass.
+    Per-partition compaction at 100 TB: run this per partition
+    directory, newest partitions only (old ones are already compact).
     """
+    import shutil
+
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -98,12 +104,13 @@ def compact_to_file_size(
         if sort_cols
         else df.coalesce(n_files)
     )
-    tmp = path.rstrip("/") + ".compact.tmp"
+    base = path.rstrip("/")
+    tmp, old = base + ".compact.tmp", base + ".compact.old"
     out.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
@@ -112,9 +119,20 @@ def compact_to_file_size(
 def drop_table(spark: SparkSession, table: str) -> None:
     """Drop a catalog table AND clear any orphaned warehouse
     directory (a prior session killed mid-write leaves files that
-    break the next ``saveAsTable``)."""
+    break the next ``saveAsTable``).
+
+    The warehouse path is derived the way Spark lays tables out:
+    identifiers are case-folded to lowercase directory names, and a
+    qualified ``db.table`` lives under ``<db>.db/<table>`` — naive
+    ``warehouse/<table>`` misses both and leaves the orphan behind.
+    """
     import shutil
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    parts = table.lower().split(".")
+    if len(parts) == 2:
+        rel = f"{parts[0]}.db/{parts[1]}"
+    else:
+        rel = parts[-1]
+    shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)

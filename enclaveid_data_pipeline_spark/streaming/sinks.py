@@ -3,13 +3,26 @@ batch writers.
 
 The built-in file sink can only append; the reference's semantics are
 partition REWRITE per user (delete-then-COPY,
-assets/recent_history.py:130-178). ``foreachBatch`` bridges the two:
-each micro-batch runs the same dynamic-partition-overwrite writer the
-batch engine uses, so a re-delivered micro-batch (restart without a
-committed checkpoint) overwrites its partitions instead of
-duplicating rows — upsert-by-partition exactly-once on top of
-at-least-once delivery, provided partition keys (not offsets) define
-the rewrite unit.
+assets/recent_history.py:130-178). ``foreachBatch`` bridges the two,
+with two explicit modes because a raw event stream and a
+batch-complete output need DIFFERENT rewrite units:
+
+- ``mode="merge"`` (default): the micro-batch is merged with the
+  partition's existing rows — existing rows whose ``merge_keys``
+  reappear in the batch are replaced, everything else survives. Safe
+  for raw event streams where one partition key (user) spans many
+  micro-batches: replays replace themselves (idempotent), earlier
+  batches' rows are never lost.
+- ``mode="rewrite"``: partition content becomes exactly this batch's
+  rows — the original dynamic-partition-overwrite behavior. Correct
+  ONLY when everything for a partition key arrives within one
+  micro-batch (e.g. a per-batch aggregate, or session-complete
+  emissions); on a raw event stream it silently drops earlier
+  batches' rows, which is why it is no longer the default.
+
+Restart semantics in both modes: a replayed batch produces the same
+partition content as the first delivery — upsert-by-partition
+exactly-once on top of at-least-once delivery.
 """
 
 from __future__ import annotations
@@ -17,8 +30,10 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..materialize import materialize as _materialize
 from ..sources.writers import write_partitioned
 
 
@@ -28,22 +43,64 @@ def partition_upsert_sink(
     partition_cols: tuple[str, ...] = ("user_id",),
     checkpoint_dir: str | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    mode: str = "merge",
+    merge_keys: tuple[str, ...] = ("event_id",),
 ) -> StreamingQuery:
-    """Write a stream to a partitioned parquet table where every
-    micro-batch REWRITES the partitions it touches (dynamic partition
-    overwrite) — the streaming continuation of S8's idempotent
-    per-user rewrite.
+    """Write a stream to a partitioned parquet table, micro-batch by
+    micro-batch (see module doc for the merge/rewrite contract).
 
     ``transform`` (optional) runs per micro-batch on the batch
     DataFrame — the place for per-batch aggregation or dedup that
-    must see the whole micro-batch. Restart semantics: a replayed
-    batch rewrites the same partitions to the same content
-    (idempotent), so duplicates cannot accumulate across failures.
+    must see the whole micro-batch (pair it with ``mode="rewrite"``
+    when the transform makes the batch partition-complete).
+
+    ``merge_keys`` is the row identity for ``mode="merge"`` — it must
+    be stable across redeliveries (an event id, not an offset). The
+    merge touches ONLY partitions present in the batch: untouched
+    partitions are neither read nor rewritten, so per-batch cost
+    tracks the batch's key set, not table size — at scale the
+    existing-rows read prunes to the touched partition directories.
     """
+    if mode not in ("merge", "rewrite"):
+        raise ValueError(f"mode must be 'merge' or 'rewrite', got {mode!r}")
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
+        if mode == "merge":
+            missing = [k for k in merge_keys if k not in batch_df.columns]
+            if missing:
+                raise ValueError(
+                    f"merge mode needs merge_keys {missing} in the batch "
+                    "frame; pass merge_keys=... or mode='rewrite' if each "
+                    "partition's rows always arrive in one batch"
+                )
+            spark = batch_df.sparkSession
+            cols = batch_df.columns
+            try:
+                existing = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 - first batch: no table yet
+                existing = None
+            if existing is not None:
+                touched = batch_df.select(*partition_cols).distinct()
+                keep = (
+                    existing.join(touched, list(partition_cols), "leftsemi")
+                    .join(
+                        batch_df.select(*merge_keys).distinct(),
+                        list(merge_keys),
+                        "left_anti",
+                    )
+                    .select(
+                        *[
+                            F.col(c).cast(batch_df.schema[c].dataType).alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+                # Cut lineage before writing: the merged plan reads the
+                # very files the overwrite replaces (Spark refuses
+                # overwrite-what-you-read, and lazily it would race).
+                batch_df = _materialize(batch_df.unionByName(keep), "local")
         write_partitioned(batch_df, path, partition_cols=partition_cols)
 
     w = stream_df.writeStream.foreachBatch(_write).outputMode("update")

@@ -59,6 +59,30 @@ def test_asof_pandas_matches_union(spark):
     assert a == b
 
 
+def test_asof_union_null_field_comes_from_matched_row(spark):
+    """When the true as-of right row has a NULL in one value column,
+    BOTH strategies must return that row's NULL — not backfill the
+    field from an older right row (the per-column last-ignorenulls
+    bug). Multi-column case pins that all asof_* fields come from the
+    same matched row."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(30))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 900, "old"), (1, t(20), None, "new")],
+        "user_id long, ts timestamp, err long, tag string",
+    )
+    for fn in (asof_join_union, asof_join_pandas):
+        rows = fn(
+            left, right, on="ts", by="user_id", value_cols=("err", "tag")
+        ).collect()
+        assert len(rows) == 1, fn.__name__
+        # matched row is t20: err is ITS null, tag is ITS value
+        assert rows[0].asof_err is None, fn.__name__
+        assert rows[0].asof_tag == "new", fn.__name__
+
+
 def test_asof_pandas_tolerance(spark):
     left, right = _frames(spark)
     out = {

@@ -78,7 +78,10 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_pa
         q.processAllAvailable()
     finally:
         q.stop()
-    got = spark.sql("SELECT * FROM stateful_sessions")
+    got_full = spark.sql("SELECT * FROM stateful_sessions")
+    # drops preserve per-user order → zero cross-batch late events
+    assert got_full.filter(F.col("n_late") != 0).count() == 0
+    got = got_full.drop("n_late")
 
     # Batch ground truth: same gap rule, drop each user's final
     # (still-open in the stream) session.
@@ -111,3 +114,138 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_pa
         & (F.col("session_end") >= F.timestamp_micros(F.lit(span_b_us)))
     )
     assert spanning.count() > 0
+
+
+def _drop_events(spark, tmp_path, stream_dir, name, rows):
+    """rows: (event_id, ts_us, user_id). Writes one stream file."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long"
+    ).select(
+        "event_id",
+        (F.col("ts_us") * 1000).alias("ts"),  # ns, like the corpus
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    staging = tmp_path / "staging" / name
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    import shutil
+
+    part = next(staging.glob("part-*.parquet"))
+    shutil.copy(part, stream_dir / f"events-{name}.parquet")
+
+
+def _read_stream(spark, stream_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+BASE_US = 1_700_000_000_000_000
+HOUR_US = 3_600_000_000
+
+
+def test_late_cross_batch_events_are_counted(spark, tmp_path):
+    """An event arriving in batch 2 with ts before the open session's
+    end is absorbed (same output as in-order arrival) but surfaces in
+    n_late — disorder is observable, not silent."""
+    stream_dir = tmp_path / "late_in"
+    stream_dir.mkdir()
+    _drop_events(
+        spark, tmp_path, stream_dir, "000",
+        [(1, BASE_US, 7, ), (2, BASE_US + 60_000_000, 7)],
+    )
+    q = None
+    try:
+        out = stateful_sessionize(_read_stream(spark, stream_dir), 1800.0)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("late_sessions").start()
+        )
+        q.processAllAvailable()
+        # batch 2: one LATE event (ts before session end) + a closer
+        # event > gap later that closes the session
+        _drop_events(
+            spark, tmp_path, stream_dir, "001",
+            [(3, BASE_US + 30_000_000, 7), (4, BASE_US + 3 * HOUR_US, 7)],
+        )
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+    rows = spark.sql("SELECT * FROM late_sessions").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 3 and r.n_late == 1
+    assert r.session_end.timestamp() * 1_000_000 == BASE_US + 60_000_000
+
+
+def test_late_policy_error_fails_query(spark, tmp_path):
+    stream_dir = tmp_path / "late_err_in"
+    stream_dir.mkdir()
+    _drop_events(spark, tmp_path, stream_dir, "000", [(1, BASE_US, 7)])
+    q = None
+    try:
+        out = stateful_sessionize(
+            _read_stream(spark, stream_dir), 1800.0, late_policy="error"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("late_err").start()
+        )
+        q.processAllAvailable()
+        _drop_events(
+            spark, tmp_path, stream_dir, "001",
+            [(2, BASE_US - 60_000_000, 7)],
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="late cross-batch event"):
+            q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+
+
+def test_watermark_flushes_trailing_open_session(spark, tmp_path):
+    """With watermark_delay, a quiet user's open session flushes once
+    the watermark passes end+gap — no session is stuck in state."""
+    stream_dir = tmp_path / "flush_in"
+    stream_dir.mkdir()
+    _drop_events(
+        spark, tmp_path, stream_dir, "000",
+        [(1, BASE_US, 7), (2, BASE_US + 60_000_000, 7)],
+    )
+    q = None
+    try:
+        out = stateful_sessionize(
+            _read_stream(spark, stream_dir), 1800.0,
+            watermark_delay="10 minutes",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("flush_sessions").start()
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM flush_sessions").count() == 0
+        # a much-later event for ANOTHER user advances the watermark
+        # past user 7's end+gap → 7's open session must flush
+        _drop_events(
+            spark, tmp_path, stream_dir, "001",
+            [(3, BASE_US + 6 * HOUR_US, 9)],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # allow the no-data timeout batch
+        rows = spark.sql(
+            "SELECT * FROM flush_sessions WHERE user_id = 7"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].n_events == 2 and rows[0].n_late == 0
+    finally:
+        if q is not None:
+            q.stop()

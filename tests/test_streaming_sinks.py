@@ -1,10 +1,13 @@
-"""foreachBatch partition-upsert sink: replayed data rewrites its
-partitions instead of appending duplicates."""
+"""foreachBatch partition-upsert sink: merge mode accumulates across
+micro-batches touching the same partition and replaces replayed rows
+by key; rewrite mode pins the batch-complete contract (partition
+content = this batch)."""
 
 from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from enclaveid_data_pipeline_spark.streaming.sessions import (
@@ -32,28 +35,48 @@ def _drop(spark, tmp_path, stream_dir, name, rows):
     shutil.copy(part, stream_dir / f"events-{name}.parquet")
 
 
-def test_replayed_batch_does_not_duplicate(spark, tmp_path):
+BASE = 1_700_000_000_000_000
+
+
+def test_merge_mode_accumulates_across_batches_and_dedups_replay(
+    spark, tmp_path
+):
+    """THE data-loss case the rewrite default had: one partition key
+    (user 7) spans two micro-batches. Merge mode keeps batch-1 rows
+    when batch 2 lands, and a full replay (new query, no checkpoint)
+    replaces rows by event_id instead of duplicating or dropping."""
     stream_dir = tmp_path / "sink_in"
     stream_dir.mkdir()
     out = str(tmp_path / "sink_out")
-    base = 1_700_000_000_000_000
 
-    stream = read_event_stream(spark, str(stream_dir))
     q = partition_upsert_sink(
-        stream.select("user_id", "event_id", "ts"), out
+        read_event_stream(spark, str(stream_dir)).select(
+            "user_id", "event_id", "ts", "event_type"
+        ),
+        out,
     )
     try:
-        _drop(spark, tmp_path, stream_dir, "000", [(1, base, 7, "click")])
+        _drop(spark, tmp_path, stream_dir, "000", [(1, BASE, 7, "click")])
         q.processAllAvailable()
-        assert spark.read.parquet(out).count() == 1
+        _drop(
+            spark, tmp_path, stream_dir, "001",
+            [(2, BASE + 10, 7, "view"), (3, BASE + 20, 8, "click")],
+        )
+        q.processAllAvailable()
     finally:
         q.stop()
 
-    # Simulate an uncommitted-checkpoint replay: a NEW query (no
-    # checkpoint) re-reads the same input and writes again.
+    rows = {
+        r.event_id: (r.user_id, r.event_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 7 has BOTH batches' rows — no partition-rewrite loss
+    assert rows == {1: (7, "click"), 2: (7, "view"), 3: (8, "click")}
+
+    # uncommitted-checkpoint replay: new query re-reads everything
     q2 = partition_upsert_sink(
         read_event_stream(spark, str(stream_dir)).select(
-            "user_id", "event_id", "ts"
+            "user_id", "event_id", "ts", "event_type"
         ),
         out,
     )
@@ -61,17 +84,60 @@ def test_replayed_batch_does_not_duplicate(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == 3  # replaced by key, not duplicated
 
-    result = spark.read.parquet(out)
-    assert result.count() == 1  # partition rewritten, not appended
-    assert result.first()["user_id"] == 7
+
+def test_rewrite_mode_pins_partition_equals_batch(spark, tmp_path):
+    """Explicit rewrite mode: the second batch REPLACES user 7's
+    partition — the documented batch-complete contract (and exactly
+    why it is no longer the default for raw event streams)."""
+    stream_dir = tmp_path / "sink_in_rw"
+    stream_dir.mkdir()
+    out = str(tmp_path / "sink_out_rw")
+
+    q = partition_upsert_sink(
+        read_event_stream(spark, str(stream_dir)).select(
+            "user_id", "event_id", "ts"
+        ),
+        out,
+        mode="rewrite",
+    )
+    try:
+        _drop(spark, tmp_path, stream_dir, "000", [(1, BASE, 7, "click")])
+        q.processAllAvailable()
+        _drop(spark, tmp_path, stream_dir, "001", [(2, BASE + 10, 7, "view")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert [(r.event_id, r.user_id) for r in rows] == [(2, 7)]
+
+
+def test_merge_mode_requires_merge_keys_in_frame(spark, tmp_path):
+    """A frame without the merge identity fails loudly at the first
+    batch instead of silently corrupting."""
+    stream_dir = tmp_path / "sink_in_nk"
+    stream_dir.mkdir()
+    out = str(tmp_path / "sink_out_nk")
+
+    q = partition_upsert_sink(
+        read_event_stream(spark, str(stream_dir)).select("user_id", "ts"),
+        out,
+    )
+    try:
+        _drop(spark, tmp_path, stream_dir, "000", [(1, BASE, 7, "click")])
+        with pytest.raises(Exception, match="merge_keys"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def test_transform_runs_per_batch(spark, tmp_path):
     stream_dir = tmp_path / "sink_in2"
     stream_dir.mkdir()
     out = str(tmp_path / "sink_out2")
-    base = 1_700_000_000_000_000
 
     stream = read_event_stream(spark, str(stream_dir))
     q = partition_upsert_sink(
@@ -80,11 +146,12 @@ def test_transform_runs_per_batch(spark, tmp_path):
         transform=lambda b: b.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n")
         ),
+        mode="rewrite",  # per-batch aggregate IS partition-complete
     )
     try:
         _drop(
             spark, tmp_path, stream_dir, "000",
-            [(1, base, 7, "click"), (2, base + 1, 7, "view")],
+            [(1, BASE, 7, "click"), (2, BASE + 1, 7, "view")],
         )
         q.processAllAvailable()
     finally:
