@@ -55,12 +55,50 @@ TAKEOUT_SCHEMA = T.StructType(
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+#: Spark's untouched shuffle-partition default; the auto-tune below
+#: only ever acts on sessions still carrying it.
+_SPARK_DEFAULT_SHUFFLE_PARTITIONS = "200"
+
+
+def _autotune_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Scale shuffle parallelism DOWN to the corpus on untuned
+    sessions (runtime-settable; same spirit as the nanosAsLong
+    self-configuration): an externally built SparkSession still at
+    Spark's 200-partition default pays ~200 near-empty tasks per
+    shuffle on a megabyte-scale test corpus — pure scheduler latency.
+    Target ≈ total input bytes / 64 MB, clamped to [16, 200]. Only
+    LOWERS, only from the untouched default, so a cluster-tuned or
+    large-input session is never overridden, and at real scale the
+    computed target saturates back to the configured value anyway.
+    AQE partition coalescing does this after the first shuffle of
+    each stage; setting the initial number also skips planning the
+    empty tasks.
+    """
+    current = spark.conf.get("spark.sql.shuffle.partitions", None)
+    # unset (None) and the untouched "200" both mean "nobody tuned
+    # this session"; any other value is a deliberate setting
+    if current is not None and current != _SPARK_DEFAULT_SHUFFLE_PARTITIONS:
+        return
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return  # non-local sf_dir (object store): leave the session be
+    target = max(16, min(200, -(-total // (64 * 1024 * 1024))))
+    if target < 200:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table (S3: parquet source)."""
     if name in _NANOS_TS_COLS:
         # Runtime-settable; required even on externally-built sessions
         # (the driver constructs its own SparkSession for entry()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _autotune_shuffle_partitions(spark, sf_dir)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
