@@ -494,13 +494,28 @@ def prefix_filtered_jaccard_pairs(
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
     pref = _materialize(
         base.withColumn("plen", prefix_len)
-        .select("id", F.explode(F.expr("slice(hsh, 1, plen)")).alias("h")),
+        .select(
+            "id", "n", F.explode(F.expr("slice(hsh, 1, plen)")).alias("h")
+        ),
         materialize,
     )
+    # PPJoin length filter (lossless): J(A,B) ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t, so prefix collisions between wildly
+    # different set sizes are dropped BEFORE the distinct/verify
+    # stages — the set sizes ride the prefix rows (one long each).
     cand = (
-        pref.select("h", F.col("id").alias("left_id"))
-        .join(pref.select("h", F.col("id").alias("right_id")), on="h")
-        .filter(F.col("left_id") < F.col("right_id"))
+        pref.select("h", F.col("id").alias("left_id"), F.col("n").alias("__nl"))
+        .join(
+            pref.select(
+                "h", F.col("id").alias("right_id"), F.col("n").alias("__nr")
+            ),
+            on="h",
+        )
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.col("__nr") >= F.ceil(F.col("__nl") * F.lit(threshold)))
+            & (F.col("__nl") >= F.ceil(F.col("__nr") * F.lit(threshold)))
+        )
         .select("left_id", "right_id")
         .distinct()
     )
