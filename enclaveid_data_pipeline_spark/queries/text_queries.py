@@ -164,3 +164,102 @@ def props_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(two_digit).alias("n_two_digit"),
     )
+
+
+@register(
+    "pii_scrub_counts",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' reach me at user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' see https://ex.io/d/' || doc_id || '?ref=x'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' call +1-555-' || (1000000 + doc_id) ELSE '' END
+                   AS text
+        FROM documents
+    ), counted AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+        FROM seeded
+    ), c2 AS (
+        SELECT doc_id, n_url,
+               len(regexp_extract_all(
+                   t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+               )) AS n_email,
+               regexp_replace(
+                   t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'
+               ) AS t2
+        FROM counted
+    ), c3 AS (
+        SELECT doc_id, n_url, n_email,
+               len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]'))
+                   AS n_phone,
+               regexp_replace(
+                   t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'
+               ) AS scrubbed
+        FROM c2
+    )
+    SELECT doc_id,
+           CAST(n_url AS BIGINT) AS n_url,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+           md5(scrubbed) AS scrubbed_md5
+    FROM c3
+    """,
+)
+def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-tokenization corpus hygiene): deterministic
+    emails/URLs/phones are seeded onto the synthetic corpus (which
+    has none), then scrubbed with the engine-parity patterns in
+    functions.redact; output pins per-type counts and the md5 of the
+    scrubbed text so the oracle verifies the exact replacement
+    byte-for-byte. Row-local projection — zero shuffle."""
+    from ..functions.redact import pii_counts, scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://ex.io/d/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?ref=x"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.col("doc_id") + 1_000_000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        counts["n_url"].alias("n_url"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        F.length(scrub_pii(F.col("text"))).cast("long").alias("scrubbed_len"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+    )
