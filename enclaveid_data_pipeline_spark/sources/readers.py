@@ -144,6 +144,62 @@ def apply_row_limit(df: DataFrame, limit: int | None) -> DataFrame:
     return df if limit is None else df.limit(limit)
 
 
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+    timestamp_format: str | None = None,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """S1-family CSV source with a MANDATORY schema.
+
+    Schema inference is banned on purpose: it costs an extra full
+    pass over the data and silently changes types when the data
+    drifts — the same reason the reference overrides the Takeout
+    schema instead of trusting ``read_json`` inference. ``FAILFAST``
+    by default: a malformed row fails the job loudly; pass
+    ``mode="PERMISSIVE"`` plus a ``_corrupt_record`` column in the
+    schema for quarantine-style ingest.
+    """
+    r = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+    )
+    if timestamp_format is not None:
+        r = r.option("timestampFormat", timestamp_format)
+    return r.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "FAILFAST",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """S1-family line-delimited JSON source (one object per line —
+    the streaming-friendly layout; contrast ``read_takeout_json``,
+    which handles the reference's multiLine array-of-objects export).
+    Mandatory schema, FAILFAST by default — same stance as
+    :func:`read_csv_table`. Pass a microsecond ``timestamp_format``
+    (``yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX``) on BOTH write and read for
+    lossless timestamps — Spark's JSON default keeps milliseconds
+    only.
+    """
+    r = (
+        spark.read.schema(schema)
+        .option("multiLine", "false")
+        .option("mode", mode)
+    )
+    if timestamp_format is not None:
+        r = r.option("timestampFormat", timestamp_format)
+    return r.json(path)
+
+
 def with_derived_time_columns(
     df: DataFrame, ts_col: str = "timestamp"
 ) -> DataFrame:
