@@ -204,6 +204,102 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of an IVF centroid set —
+    the "train the coarse quantizer" step a production ANN index runs
+    before :func:`ivf_topk`, expressed entirely in DataFrame ops.
+
+    Each iteration:
+
+    1. assign every corpus vector to its max-cosine centroid — the
+       same broadcast-crossJoin + ``min(struct(-sim, cent_id))``
+       argmin as ivf_topk's cell assignment (partial-aggregated:
+       the shuffle carries one row per vector);
+    2. recompute each centroid as the element-wise mean of its
+       members: posexplode to (cent, dim, x) rows and groupBy
+       (cent, dim) — ``avg`` partial-aggregates map-side, so the
+       shuffle carries |cells|×dim partials PER PARTITION, not
+       |corpus|×dim rows; the means then fold back into an array
+       ordered by dim. (Mean-of-members is the spherical-k-means
+       centroid up to scale, and cosine assignment is
+       scale-invariant, so normalization is unnecessary.)
+
+    Empty cells keep their previous centroid (no dropped cells, cell
+    ids stay stable). Mean components and similarities round to
+    ``round_decimals`` — that makes every iteration's assignment an
+    EXACT deterministic function replayable by the SQL oracle and
+    identical across engines/partitionings, the same stabilization
+    the other similarity operators use.
+
+    Returns ``(id_col, vec_col)`` shaped exactly like the
+    ``centroids`` input, ready to feed :func:`ivf_topk`.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("__ce")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__vid"),
+        as_double(F.col(vec_col)).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
+    for _ in range(iterations):
+        c = cent.select(
+            "cent_id",
+            F.col("__ce"),
+            l2_norm(F.col("__ce"), assume_double=True).alias("__cn"),
+        )
+        sim = F.round(
+            cosine_similarity(
+                F.col("__v"),
+                F.col("__ce"),
+                a_norm=F.col("__vn"),
+                b_norm=F.col("__cn"),
+                assume_double=True,
+            ),
+            round_decimals,
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(c))
+            .select(
+                "__vid",
+                "__v",
+                (-sim).alias("negsim"),
+                "cent_id",
+            )
+            .groupBy("__vid")
+            .agg(F.min(F.struct("negsim", "cent_id", F.col("__v").alias("v"))).alias("s"))
+            .select(F.col("s.cent_id").alias("cent_id"), F.col("s.v").alias("__v"))
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.round(F.avg("x"), round_decimals).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("__new")
+            )
+        )
+        cent = (
+            cent.join(means, on="cent_id", how="left")
+            .select(
+                "cent_id", F.coalesce(F.col("__new"), F.col("__ce")).alias("__ce")
+            )
+        )
+    return cent.select(
+        F.col("cent_id").alias(id_col), F.col("__ce").alias(vec_col)
+    )
+
+
 def hyperplane_sign_bits(vec: Column, planes: int) -> Column:
     """Deterministic random-hyperplane signature: plane ``p`` weights
     dimension ``d`` by ±1 from the high bit of hex digit 1 of

@@ -607,6 +607,128 @@ def knn_ivf_fixedcent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_cos_expr(ea: str, eb: str) -> str:
+    return _duck_cos(ea, eb)
+
+
+def _duck_kmeans_iter(prev: str, out: str) -> str:
+    """One Lloyd iteration as DuckDB CTE text: assign (max rounded
+    cosine, cent_id tiebreak) → per-dim rounded mean → empty cells
+    keep their previous centroid."""
+    cos = _duck_cos_expr("e.embedding", "c.ce")
+    return f"""
+    a_{out} AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   round({cos}, 6) AS csim
+            FROM corpus e, {prev} c
+        ) z
+    ), m_{out} AS (
+        SELECT cent_id, i, round(avg(embedding[i]::DOUBLE), 6) AS m
+        FROM (SELECT * FROM a_{out} WHERE rn = 1) a,
+             generate_series(1, 64) g(i)
+        GROUP BY cent_id, i
+    ), l_{out} AS (
+        SELECT cent_id, list(m ORDER BY i) AS ce FROM m_{out} GROUP BY cent_id
+    ), {out} AS (
+        SELECT p.cent_id, coalesce(l.ce, p.ce) AS ce
+        FROM {prev} p LEFT JOIN l_{out} l USING (cent_id)
+    )"""
+
+
+@register(
+    "kmeans_refined_cells",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), cent0 AS (
+        SELECT vec_id AS cent_id,
+               list_transform(embedding, x -> x::DOUBLE) AS ce
+        FROM embeddings WHERE vec_id % 40 = 1 AND vec_id < 2000
+    ),{_duck_kmeans_iter('cent0', 'cent1')},{_duck_kmeans_iter('cent1', 'cent2')},
+    af AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, c.cent_id,
+                   round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+            FROM corpus e, cent2 c
+        ) z
+    ), counts AS (
+        SELECT cent_id, count(*) AS n FROM af WHERE rn = 1 GROUP BY cent_id
+    )
+    SELECT c.cent_id AS cell,
+           CAST(coalesce(counts.n, 0) AS BIGINT) AS n_members,
+           round(sqrt((SELECT sum(x*x) FROM unnest(c.ce) t(x))), 4)
+               AS centroid_norm
+    FROM cent2 c LEFT JOIN counts USING (cent_id)
+    """,
+)
+def kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer training for IVF: two spherical-k-means
+    (Lloyd) iterations from the deterministic centroid init, then a
+    final assignment — reports each cell's member count and refined
+    centroid norm. Rounded means/similarities make every iteration
+    exactly replayable by the oracle (operators.knn.kmeans_refine).
+    """
+    from ..functions.vectors import l2_norm
+    from ..operators.knn import kmeans_refine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    init = emb.filter((F.col("vec_id") % 40 == 1) & (F.col("vec_id") < 2000))
+    refined = kmeans_refine(
+        emb, init, id_col="vec_id", vec_col="embedding", iterations=2
+    )
+    # final assignment with the refined centroids (argmin, one row
+    # per vector after the partial-agg shuffle)
+    from ..functions.vectors import as_double, cosine_similarity
+
+    c = refined.select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("__ce"),
+        l2_norm(F.col("embedding"), assume_double=True).alias("__cn"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__v"), F.col("__ce"),
+            a_norm=F.col("__vn"), b_norm=F.col("__cn"), assume_double=True,
+        ),
+        6,
+    )
+    assigned = (
+        emb.select(
+            F.col("vec_id").alias("__vid"),
+            as_double(F.col("embedding")).alias("__v"),
+            l2_norm(F.col("embedding")).alias("__vn"),
+        )
+        .crossJoin(F.broadcast(c))
+        .select("__vid", (-sim).alias("negsim"), "cent_id")
+        .groupBy("__vid")
+        .agg(F.min(F.struct("negsim", "cent_id")).alias("s"))
+        .select(F.col("s.cent_id").alias("cent_id"))
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        refined.select(
+            F.col("vec_id").alias("cent_id"),
+            F.round(l2_norm(F.col("embedding"), assume_double=True), 4).alias(
+                "centroid_norm"
+            ),
+        )
+        .join(assigned, on="cent_id", how="left")
+        .select(
+            F.col("cent_id").alias("cell"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_members"),
+            "centroid_norm",
+        )
+    )
+
+
 @register(
     "ppjoin_jaccard_dups",
     oracle=f"""

@@ -8,6 +8,7 @@ from enclaveid_data_pipeline_spark.functions.textstats import (
     regex_token_count,
     whitespace_token_count,
 )
+from enclaveid_data_pipeline_spark.operators.knn import kmeans_refine
 from enclaveid_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_similarity_pairs,
@@ -237,3 +238,39 @@ def test_hof_minhash_equals_agg_form(spark, sf_dir):
     assert agg_pairs.exceptAll(hof_pairs).count() == 0
     assert hof_pairs.exceptAll(agg_pairs).count() == 0
     assert agg_pairs.count() > 0
+
+
+def test_kmeans_refine_improves_assignment_and_keeps_empty_cells(spark):
+    """Two well-separated blobs + one far-off centroid: refinement
+    pulls centroids to blob means (mean assignment similarity must
+    not decrease — Lloyd's monotonicity), and a centroid that
+    captures no members keeps its previous position instead of
+    vanishing."""
+    import numpy as np
+
+    rng = [
+        (i, [10.0 + (i % 5) * 0.1, 1.0, 0.0]) for i in range(20)
+    ] + [
+        (100 + i, [0.0, 1.0, 10.0 + (i % 5) * 0.1]) for i in range(20)
+    ]
+    corpus = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    # init: one vector from blob A, one from blob B, one orthogonal
+    # direction no vector points at (captures nothing after round 1)
+    init = spark.createDataFrame(
+        [
+            (0, [10.0, 1.0, 0.0]),
+            (100, [0.0, 1.0, 10.0]),
+            (999, [-1.0, 0.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    refined = kmeans_refine(corpus, init, iterations=2)
+    out = {r.vec_id: list(r.embedding) for r in refined.collect()}
+    assert set(out) == {0, 100, 999}
+    # empty cell unchanged
+    assert out[999] == [-1.0, 0.0, -1.0]
+    # refined blob centroids sit at (rounded) blob means
+    a = np.array([v for i, v in rng if i < 100], dtype=float).mean(axis=0)
+    b = np.array([v for i, v in rng if i >= 100], dtype=float).mean(axis=0)
+    assert np.allclose(out[0], np.round(a, 6))
+    assert np.allclose(out[100], np.round(b, 6))
