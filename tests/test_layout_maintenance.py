@@ -66,3 +66,63 @@ def test_cluster_by_keeps_rows(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     clustered = cluster_by(events, "event_type", partitions=4)
     assert clustered.count() == events.count()
+
+
+def test_zorder_narrows_file_stats_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column range clustering on a 2-D uniform
+    grid: range clustering narrows per-file spans for its leading
+    column only; z-order narrows BOTH. Metric: mean per-file
+    (max-min)/global_span per column, from real parquet footers."""
+    import pyarrow.parquet as pq
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        cluster_by,
+        zorder_by,
+    )
+
+    df = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+
+    def coverage(path, col):
+        spans = []
+        for f in pathlib.Path(path).glob("part-*.parquet"):
+            md = pq.read_metadata(f)
+            mn = min(
+                md.row_group(i).column(
+                    [md.schema[j].name for j in range(len(md.schema))].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(i).column(
+                    [md.schema[j].name for j in range(len(md.schema))].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((mx - mn) / 63.0)
+        return sum(spans) / len(spans)
+
+    rng_path = str(tmp_path / "range16")
+    cluster_by(df, "x", partitions=16).write.parquet(rng_path)
+    z_path = str(tmp_path / "zorder16")
+    zorder_by(df, ("x", "y"), bits=6, partitions=16).write.parquet(z_path)
+
+    # rows preserved, layout only
+    zdf = spark.read.parquet(z_path)
+    assert zdf.count() == 64 * 64
+    assert zdf.select(F.sum("x"), F.sum("y")).first() == df.select(
+        F.sum("x"), F.sum("y")
+    ).first()
+
+    # range clustering: x tight, y spans ~everything
+    assert coverage(rng_path, "x") < 0.15
+    assert coverage(rng_path, "y") > 0.8
+    # z-order: BOTH dimensions tight (16 files over a 64x64 grid →
+    # ideal quadrant span = 0.25)
+    assert coverage(z_path, "x") < 0.5
+    assert coverage(z_path, "y") < 0.5
