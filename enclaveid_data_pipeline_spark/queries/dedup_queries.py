@@ -972,3 +972,134 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rep_ratio"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS s FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT left_id AS src, right_id AS dst
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = left_id
+        JOIN sizes sb ON sb.doc_id = right_id
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.8
+    ), sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), recursive_reach AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT * FROM reach
+    ), cc AS (
+        SELECT node, min(root) AS component FROM recursive_reach GROUP BY node
+    ), members AS (
+        SELECT cc.component, d.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY cc.component
+                   ORDER BY d.n_chars DESC, d.doc_id
+               ) AS rk
+        FROM cc JOIN documents d ON d.doc_id = cc.node
+    )
+    SELECT component,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM members
+    GROUP BY component
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup dedup pipeline a corpus build actually
+    runs: candidate pairs (exact Jaccard ≥ 0.8 here — swap in
+    minhash_lsh_pairs + verify at scale, output-identical by the
+    tested LSH→verify composition), transitive closure via connected
+    components, then ONE canonical replica kept per duplicate group —
+    the longest doc (most complete), doc_id as the deterministic tie
+    break. One row per duplicate group: the kept doc, group size, and
+    the max length. Every stage is a tested operator; this registers
+    their composition as a single verifiable unit."""
+    from ..operators.merge import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    pairs = jaccard_similarity_pairs(
+        toks, "doc_id", word_shingles(F.col("t"), 3), threshold=0.8
+    )
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    cc = connected_components(edges)
+    members = cc.join(docs, cc.node == docs.doc_id).select(
+        "component", "doc_id", "n_chars"
+    )
+    best = members.groupBy("component").agg(
+        F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))).alias("b"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return best.select(
+        "component",
+        F.col("b.doc_id").alias("kept_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+        SELECT sum(c) AS t FROM vocab
+    ), logp AS (
+        SELECT tok, round(ln(c / t), 6) AS lp FROM vocab, total
+    )
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob
+    FROM toks JOIN logp USING (tok)
+    GROUP BY toks.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned unigram language-model quality score (the
+    CCNet-style filter shape: docs whose tokens are improbable under
+    the corpus distribution score low — gibberish/outlier detection
+    without any external model). The vocabulary with log-probs is
+    small by Zipf's law and BROADCAST to the token stream; the only
+    shuffles are the vocab count and the per-doc mean. Per-token
+    log-probs round to 6 before averaging so both engines fold the
+    identical values."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.round(F.log(F.col("c") / F.col("t")), 6).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(logp), on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
