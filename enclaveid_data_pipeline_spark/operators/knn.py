@@ -76,6 +76,208 @@ def brute_force_topk(
     )
 
 
+def _prep_centroids(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Project a centroid table to ``(cent_id, __ce, __cen)`` —
+    pre-cast to double with a precomputed norm, once per centroid."""
+    return centroids.select(
+        F.col(id_col).alias("cent_id"),
+        as_double(F.col(vec_col)).alias("__ce"),
+        l2_norm(F.col(vec_col)).alias("__cen"),
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment for every corpus vector —
+    ``(out_id, cent_id, __cv, __cn)`` with the double-cast vector and
+    its norm carried for downstream pairwise math.
+
+    Physical shape: crossJoin(broadcast(cent)) followed by a
+    ``min(struct(negsim, cent_id, vec))`` argmin aggregation. The
+    argmin collapses map-side (partial agg), so the shuffle carries
+    one row per corpus vector, never |corpus|×|centroids|; no window
+    function touches the big side. Ties break on rounded sim then
+    cent_id, identically in the oracles.
+    """
+    sim = F.round(
+        cosine_similarity(
+            F.col("__v"),
+            F.col("__ce"),
+            a_norm=F.col("__vn"),
+            b_norm=F.col("__cen"),
+            assume_double=True,
+        ),
+        6,
+    )
+    pairs = (
+        corpus.select(
+            F.col(id_col).alias(out_id),
+            as_double(F.col(vec_col)).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            out_id,
+            (-sim).alias("negsim"),
+            "cent_id",
+            F.col("__v").alias("cv"),
+            F.col("__vn").alias("cn"),
+        )
+    )
+    return (
+        pairs.groupBy(out_id)
+        .agg(F.min(F.struct("negsim", "cent_id", "cv", "cn")).alias("s"))
+        .select(
+            out_id,
+            F.col("s.cent_id").alias("cent_id"),
+            F.col("s.cv").alias("__cv"),
+            F.col("s.cn").alias("__cn"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style embedding-space near-duplicate pruning (Abbas
+    et al. 2023, arXiv:2303.09540): assign every vector to a coarse
+    cell, compare pairs only WITHIN a cell, and drop any vector that
+    has a lower-id cell-mate with cosine ≥ ``threshold``.
+
+    The kept set is the one-pass superset rule (a vector is dropped if
+    ANY lower-id neighbor clears the threshold, whether or not that
+    neighbor itself survives) — deterministic, join-expressible, and
+    equal to the greedy scan whenever near-dup relations are cliques;
+    on chains it prunes slightly more aggressively, which for training
+    -data dedup is the safe direction. For exact per-component
+    canonicals compose with ``operators.merge.connected_components``
+    (that is the ``dedup_keep_best`` pipeline).
+
+    Scale shape: the cell assignment shuffles one row per vector
+    (see :func:`assign_cells`); the pairwise join keys on ``cent_id``
+    so the quadratic term is bounded per cell — exactly the SemDeDup
+    argument: k cells cut the pair space by ~k. At 100 TB the cell
+    column is the bucketing key and cells are sized by the k-means
+    training step (:func:`kmeans_refine`), so per-cell work stays
+    constant as the corpus grows with k ∝ corpus size.
+
+    Output: ``vec_id, cell, kept`` — one row per input vector.
+    """
+    cent = _prep_centroids(centroids, id_col, vec_col)
+    cells = assign_cells(corpus, cent, id_col, vec_col, out_id="vec_id")
+    a = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cent_id").alias("cell"),
+        F.col("__cv").alias("__av"),
+        F.col("__cn").alias("__an"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cent_id").alias("cell"),
+        F.col("__cv").alias("__bv"),
+        F.col("__cn").alias("__bn"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__av"),
+            F.col("__bv"),
+            a_norm=F.col("__an"),
+            b_norm=F.col("__bn"),
+            assume_double=True,
+        ),
+        6,
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cells.select("vec_id", F.col("cent_id").alias("cell"))
+        .join(dropped, on="vec_id", how="left")
+        .select(
+            "vec_id", "cell", F.col("__dropped").isNull().alias("kept")
+        )
+    )
+
+
+#: md5 hex digits whose high bit is set — sign source for the JL
+#: projection (same convention as operators.dedup.simhash16_grouped).
+_HEX_HIGH_DIGITS = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def random_projection_grouped(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: d-dim embedding →
+    ``out_dims`` coordinates ``p_j = Σ_i v_i · s(j, i)`` with
+    deterministic ±1 signs (Achlioptas 2003 database-friendly
+    projections, signs from md5 so any engine can replay them).
+
+    Whole-stage-codegen shape, mirroring ``simhash16_grouped``:
+    posexplode the vector, digest each ELEMENT INDEX once (one md5
+    yields 16 sign bits — hex digit ``j`` drives output dim ``j``),
+    then one ``groupBy(id)`` with ``out_dims`` conditional-sum
+    aggregates. Partial aggregation collapses map-side, so the
+    shuffle carries ``out_dims`` doubles per (partition, vector) —
+    never the exploded elements. ``out_dims ≤ 16`` by construction;
+    chain a second seed for wider outputs.
+
+    Output: ``vec_id, p0 … p{out_dims-1}`` (each rounded to 4 for
+    engine parity — float sums are order-dependent past ~12 digits).
+    """
+    if not 1 <= out_dims <= 16:
+        raise ValueError("out_dims must be in 1..16 (one md5 digit per dim)")
+    ex = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("i", "v"),
+    )
+    hashed = ex.select(
+        "vec_id",
+        "v",
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col("i").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.substring("__h", j + 1, 1).isin(*_HEX_HIGH_DIGITS),
+                F.col("v"),
+            ).otherwise(-F.col("v"))
+        ).alias(f"__s{j}")
+        for j in range(out_dims)
+    ]
+    agg = hashed.groupBy("vec_id").agg(*sums)
+    return agg.select(
+        "vec_id",
+        *[
+            # + 0.0 folds IEEE -0.0 to 0.0 (round can yield either sign
+            # of zero depending on the summation path; engines differ)
+            (F.round(F.col(f"__s{j}"), 4) + F.lit(0.0)).alias(f"p{j}")
+            for j in range(out_dims)
+        ],
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -110,11 +312,8 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cent = centroids.select(
-        F.col(id_col).alias("cent_id"),
-        as_double(F.col(vec_col)).alias("__ce"),
-        l2_norm(F.col(vec_col)).alias("__cen"),
-    )
+    cent = _prep_centroids(centroids, id_col, vec_col)
+    cells = assign_cells(corpus, cent, id_col, vec_col, out_id="neighbor_id")
 
     def _sim_to_centroid(vn_col: str) -> Column:
         return F.round(
@@ -127,30 +326,6 @@ def ivf_topk(
             ),
             6,
         )
-
-    corpus_pairs = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("__v"),
-            l2_norm(F.col(vec_col)).alias("__vn"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id",
-            (-_sim_to_centroid("__vn")).alias("negsim"),
-            "cent_id",
-            F.col("__v").alias("cv"),
-            F.col("__vn").alias("cn"),
-        )
-    )
-    cells = corpus_pairs.groupBy("neighbor_id").agg(
-        F.min(F.struct("negsim", "cent_id", "cv", "cn")).alias("s")
-    ).select(
-        "neighbor_id",
-        F.col("s.cent_id").alias("cent_id"),
-        F.col("s.cv").alias("__cv"),
-        F.col("s.cn").alias("__cn"),
-    )
 
     probe_w = Window.partitionBy("query_id").orderBy(
         F.asc("negsim"), F.asc("cent_id")

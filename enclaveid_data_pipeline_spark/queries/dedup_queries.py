@@ -1103,3 +1103,89 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1
+    ), sims AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), assign AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM sims
+    ), cells AS (
+        SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.3
+    )
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-cell assignment bounds the pairwise cosine
+    check; a vector is pruned when a lower-id cell-mate clears the
+    threshold. Threshold 0.3 is fixture-calibrated (the synthetic
+    embeddings top out at ~0.46 within-cell cosine); production corpora
+    use the operator default 0.9."""
+    from ..operators.knn import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 40 == 1)
+    return semantic_dedup(
+        emb, cent, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )
+
+
+_RP_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+@register(
+    "random_projection_8d",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS i,
+               unnest(list_transform(
+                   generate_series(1, len(embedding)),
+                   k -> embedding[k]::DOUBLE)) AS v
+        FROM embeddings
+    ), h AS (
+        SELECT vec_id, v,
+               md5('rp|' || (i - 1)::VARCHAR) AS hh
+        FROM ex
+    )
+    SELECT vec_id,
+           {', '.join(
+               f"(round(sum(CASE WHEN substr(hh, {j + 1}, 1) IN {{h}} "
+               f"THEN v ELSE -v END), 4) + 0.0) AS p{j}".format(h='__RPH__')
+               for j in range(8)
+           ).replace('__RPH__', _RP_HIGH)}
+    FROM h
+    GROUP BY vec_id
+    """,
+)
+def random_projection_8d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection to 8 dims — the
+    dimensionality-reduction step in front of clustering / ANN when
+    the raw embedding is too wide to shuffle. Same explode→groupBy
+    codegen shape as the SimHash hot path; md5-derived signs replay
+    in any engine."""
+    from ..operators.knn import random_projection_grouped
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return random_projection_grouped(
+        emb, id_col="vec_id", vec_col="embedding", out_dims=8
+    )

@@ -274,3 +274,77 @@ def test_kmeans_refine_improves_assignment_and_keeps_empty_cells(spark):
     b = np.array([v for i, v in rng if i >= 100], dtype=float).mean(axis=0)
     assert np.allclose(out[0], np.round(a, 6))
     assert np.allclose(out[100], np.round(b, 6))
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    from enclaveid_data_pipeline_spark.operators.knn import semantic_dedup
+
+    # two tight pairs in opposite half-spaces plus one loner; centroid
+    # table = one member of each half-space so cells split cleanly
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),      # near-dup of 1, same cell
+            (3, [-1.0, 0.0, 0.0]),
+            (4, [-0.999, -0.01, 0.0]),    # near-dup of 3, same cell
+            (5, [0.0, 1.0, 0.2]),         # loner (closer to cell 1)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = vecs.filter(F.col("vec_id").isin(1, 3))
+    out = semantic_dedup(vecs, cent, threshold=0.99)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 5  # one row per input vector
+    assert [rows[i].kept for i in (1, 2, 3, 4, 5)] == [
+        True, False, True, False, True,
+    ]
+    # the drop is recorded in the cell where the pair collided
+    assert rows[2].cell == rows[1].cell
+    assert rows[4].cell == rows[3].cell
+
+
+def test_semantic_dedup_threshold_keeps_everything(spark):
+    from enclaveid_data_pipeline_spark.operators.knn import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(vecs, vecs.limit(1), threshold=1.1)
+    assert all(r.kept for r in out.collect())
+
+
+def test_random_projection_deterministic_and_linear(spark):
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        random_projection_grouped,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [-1.0, -2.0, -3.0, -4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = random_projection_grouped(vecs, out_dims=4)
+    rows = {r.vec_id: r for r in out.collect()}
+    # sign projection is linear: p(-v) == -p(v) (mod -0.0 folding)
+    for j in range(4):
+        assert rows[1][f"p{j}"] == -rows[2][f"p{j}"] or (
+            rows[1][f"p{j}"] == 0.0 and rows[2][f"p{j}"] == 0.0
+        )
+    # deterministic across invocations (md5 seeds, no rand())
+    again = {r.vec_id: r for r in random_projection_grouped(
+        vecs, out_dims=4).collect()}
+    assert rows == again
+
+
+def test_random_projection_rejects_wide_output(spark):
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        random_projection_grouped,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        random_projection_grouped(vecs, out_dims=17)
