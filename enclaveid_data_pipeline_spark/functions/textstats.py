@@ -59,6 +59,25 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
+def mean_word_len(text: Column, tokens: Column) -> Column:
+    """Mean token length for single-space-joined text via length
+    arithmetic: ``(len(text) - (n-1)) / n`` — exact integer inputs,
+    no per-token traversal, identical in any engine."""
+    n = F.size(tokens)
+    return (F.length(text) - n + F.lit(1)).cast("double") / n
+
+
+def distinct_token_ratio(tokens: Column) -> Column:
+    """|distinct tokens| / |tokens| — the cheap intra-document
+    repetition signal (low ratio ⇒ templated / looping text)."""
+    return F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)
+
+
+def stopword_hits(tokens: Column) -> Column:
+    """Count of stop-word tokens (with multiplicity)."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+
+
 def quality_score(text: Column, tokens: Column) -> Column:
     """Composite quality in [0,1]: length saturation + stopword
     presence + punctuation sanity. Weights are arbitrary but fixed;

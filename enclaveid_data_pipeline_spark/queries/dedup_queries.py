@@ -1189,3 +1189,76 @@ def random_projection_8d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection_grouped(
         emb, id_col="vec_id", vec_col="embedding", out_dims=8
     )
+
+
+@register(
+    "gopher_rules_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_DUCK_TOKS} AS w FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(w) AS n,
+               round((length(text) - len(w) + 1.0) / len(w), 6) AS mwl,
+               round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uf,
+               len(list_filter(w, x -> x IN ({_STOPS_SQL}))) AS st
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           mwl AS mean_word_len,
+           uf AS distinct_ratio,
+           CAST(st AS BIGINT) AS n_stopwords,
+           (n BETWEEN 30 AND 90) AS ok_n_words,
+           (mwl BETWEEN 4.2 AND 4.8) AS ok_word_len,
+           (st >= 2) AS ok_stopwords,
+           (uf >= 0.45) AS ok_distinct,
+           (n BETWEEN 30 AND 90 AND mwl BETWEEN 4.2 AND 4.8
+            AND st >= 2 AND uf >= 0.45) AS keep
+    FROM m
+    """,
+)
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1): word-count band, mean-word-length band,
+    minimum stop-word hits, minimum distinct-token ratio — each rule a
+    named boolean column plus the conjunctive ``keep``, so downstream
+    audits can attribute every drop to a rule. Bounds here are
+    fixture-calibrated (each rule rejects part of the synthetic
+    corpus); production uses the published bounds (50..100k words,
+    3..10 chars, ≥2 stop words). All native expressions — mean word
+    length is length arithmetic, no per-token pass; the only HOF is
+    the bounded stop-word filter over an in-row array."""
+    from ..functions.textstats import (
+        distinct_token_ratio,
+        mean_word_len,
+        stopword_hits,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokenize(F.col("text")).alias("w"))
+    m = t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.round(mean_word_len(F.col("text"), F.col("w")), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(distinct_token_ratio(F.col("w")), 6).alias("distinct_ratio"),
+        stopword_hits(F.col("w")).cast("long").alias("n_stopwords"),
+    )
+    ok_n = F.col("n_words").between(30, 90)
+    ok_mwl = F.col("mean_word_len").between(4.2, 4.8)
+    ok_st = F.col("n_stopwords") >= 2
+    ok_uf = F.col("distinct_ratio") >= 0.45
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "distinct_ratio",
+        "n_stopwords",
+        ok_n.alias("ok_n_words"),
+        ok_mwl.alias("ok_word_len"),
+        ok_st.alias("ok_stopwords"),
+        ok_uf.alias("ok_distinct"),
+        (ok_n & ok_mwl & ok_st & ok_uf).alias("keep"),
+    )
