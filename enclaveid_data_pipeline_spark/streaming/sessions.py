@@ -111,3 +111,72 @@ def streaming_exact_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         [*key_cols, ts_col]
     )
+
+
+def streaming_near_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    emit_window: str = "1 minute",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_width: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate suppression: a document
+    arriving after a near-duplicate (within the watermark horizon) is
+    flagged, using the SAME banding scheme as the batch
+    ``minhash_lsh_pairs`` path so batch and stream agree on what
+    counts as a candidate.
+
+    Shape: the signature is computed IN-ROW (``shingle_hashes`` →
+    one-pass k-minima fold → band keys) — the batch path's
+    explode→groupBy codegen form would be a stateful aggregation here,
+    so the narrow higher-order-function form is the right trade on a
+    stream (per-micro-batch volume is bounded; no extra shuffle, no
+    extra state). Band rows then pass through
+    ``dropDuplicatesWithinWatermark`` keyed on (band_idx, band_key) —
+    state is O(bands within the watermark), evicted as event time
+    advances — and a windowed count per document tallies how many of
+    its bands were first-seen.
+
+    Output (append mode, emitted when the watermark closes the
+    window): ``doc_id, window_start, n_novel_bands, novel`` where
+    ``novel`` ⇔ every band was unseen. A document with ZERO novel
+    bands (e.g. an exact re-delivery) produces no row at all; a
+    document sharing ≥1 band with earlier traffic appears with
+    ``novel = false`` — the LSH any-band candidate rule. Documents
+    shorter than one shingle produce no bands and no row; route them
+    through the exact-dedup path instead.
+    """
+    from ..operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+        tokenize,
+        word_shingles,
+    )
+
+    sh = word_shingles(tokenize(F.col(text_col)), shingle_width)
+    sig = minhash_signature_from_hashes(shingle_hashes(sh), num_hashes)
+    banded = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(lsh_band_keys(sig, bands, rows_per_band)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    fresh = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_idx", "band_key"]
+    )
+    counts = fresh.groupBy(
+        F.window(ts_col, emit_window).alias("__w"), F.col(id_col)
+    ).agg(F.count(F.lit(1)).alias("n_novel_bands"))
+    return counts.select(
+        id_col,
+        F.col("__w.start").alias("window_start"),
+        "n_novel_bands",
+        (F.col("n_novel_bands") == bands).alias("novel"),
+    )

@@ -119,3 +119,82 @@ def test_streaming_exact_dedup_across_batches(spark, sf_dir, tmp_path):
     out = spark.sql("SELECT event_id FROM dedup_stream")
     assert out.count() == n  # 100 re-deliveries suppressed
     assert out.distinct().count() == n
+
+
+def test_streaming_near_dedup_flags_cross_batch_near_dups(spark, tmp_path):
+    """A doc arriving in a later micro-batch that collides with earlier
+    LSH bands must come out novel=false (any-band rule) or be fully
+    suppressed (all bands seen); fresh docs come out novel=true."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from enclaveid_data_pipeline_spark.streaming.sessions import (
+        streaming_near_dedup,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    t0 = 1_700_000_000_000_000  # µs epoch
+    mins = 60_000_000
+
+    def batch(path, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    batch(stream_dir / "d0.parquet", [(1, base, t0), (2, other, t0)])
+    # d1: doc 3 is an exact replica of doc 1 (all bands collide),
+    # doc 4 is fresh
+    fresh = (
+        "red orange yellow green blue indigo violet white black "
+        "brown cyan magenta silver golden copper bronze pewter"
+    )
+    batch(
+        stream_dir / "d1.parquet",
+        [(3, base, t0 + 2 * mins), (4, fresh, t0 + 2 * mins)],
+    )
+    # d2: watermark flusher far in the future so earlier windows close
+    batch(
+        stream_dir / "d2.parquet",
+        [(9, "flush " * 10, t0 + 120 * mins)],
+    )
+
+    schema = "doc_id long, text string, ts timestamp"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    out = streaming_near_dedup(raw, watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.doc_id: r
+        for r in spark.sql("SELECT * FROM near_dedup_stream").collect()
+    }
+    assert rows[1].novel and rows[1].n_novel_bands == 4
+    assert rows[2].novel and rows[2].n_novel_bands == 4
+    assert 3 not in rows  # exact replica: zero novel bands, no row
+    assert rows[4].novel and rows[4].n_novel_bands == 4
