@@ -215,3 +215,27 @@ def with_derived_time_columns(
         .withColumn("hour", F.date_format(ts, "HH:mm"))
         .withColumn("month", F.date_format(ts, "yyyy-MM-dd"))
     )
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """S3-family ORC source. ORC carries its own schema and per-stripe
+    min/max statistics, so — like parquet and unlike CSV/JSONL — no
+    schema argument: predicate pushdown and column pruning reach the
+    stripe level natively. Useful when upstream Hive/Trino pipelines
+    hand over ORC instead of parquet; same downstream plans either
+    way."""
+    return spark.read.orc(path)
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """S1-family raw text source: one row per line (``value`` string),
+    or one row per FILE with ``wholetext=True`` — the raw-corpus
+    ingest shape (one document per file / per line) in front of the
+    text-analysis and dedup operators. No parsing, no schema drift;
+    pair with ``F.input_file_name()`` for provenance."""
+    return spark.read.text(path, wholetext=wholetext, lineSep=line_sep)

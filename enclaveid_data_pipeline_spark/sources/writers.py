@@ -44,3 +44,19 @@ def insert_into_partitioned(
     discovery (rows silently vanish on read — pinned by test).
     """
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """S2-family ORC sink (zstd by default — ORC's best
+    size/speed trade in practice); partition layout semantics match
+    the parquet sink."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

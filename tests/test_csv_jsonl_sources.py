@@ -71,3 +71,58 @@ def test_jsonl_failfast_on_malformed(spark, tmp_path):
     df = read_jsonl(spark, str(p), "event_id long")
     with pytest.raises(Exception, match="Malformed|FAILFAST"):
         df.collect()
+
+
+def test_orc_round_trip_partitioned(spark, sf_dir, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.readers import read_orc_table
+    from enclaveid_data_pipeline_spark.sources.writers import write_orc
+
+    src = _events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_orc")
+    write_orc(src, path, partition_cols=("event_type",))
+    back = read_orc_table(spark, path)
+    # partition column round-trips as a real column
+    assert set(back.columns) == set(src.columns)
+    _assert_same(
+        src.select("event_id", "user_id", "event_type", "value"),
+        back.select("event_id", "user_id", "event_type", "value"),
+    )
+    # ORC timestamps are µs-exact like parquet's after truncation
+    _assert_same(src.select("event_id", "ts"), back.select("event_id", "ts"))
+
+
+def test_orc_predicate_pushdown_prunes_partitions(spark, sf_dir, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.readers import read_orc_table
+    from enclaveid_data_pipeline_spark.sources.writers import write_orc
+
+    src = _events(spark, sf_dir)
+    path = str(tmp_path / "events_orc2")
+    write_orc(src, path, partition_cols=("event_type",))
+    one = read_orc_table(spark, path).filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune at scan, not post-filter
+    assert "click" in plan
+    n_types = src.select("event_type").distinct().count()
+    assert n_types > 1
+    expected = src.filter(F.col("event_type") == "click").count()
+    assert one.count() == expected
+
+
+def test_text_lines_and_wholetext(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.readers import read_text_lines
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one line one\ndoc one line two\n")
+    (d / "b.txt").write_text("doc two only line\n")
+    lines = read_text_lines(spark, str(d))
+    assert lines.columns == ["value"]
+    assert lines.count() == 3
+    docs = read_text_lines(spark, str(d), wholetext=True).withColumn(
+        "src", F.input_file_name()
+    )
+    rows = {r.src.rsplit("/", 1)[-1]: r.value for r in docs.collect()}
+    assert rows["a.txt"].count("\n") == 2
+    assert rows["b.txt"] == "doc two only line\n"
