@@ -504,3 +504,56 @@ def skewed_merge_banded_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vec_id").alias("span_end"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+           round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, exercised end-to-end: the
+    lineitem table arrives as three batches (split on
+    ``l_orderkey % 3``); each batch is reduced to mergeable partials
+    and folded into the running rollup; the avg derives at read time.
+    The oracle is the FULL recompute — the commutative-monoid
+    equivalence ``agg(A∪B∪C) == merge(merge(agg(A), agg(B)), agg(C))``
+    is the whole claim, and it holds exactly (decimal sums, no float
+    folds) so the hashes match. Per-batch cost is O(batch + keys);
+    corpus size never enters (operators/rollup.py)."""
+    from ..operators.rollup import merge_rollups, rollup_partials, with_ratio
+
+    li = read_table(spark, sf_dir, "lineitem")
+    keys = ("l_returnflag", "l_linestatus")
+    measures = {
+        "sum_qty": ("sum", "l_quantity"),
+        "n_rows": ("count", "*"),
+        "min_ship": ("min", "l_shipdate"),
+        "max_ship": ("max", "l_shipdate"),
+    }
+    batches = [
+        li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)
+    ]
+    rollup = rollup_partials(batches[0], keys, measures)
+    for b in batches[1:]:
+        rollup = merge_rollups(
+            rollup, rollup_partials(b, keys, measures), keys, measures
+        )
+    out = with_ratio(rollup, "avg_qty", "sum_qty", "n_rows")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship"),
+        F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship"),
+        "avg_qty",
+    )

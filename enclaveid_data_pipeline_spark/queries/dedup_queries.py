@@ -1262,3 +1262,62 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_uf.alias("ok_distinct"),
         (ok_n & ok_mwl & ok_st & ok_uf).alias("keep"),
     )
+
+
+@register(
+    "duplicated_ngram_fraction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS s
+        FROM toks
+    ), df AS (
+        SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_fraction
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition signal (the RefinedWeb /
+    Gopher-style "duplicated n-grams" curation metric): per document,
+    the fraction of its distinct 3-grams that also occur in at least
+    one OTHER document. High fractions mark boilerplate / templated
+    text that per-document repetition scores can't see.
+
+    Shape: one exploded distinct-shingle frame feeds both the global
+    shingle document-frequency aggregation and the per-doc tally —
+    two shuffles total, both keyed on uniform md5-able strings (no
+    skew); the DF table is corpus-wide but Zipf-small relative to the
+    token stream. ``n_docs >= 2 ⇔ shared``, computed identically in
+    DuckDB."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), 3))).alias("s"),
+    )
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df_tbl, on="s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_ngrams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,66 @@
+"""Incremental rollup maintenance: merge(agg(A), agg(B)) == agg(A∪B)
+exactly, counts fold by sum, non-mergeable kinds rejected."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.operators.rollup import (
+    merge_rollups,
+    rollup_partials,
+    with_ratio,
+)
+
+KEYS = ("k",)
+MEASURES = {
+    "s": ("sum", "v"),
+    "n": ("count", "*"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _rows(df):
+    return {
+        tuple(r[k] for k in ("k", "s", "n", "lo", "hi"))
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_full_recompute(spark):
+    data = spark.createDataFrame(
+        [(i % 4, i, float(i * 3 % 17)) for i in range(200)],
+        "k int, id int, v double",
+    )
+    full = rollup_partials(data, KEYS, MEASURES)
+    # three uneven batches, folded sequentially
+    b0 = data.filter(F.col("id") % 5 <= 1)
+    b1 = data.filter(F.col("id") % 5 == 2)
+    b2 = data.filter(F.col("id") % 5 >= 3)
+    r = rollup_partials(b0, KEYS, MEASURES)
+    for b in (b1, b2):
+        r = merge_rollups(r, rollup_partials(b, KEYS, MEASURES), KEYS, MEASURES)
+    assert _rows(r) == _rows(full)
+
+
+def test_new_keys_appear_and_counts_fold_by_sum(spark):
+    a = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k int, v double")
+    b = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k int, v double")
+    r = merge_rollups(
+        rollup_partials(a, KEYS, MEASURES),
+        rollup_partials(b, KEYS, MEASURES),
+        KEYS,
+        MEASURES,
+    )
+    out = {row.k: row for row in r.collect()}
+    assert out[1].n == 3 and out[1].s == 35.0  # not a count of partials (2)
+    assert out[2].n == 1 and out[2].s == 7.0   # new key surfaced
+    avg = {row.k: row.avg for row in with_ratio(r, "avg", "s", "n").collect()}
+    assert avg[1] == round(35.0 / 3, 6)
+
+
+def test_non_mergeable_kind_rejected(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(ValueError, match="not mergeable"):
+        rollup_partials(df, KEYS, {"a": ("avg", "v")})
