@@ -18,6 +18,17 @@ Algebra: sum/count/min/max are commutative-monoid aggregates, so
 ``agg(A ∪ B) == merge(agg(A), agg(B))`` exactly — the equivalence the
 oracle query and the property test pin. count merges by SUM (a count
 of counts is wrong); avg must be stored as (sum, count).
+
+COUNT(DISTINCT) is NOT mergeable — distinct counts from two batches
+can't be added. The scalable incremental form is the ``hll`` kind: a
+Datasketches HLL sketch per key (``hll_sketch_agg``), merged by
+``hll_union_agg`` (sketch union is the set-union monoid; the union
+gadget works in HLL_8, so the merged sketch is not byte-identical to
+the single-pass sketch but estimates the same union — measured
+within a fraction of a percent), estimated
+at read time via :func:`with_estimate`. A sketch is KBs per key
+regardless of corpus size; the exact-distinct alternative would force
+the rollup to carry every distinct value ever seen.
 """
 
 from __future__ import annotations
@@ -31,11 +42,17 @@ from pyspark.sql import functions as F
 #: source column is ignored for "count" (row count).
 AggSpec = tuple[str, str]
 
-_KINDS = ("sum", "count", "min", "max")
+_KINDS = ("sum", "count", "min", "max", "hll")
 
 #: how a partial of each kind folds with another partial of the same
-#: kind — counts fold by SUM.
-_MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+#: kind — counts fold by SUM, distinct-count sketches by sketch union.
+_MERGE_FN = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "hll": F.hll_union_agg,
+}
 
 
 def _check(measures: Mapping[str, AggSpec]) -> None:
@@ -43,7 +60,8 @@ def _check(measures: Mapping[str, AggSpec]) -> None:
         if kind not in _KINDS:
             raise ValueError(
                 f"measure {name!r}: kind {kind!r} is not mergeable; "
-                f"store avg as (sum, count) and derive at read time"
+                f"store avg as (sum, count), distinct counts as 'hll', "
+                f"and derive at read time"
             )
 
 
@@ -61,6 +79,8 @@ def rollup_partials(
     for name, (kind, src) in measures.items():
         if kind == "count":
             aggs.append(F.count(F.lit(1)).alias(name))
+        elif kind == "hll":
+            aggs.append(F.hll_sketch_agg(src).alias(name))
         else:
             aggs.append(getattr(F, kind)(src).alias(name))
     return df.groupBy(*keys).agg(*aggs)
@@ -96,3 +116,10 @@ def with_ratio(
         out_col,
         F.round(F.col(num).cast("double") / F.col(den), digits),
     )
+
+
+def with_estimate(rollup: DataFrame, out_col: str, sketch: str) -> DataFrame:
+    """Derive the distinct-count estimate from a stored ``hll``
+    sketch column — the read-time twin of :func:`with_ratio` for
+    COUNT(DISTINCT)."""
+    return rollup.withColumn(out_col, F.hll_sketch_estimate(sketch))

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,6 +132,104 @@ def contaminated_docs(
         corpus_shingles.join(bench, shingle_col)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    seq_len: int,
+    part_cols: Sequence[str] = (),
+    out_prefix: str = "seq",
+) -> DataFrame:
+    """Concat-and-split sequence packing — the step that turns
+    variable-length tokenized documents into the fixed-``seq_len``
+    training sequences an LLM trainer consumes. Documents are laid
+    end-to-end in deterministic ``id_col`` order within each
+    ``part_cols`` shard; the concatenated token stream is cut every
+    ``seq_len`` tokens, so documents may span a sequence boundary and
+    sequences may hold many short documents (zero padding waste —
+    only the final sequence of each shard can be short).
+
+    Returns one row per packed sequence: ``{prefix}_id`` (0-based
+    within the shard), ``{prefix}_tokens`` (exactly the tokens, in
+    stream order), ``{prefix}_n_docs``, ``{prefix}_doc_ids`` (the
+    contributing documents, in order — what a trainer needs for
+    attention-mask resets at document boundaries).
+
+    Shape: one window cumsum per shard for the global offset, a
+    generate-and-explode for the (doc → sequences it touches) fan-out
+    (a document of n tokens touches ≤ n/seq_len + 1 sequences), and
+    one groupBy(shard, seq_id) to assemble. At corpus scale the
+    window is the sequential part, so shard by something with
+    thousands of groups (split × source × hash bucket); packing is
+    embarrassingly parallel across shards and the only cross-shard
+    cost is one possibly-short sequence per shard. Empty documents
+    are dropped (they contribute no tokens).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    w = (
+        Window.partitionBy(*part_cols).orderBy(id_col)
+        if part_cols
+        else Window.orderBy(id_col)
+    )
+    L = F.lit(seq_len).cast("long")
+    p = out_prefix
+    d = (
+        df.withColumn("_toks", tokens)
+        .withColumn("_n", F.size("_toks").cast("long"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "_start",
+            F.coalesce(
+                F.sum("_n").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    seg = (
+        d.withColumn(
+            f"{p}_id",
+            F.explode(
+                F.sequence(
+                    (F.col("_start") / L).cast("long"),
+                    ((F.col("_start") + F.col("_n") - 1) / L).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_seg_start", F.greatest(F.col("_start"), F.col(f"{p}_id") * L)
+        )
+        .withColumn(
+            "_seg_len",
+            F.least(F.col("_start") + F.col("_n"), (F.col(f"{p}_id") + 1) * L)
+            - F.col("_seg_start"),
+        )
+        .withColumn(
+            "_seg",
+            F.slice(
+                F.col("_toks"),
+                (F.col("_seg_start") - F.col("_start") + 1).cast("int"),
+                F.col("_seg_len").cast("int"),
+            ),
+        )
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_seg_start"), F.col("_seg"), F.col(id_col)))
+    )
+    return (
+        seg.groupBy(*part_cols, f"{p}_id")
+        .agg(
+            F.flatten(F.transform(ordered, lambda x: x["_seg"])).alias(
+                f"{p}_tokens"
+            ),
+            F.count(F.lit(1)).alias(f"{p}_n_docs"),
+            F.transform(ordered, lambda x: x[id_col]).alias(f"{p}_doc_ids"),
+        )
     )
 
 

@@ -557,3 +557,74 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship"),
         "avg_qty",
     )
+
+
+@register(
+    "incremental_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS merge_close,
+           TRUE AS est_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance via mergeable HLL
+    sketches (operators/rollup.py 'hll' kind): lineitem arrives as
+    three batches, each batch's per-key Datasketches HLL partial
+    folds into the rollup by sketch union, and the estimate derives
+    at read time. Distinct counts are NOT additive across batches —
+    the sketch union is the set-union monoid, which the output pins
+    two ways: ``merge_close`` (estimate from the folded batch
+    sketches within 2% of the single-pass sketch's estimate; the
+    union gadget works in HLL_8 so the two sketches are not
+    byte-identical, but both estimate the same union) and
+    ``est_within_10pct`` (the estimate tracks the true distinct
+    count; default lgK=12 gives ~1.6% standard error). The sketch
+    is KBs per key at any corpus
+    size — the 100 TB alternative, carrying every distinct value in
+    the rollup, is unbounded state."""
+    from ..operators.rollup import merge_rollups, rollup_partials, with_estimate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    keys = ("l_returnflag",)
+    measures = {"pk": ("hll", "l_partkey"), "n_rows": ("count", "*")}
+    batches = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    rollup = rollup_partials(batches[0], keys, measures)
+    for b in batches[1:]:
+        rollup = merge_rollups(
+            rollup, rollup_partials(b, keys, measures), keys, measures
+        )
+    merged = with_estimate(rollup, "est_m", "pk").select(
+        "l_returnflag", "n_rows", "est_m"
+    )
+    full = with_estimate(
+        rollup_partials(li, keys, measures), "est_f", "pk"
+    ).select("l_returnflag", "est_f")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    return (
+        merged.join(full, "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(F.col("est_m").cast("double") - F.col("est_f"))
+                / F.col("est_f")
+                <= 0.02
+            ).alias("merge_close"),
+            (
+                F.abs(
+                    F.col("est_m").cast("double") - F.col("n_exact")
+                )
+                / F.col("n_exact")
+                <= 0.1
+            ).alias("est_within_10pct"),
+        )
+    )

@@ -414,3 +414,75 @@ def token_budget_by_split_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "packed_sequences_64",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), d AS (
+        SELECT doc_id, doc_id % 8 AS shard, t, CAST(len(t) AS BIGINT) AS n
+        FROM toks WHERE len(t) > 0
+    ), c AS (
+        SELECT *, CAST(COALESCE(sum(n) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS strt
+        FROM d
+    ), e AS (
+        SELECT *, unnest(generate_series(strt // 64, (strt + n - 1) // 64))
+            AS seq_id
+        FROM c
+    ), s AS (
+        SELECT shard, seq_id, doc_id, t, strt,
+               greatest(strt, seq_id * 64) AS seg_start,
+               least(strt + n, (seq_id + 1) * 64) AS seg_end
+        FROM e
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(seg_end - seg_start) AS BIGINT) AS n_tokens,
+           md5(string_agg(
+               array_to_string(t[seg_start - strt + 1 : seg_end - strt], ' '),
+               ' ' ORDER BY seg_start)) AS seq_key,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY seg_start)
+               AS doc_ids
+    FROM s
+    GROUP BY shard, seq_id
+    """,
+)
+def packed_sequences_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (operators.trainprep.
+    pack_sequences): tokenized documents laid end-to-end in doc_id
+    order within 8 hash shards, cut into fixed 64-token training
+    sequences — documents span boundaries, no padding, only the last
+    sequence per shard may be short. Output pins the exact packed
+    content (md5 over the token stream) and the in-order contributing
+    doc list (what attention-mask resets need). The per-shard window
+    cumsum is the only sequential part; shards pack in parallel, so
+    at corpus scale the shard count (split × source × bucket) sets
+    the parallelism and cross-shard waste is ≤ one short sequence
+    per shard."""
+    from ..operators.trainprep import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        tokenize(F.col("text")).alias("t"),
+    )
+    packed = pack_sequences(
+        toks, "doc_id", F.col("t"), seq_len=64, part_cols=("shard",)
+    )
+    return packed.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_n_docs").cast("long").alias("n_docs"),
+        F.size("seq_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("seq_tokens"))).alias("seq_key"),
+        F.concat_ws(
+            ",", F.transform("seq_doc_ids", lambda x: x.cast("string"))
+        ).alias("doc_ids"),
+    )

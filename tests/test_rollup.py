@@ -64,3 +64,30 @@ def test_non_mergeable_kind_rejected(spark):
     df = spark.createDataFrame([(1, 1.0)], "k int, v double")
     with pytest.raises(ValueError, match="not mergeable"):
         rollup_partials(df, KEYS, {"a": ("avg", "v")})
+
+
+def test_hll_kind_merges_and_estimates(spark):
+    m = {"sk": ("hll", "u"), "n": ("count", "*")}
+    data = spark.createDataFrame(
+        [(i % 3, f"u{i % 997}") for i in range(5000)], "k int, u string"
+    )
+    full = rollup_partials(data, KEYS, m)
+    b0 = data.filter(F.col("u") < "u5")
+    b1 = data.filter(F.col("u") >= "u5")
+    merged = merge_rollups(
+        rollup_partials(b0, KEYS, m), rollup_partials(b1, KEYS, m), KEYS, m
+    )
+    from enclaveid_data_pipeline_spark.operators.rollup import with_estimate
+
+    est_m = {r.k: r.est for r in with_estimate(merged, "est", "sk").collect()}
+    est_f = {r.k: r.est for r in with_estimate(full, "est", "sk").collect()}
+    exact = {
+        r.k: r.n
+        for r in data.groupBy("k")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    for k in exact:
+        # union result tracks both the single-pass sketch and truth
+        assert abs(est_m[k] - est_f[k]) / est_f[k] <= 0.02
+        assert abs(est_m[k] - exact[k]) / exact[k] <= 0.1

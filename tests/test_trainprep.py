@@ -175,3 +175,77 @@ class TestContamination:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestPackSequences:
+    """Concat-and-split packing: token conservation, stream order,
+    full-but-last invariant, empty-doc drop."""
+
+    def _input(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        rows = [
+            (i, i % 3, [f"t{i}_{j}" for j in range(i % 9)]) for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, shard int, toks array<string>"
+        )
+
+    def test_conservation_and_invariants(self, spark):
+        from pyspark.sql import functions as F
+
+        from enclaveid_data_pipeline_spark.operators.trainprep import (
+            pack_sequences,
+        )
+
+        df = self._input(spark)
+        out = pack_sequences(
+            df, "doc_id", F.col("toks"), seq_len=7, part_cols=("shard",)
+        ).collect()
+        in_rows = df.collect()
+        # every input token appears exactly once, in stream order
+        for shard in {r.shard for r in in_rows}:
+            stream = [
+                t
+                for r in sorted(in_rows, key=lambda r: r.doc_id)
+                if r.shard == shard
+                for t in r.toks
+            ]
+            packed = [
+                t
+                for r in sorted(
+                    (r for r in out if r.shard == shard),
+                    key=lambda r: r.seq_id,
+                )
+                for t in r.seq_tokens
+            ]
+            assert packed == stream
+        # all sequences full except possibly the last per shard
+        last = {}
+        for r in out:
+            last[r.shard] = max(last.get(r.shard, -1), r.seq_id)
+        for r in out:
+            if r.seq_id != last[r.shard]:
+                assert len(r.seq_tokens) == 7
+        # doc_ids are ascending within each sequence (stream order)
+        for r in out:
+            assert list(r.seq_doc_ids) == sorted(r.seq_doc_ids)
+            assert r.seq_n_docs == len(r.seq_doc_ids)
+
+    def test_empty_docs_dropped_and_validation(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from enclaveid_data_pipeline_spark.operators.trainprep import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, []), (3, ["c"])],
+            "doc_id long, toks array<string>",
+        )
+        out = pack_sequences(df, "doc_id", F.col("toks"), seq_len=10).collect()
+        assert len(out) == 1 and list(out[0].seq_doc_ids) == [1, 3]
+        assert list(out[0].seq_tokens) == ["a", "b", "c"]
+        with pytest.raises(ValueError, match="positive"):
+            pack_sequences(df, "doc_id", F.col("toks"), seq_len=0)
