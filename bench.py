@@ -56,6 +56,8 @@ HEADLINE = (
     "knn_bruteforce_top5",
     "knn_ivf_top5",
     "mock_embed_documents",
+    "packed_sequences_64",
+    "duplicated_ngram_fraction",
 )
 
 

@@ -1321,3 +1321,69 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "canonical_exact_dedup",
+    oracle="""
+    WITH variants AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, upper(text) || ' !!' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), keyed AS (
+        SELECT doc_id, md5(text) AS raw_key,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_key
+        FROM variants
+    )
+    SELECT canon_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_key) AS BIGINT) AS n_raw_keys,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM keyed
+    GROUP BY canon_key
+    HAVING count(*) >= 2
+    """,
+)
+def canonical_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style canonicalization before exact dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace, THEN hash — so trivially
+    reformatted replicas (case changes, punctuation, spacing) land in
+    one group where raw-byte hashing sees distinct documents. Every
+    10th doc gets a deterministic uppercased+punctuated replica;
+    the output pins that each such pair collapses to one canonical
+    group (``n_docs=2``) while carrying two raw keys (``n_raw_keys=2``
+    — the miss a non-normalizing dedup would make), with min-doc-id
+    canonical selection. All native string expressions (lower /
+    regexp_replace / md5): row-local until the single hash-keyed
+    groupBy, which partial-aggregates — the same skew-free shape as
+    exact_dedup_prefix80, so it scales identically."""
+    docs = read_table(spark, sf_dir, "documents")
+    variants = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+    )
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = variants.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("raw_key"),
+        F.md5(canon).alias("canon_key"),
+    )
+    return (
+        keyed.groupBy("canon_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_key").alias("n_raw_keys"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

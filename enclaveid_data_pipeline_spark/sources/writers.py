@@ -60,3 +60,45 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    max_rows_per_file: int = 100_000,
+    count_col: str | None = None,
+) -> "DataFrame":
+    """Tokenizer-shard sink: the endpoint of the trainprep pipeline
+    (dedup → filter → pack_sequences → HERE). Writes sequences
+    partitioned by ``shard_col`` with a bounded row count per file
+    (``spark.sql.files.maxRecordsPerFile`` — trainers memory-map
+    whole files, so file size must be capped independently of shard
+    skew), then returns a MANIFEST DataFrame — one row per emitted
+    file with its shard, row count, and summed ``count_col`` (e.g.
+    tokens per file) — built by re-scanning the written layout with
+    ``input_file_name()``. Trainers consume the manifest to plan
+    epoch schedules and data-parallel assignment without opening
+    shards; the re-scan is one pushdown-friendly pass over data that
+    was just written (hot in page cache), and makes the manifest
+    reflect what is actually on disk rather than what the writer
+    intended.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_rows_per_file))
+    try:
+        df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+    written = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if count_col is not None:
+        aggs.append(F.sum(count_col).cast("long").alias(f"total_{count_col}"))
+    return (
+        written.groupBy(
+            F.col(shard_col), F.input_file_name().alias("file")
+        ).agg(*aggs)
+    )

@@ -249,3 +249,44 @@ class TestPackSequences:
         assert list(out[0].seq_tokens) == ["a", "b", "c"]
         with pytest.raises(ValueError, match="positive"):
             pack_sequences(df, "doc_id", F.col("toks"), seq_len=0)
+
+
+def test_write_training_shards_manifest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.trainprep import (
+        pack_sequences,
+    )
+    from enclaveid_data_pipeline_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, i % 4, [f"t{i}_{j}" for j in range(1 + i % 11)]) for i in range(300)],
+        "doc_id long, shard int, toks array<string>",
+    )
+    packed = pack_sequences(
+        docs, "doc_id", F.col("toks"), seq_len=16, part_cols=("shard",)
+    ).withColumn("n_tokens", F.size("seq_tokens").cast("long"))
+    # repartition into one partition per shard so the row cap is the
+    # binding constraint, not task granularity
+    packed = packed.repartition("shard")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        packed, path, shard_col="shard", max_rows_per_file=7,
+        count_col="n_tokens",
+    )
+    rows = manifest.collect()
+    # every file respects the row cap
+    assert rows and all(r.n_rows <= 7 for r in rows)
+    # manifest totals reconcile exactly with the packed input
+    want = packed.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    assert sum(r.n_rows for r in rows) == want.n
+    assert sum(r.total_n_tokens for r in rows) == want.tok
+    # files live under their shard's partition directory
+    for r in rows:
+        assert f"shard={r.shard}" in r.file
+    # the written layout reads back complete
+    assert spark.read.parquet(path).count() == want.n
