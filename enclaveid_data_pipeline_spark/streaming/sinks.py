@@ -107,3 +107,62 @@ def partition_upsert_sink(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def rollup_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    measures: dict,
+    checkpoint_dir: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Continuously maintained rollup table: each micro-batch is
+    reduced to its mergeable partials (operators.rollup — sum / count
+    / min / max / hll sketches, never averages) and folded into the
+    persisted rollup, so the summary stays fresh at O(batch + keys)
+    per batch with the corpus never re-scanned. This is the streaming
+    twin of the batch ``merge_rollups`` fold, and the incremental
+    form of what ``complete``-mode aggregation would recompute from
+    all state every trigger.
+
+    Replay safety: the table embeds the last folded ``_batch_id``;
+    a redelivered micro-batch (crash between fold and checkpoint
+    commit) is detected and skipped, so non-idempotent measures
+    (sums, counts) are folded at-most-once per batch id. The rollup
+    is one row per key — reading it back and overwriting it each
+    batch is O(keys), and the read-merge-overwrite cycle cuts
+    lineage through a local materialization (the merged plan reads
+    the very files the overwrite replaces).
+    """
+    from ..operators.rollup import merge_rollups, rollup_partials
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 - first batch: no table yet
+            existing = None
+        if existing is not None:
+            done = existing.agg(F.max("_batch_id")).collect()[0][0]
+            if done is not None and batch_id <= done:
+                return  # replayed batch: already folded
+            merged = merge_rollups(
+                existing.drop("_batch_id"),
+                rollup_partials(batch_df, keys, measures),
+                keys,
+                measures,
+            )
+        else:
+            merged = rollup_partials(batch_df, keys, measures)
+        out = _materialize(
+            merged.withColumn("_batch_id", F.lit(batch_id)), "local"
+        )
+        out.write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

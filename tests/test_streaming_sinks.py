@@ -159,3 +159,72 @@ def test_transform_runs_per_batch(spark, tmp_path):
 
     rows = spark.read.parquet(out).collect()
     assert [(r.user_id, r.n) for r in rows] == [(7, 2)]
+
+
+def test_rollup_sink_folds_batches_and_skips_replay(spark, tmp_path):
+    """The rollup table after two micro-batches equals the one-shot
+    rollup of all rows (merge == full recompute, streamed), and a
+    full no-checkpoint replay folds nothing twice (batch-id guard)."""
+    from enclaveid_data_pipeline_spark.operators.rollup import (
+        rollup_partials,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import rollup_sink
+
+    stream_dir = tmp_path / "roll_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "roll_out")
+    keys = ("user_id",)
+    measures = {
+        "total": ("sum", "value"),
+        "n": ("count", "*"),
+        "first_us": ("min", "ts"),
+    }
+
+    def start():
+        return rollup_sink(
+            read_event_stream(spark, str(stream_dir)).select(
+                "user_id", "value", "ts"
+            ),
+            out,
+            keys,
+            measures,
+        )
+
+    b1 = [(1, BASE, 7, "click"), (2, BASE + 10, 7, "view"), (3, BASE, 9, "click")]
+    b2 = [(4, BASE + 20, 7, "click"), (5, BASE + 5, 11, "view")]
+    q = start()
+    try:
+        _drop(spark, tmp_path, stream_dir, "000", b1)
+        q.processAllAvailable()
+        _drop(spark, tmp_path, stream_dir, "001", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap():
+        return {
+            r.user_id: (r.total, r.n, r.first_us)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = snap()
+    all_rows = spark.createDataFrame(
+        b1 + b2, "event_id long, ts_us long, user_id long, event_type string"
+    ).select(
+        "user_id",
+        F.lit(1.0).alias("value"),
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+    )
+    want = {
+        r.user_id: (r.total, r.n, r.first_us)
+        for r in rollup_partials(all_rows, keys, measures).collect()
+    }
+    assert got == want and got[7][1] == 3
+
+    # replay: fresh query, no checkpoint, same inputs -> same table
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert snap() == want
