@@ -558,3 +558,196 @@ def lsh_bucketed_topk(
             "bucket",
         )
     )
+
+
+# ---- product quantization ----------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays (native HOF —
+    zip_with then one aggregate fold, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    seeds: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build product-quantization codebooks (Jégou et al. 2011) from a
+    small deterministic seed set: each seed vector is split into ``m``
+    equal subvectors; seed rank (by id) becomes the codeword id, so
+    subspace ``j`` gets codeword ``c`` = subvector ``j`` of the
+    ``c``-th seed. Deterministic seeds keep the whole index
+    oracle-replayable; a production pipeline would feed per-subspace
+    k-means centers (train with :func:`kmeans_refine` per subspace)
+    through the same shape.
+
+    Output: ``(subspace, code, subvec)`` — m × |seeds| rows, KBs total
+    (this is the table every encode/query broadcasts).
+    """
+    from pyspark.sql import Window
+
+    ranked = seeds.select(
+        F.col(id_col).alias("__sid"), as_double(F.col(vec_col)).alias("__sv")
+    ).withColumn(
+        "code",
+        (F.row_number().over(Window.orderBy("__sid")) - 1).cast("int"),
+    )
+    dsub = (F.size("__sv") / m).cast("int")
+    return ranked.select(
+        "code",
+        F.posexplode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__p", "subspace"),
+        F.col("__sv"),
+        dsub.alias("__d"),
+    ).select(
+        F.col("subspace").cast("int").alias("subspace"),
+        "code",
+        F.slice(
+            F.col("__sv"), F.col("subspace") * F.col("__d") + 1, F.col("__d")
+        ).alias("subvec"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` codeword ids — the PQ
+    compression step (d floats → m small ints; 64-dim float32 → 8
+    bytes at m=8). Per subspace: nearest codeword by squared L2,
+    ties on code id.
+
+    Physical shape: explode each vector into its m subvectors
+    (row-local slice), crossJoin the BROADCAST codebook rows of the
+    matching subspace, and argmin via ``min(struct(dist, code))``
+    grouped by (vec_id, subspace) — partial aggregation collapses
+    map-side, so the shuffle carries m rows per vector, never
+    |corpus| × |codewords|. A second groupBy folds the m codes into
+    one ordered array row per vector.
+
+    Output: ``(vec_id, codes array<int>)``.
+    """
+    dsub = (F.size("__v") / m).cast("int")
+    sub = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(F.sequence(F.lit(0), F.lit(m - 1))).alias(
+                "__p", "subspace"
+            ),
+            F.col("__v"),
+            dsub.alias("__d"),
+        )
+        .select(
+            "vec_id",
+            F.col("subspace").cast("int").alias("subspace"),
+            F.slice(
+                F.col("__v"), F.col("subspace") * F.col("__d") + 1, F.col("__d")
+            ).alias("__sub"),
+        )
+    )
+    dist = F.round(_l2sq(F.col("__sub"), F.col("subvec")), 6)
+    assigned = (
+        sub.join(F.broadcast(codebooks), on="subspace")
+        .select("vec_id", "subspace", dist.alias("dist"), "code")
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("s"))
+        .select("vec_id", "subspace", F.col("s.code").alias("code"))
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s.code,
+        ).alias("codes")
+    )
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, each corpus vector is its m codewords, and the
+    query→vector distance is the sum of per-subspace query→codeword
+    distances — one table lookup per subspace instead of a d-dim
+    scan, on a corpus that is m ints per row instead of d floats.
+
+    Physical shape: the per-query distance table (|Q| × m × |codes|
+    rows — KBs; this is what a GPU kernel would keep in shared
+    memory) is computed once by crossJoining the broadcast codebook,
+    and is itself broadcast into the probe join; exploded corpus
+    codes join it on (subspace, code), and the per-(query, vector)
+    sum partial-aggregates map-side — the shuffle carries one row
+    per (query, candidate), never the per-subspace terms. No UDFs
+    anywhere; ranking is the standard row_number window on the
+    already-small candidate frame.
+
+    Output: ``query_id, neighbor_id, adc_dist, rank`` (ascending
+    distance, id tie-break, self-matches excluded).
+    """
+    from pyspark.sql import Window
+
+    qtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("__q"),
+        )
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            F.round(
+                _l2sq(
+                    F.slice(
+                        F.col("__q"),
+                        F.col("subspace") * F.size("subvec") + 1,
+                        F.size("subvec"),
+                    ),
+                    F.col("subvec"),
+                ),
+                6,
+            ).alias("pdist"),
+        )
+    )
+    exploded = corpus_codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "neighbor_id", F.col("subspace").cast("int").alias("subspace"), "code"
+    )
+    adc = (
+        exploded.join(F.broadcast(qtab), on=["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

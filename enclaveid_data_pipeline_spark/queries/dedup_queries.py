@@ -1387,3 +1387,74 @@ def canonical_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_DUCK_L2SQ_SLICE = (
+    "(SELECT sum((x-y)*(x-y)) FROM (SELECT "
+    "unnest({a}[{j}*8+1 : {j}*8+8])::DOUBLE AS x, "
+    "unnest({b})::DOUBLE AS y) z)"
+)
+
+
+@register(
+    "pq_topk_adc",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT embedding,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM embeddings WHERE vec_id < 16
+    ), cb AS (
+        SELECT CAST(j.j AS INT) AS subspace, s.code,
+               s.embedding[j.j*8+1 : j.j*8+8] AS subvec
+        FROM seeds s, (SELECT unnest(generate_series(0, 7)) AS j) j
+    ), enc_pairs AS (
+        SELECT e.vec_id, c.subspace, c.code,
+               round({_DUCK_L2SQ_SLICE.format(a='e.embedding', j='c.subspace', b='c.subvec')}, 6) AS dist
+        FROM embeddings e, cb c
+    ), enc AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, subspace ORDER BY dist, code
+                   ) AS rn
+            FROM enc_pairs) WHERE rn = 1
+    ), qtab AS (
+        SELECT q.vec_id AS query_id, c.subspace, c.code,
+               round({_DUCK_L2SQ_SLICE.format(a='q.embedding', j='c.subspace', b='c.subvec')}, 6) AS pdist
+        FROM embeddings q, cb c WHERE q.vec_id % 50 = 0
+    ), adc AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               round(sum(t.pdist), 6) AS adc_dist
+        FROM enc e
+        JOIN qtab t ON t.subspace = e.subspace AND t.code = e.code
+        WHERE e.vec_id != t.query_id
+        GROUP BY t.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rank
+        FROM adc)
+    WHERE rank <= 5
+    """,
+)
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): the corpus is
+    compressed to 8 codeword ids per vector (8 subspaces × 8 dims
+    from deterministic seed codebooks — 64 float32 → 8 ints), and
+    each query ranks candidates by ASYMMETRIC distance: its exact
+    per-subspace distances to the codewords, summed by table lookup.
+    The 100 TB story is the compression ratio — the scan side shrinks
+    ~32×, the distance table per query is KBs and broadcast, the
+    per-(query,candidate) sum partial-aggregates map-side, and at
+    scale PQ composes with IVF (probe cells first, ADC-rank inside) —
+    composition tested in tests/test_dedup_knn_textstats.py. Seeded
+    codebooks keep encode + query byte-replayable in the oracle."""
+    from ..operators.knn import pq_codebooks, pq_encode, pq_topk_adc as _adc
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=8)
+    codes = pq_encode(emb, cb, m=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return _adc(queries, codes, cb, k=5)

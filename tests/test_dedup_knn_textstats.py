@@ -348,3 +348,117 @@ def test_random_projection_rejects_wide_output(spark):
     )
     with pytest.raises(ValueError):
         random_projection_grouped(vecs, out_dims=17)
+
+
+def _pq_vecs(spark):
+    """24 deterministic 8-dim vectors in 3 well-separated direction
+    families so exact top-1 is unambiguous."""
+    import math
+
+    rows = []
+    for i in range(24):
+        fam = i % 3
+        base = [0.0] * 8
+        base[fam * 2] = 1.0
+        base[fam * 2 + 1] = 0.3
+        # small deterministic per-vector perturbation within family;
+        # the 0.001*(i+1) term makes every vector's subvectors unique
+        # (no equidistant-codeword ties in any subspace)
+        eps = 0.01 * (i // 3)
+        vec = [
+            round(
+                b
+                + eps * math.sin(d + i)
+                + 0.001 * (i + 1) * math.cos(2 * d + i),
+                4,
+            )
+            for d, b in enumerate(base)
+        ]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_shape_and_self_code(spark):
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _pq_vecs(spark)
+    seeds = emb.filter("vec_id < 4")
+    cb = pq_codebooks(seeds, m=4)
+    assert cb.count() == 16  # 4 seeds x 4 subspaces
+    codes = pq_encode(emb, cb, m=4).collect()
+    assert len(codes) == 24 and all(len(r.codes) == 4 for r in codes)
+    # a seed vector encodes to its own codeword in every subspace
+    own = {r.vec_id: r.codes for r in codes if r.vec_id < 4}
+    for sid, cs in own.items():
+        assert cs == [sid] * 4
+
+
+def test_pq_adc_approximates_exact_ranking(spark):
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    emb = _pq_vecs(spark)
+    # one seed per family -> codebook can separate families
+    seeds = emb.filter("vec_id IN (0, 1, 2)")
+    cb = pq_codebooks(seeds, m=4)
+    codes = pq_encode(emb, cb, m=4)
+    q = emb.filter("vec_id IN (3, 4, 5)")
+    adc = pq_topk_adc(q, codes, cb, k=8).collect()
+    exact = brute_force_topk(q, emb, k=8).collect()
+    # ADC's nearest codeword family matches exact search's top-1 family
+    adc_top = {r.query_id: r.neighbor_id % 3 for r in adc if r.rank == 1}
+    exact_top = {r.query_id: r.neighbor_id % 3 for r in exact if r.rank == 1}
+    assert adc_top == exact_top
+    # every query ranks all non-self candidates (ADC is a total order)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in adc)
+    assert all(v == 8 for v in per_q.values())
+
+
+def test_ivf_pq_composition_ranks_within_probed_cells(spark):
+    """The production IVF-PQ shape: coarse cells bound the candidate
+    set, ADC ranks inside it — results are exactly ADC restricted to
+    the probed cells' members."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        _prep_centroids,
+        assign_cells,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    emb = _pq_vecs(spark)
+    cent = _prep_centroids(emb.filter("vec_id IN (0, 1, 2)"), "vec_id", "embedding")
+    cells = assign_cells(emb, cent, "vec_id", "embedding").select(
+        "vec_id", "cent_id"
+    )
+    cb = pq_codebooks(emb.filter("vec_id < 4"), m=4)
+    codes = pq_encode(emb, cb, m=4).join(cells, on="vec_id")
+    q = emb.filter("vec_id IN (6, 7)")
+    # probe = the query's own cell (nprobe=1 equivalent for this
+    # fixture: queries sit inside a family)
+    probes = assign_cells(q, cent, "vec_id", "embedding").select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+    candidates = codes.join(probes, on="cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    got = pq_topk_adc(
+        q, candidates.select("vec_id", "codes").distinct(), cb, k=3
+    ).collect()
+    # every returned neighbor lives in the probed cell of its query
+    cell_of = {r.vec_id: r.cent_id for r in cells.collect()}
+    probe_of = {r.query_id: r.cent_id for r in probes.collect()}
+    assert got
+    for r in got:
+        assert cell_of[r.neighbor_id] == probe_of[r.query_id]
