@@ -601,3 +601,48 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= radius)
         .select("left_id", "right_id", "hamming")
     )
+
+
+def blocked_edit_linkage(
+    probes: DataFrame,
+    catalog: DataFrame,
+    block_key,
+    max_edit: int = 1,
+    probe_id: str = "probe_id",
+    probe_text: str = "probe_text",
+    cat_id: str = "cat_id",
+    cat_text: str = "cat_text",
+) -> DataFrame:
+    """Record linkage / entity resolution by blocking + edit-distance
+    verification: candidate pairs come ONLY from an equi-join on a
+    cheap ``block_key`` (a Column function of the text — suffix,
+    soundex, sorted-token signature...), and the expensive
+    ``levenshtein`` runs on candidates alone — the same
+    candidates-then-verify discipline as the MinHash→Jaccard and
+    PPJoin paths, applied to fuzzy string identity.
+
+    Returns one row per (probe, catalog) candidate pair with
+    ``edit_dist`` and ``matched`` (dist ≤ ``max_edit``) — callers
+    aggregate to pick winners. Both sides carry their block key as
+    ``blk``; the join is a plain hash equi-join on it, so at scale
+    the catalog is bucketed by block key and a probe touches one
+    bucket, never the catalog. Block-key design controls recall
+    (a deletion anywhere except the key's own characters survives
+    blocking); edit distance controls precision.
+    """
+    p = probes.select(
+        F.col(probe_id),
+        F.col(probe_text),
+        block_key(F.col(probe_text)).alias("blk"),
+    )
+    c = catalog.select(
+        F.col(cat_id),
+        F.col(cat_text),
+        block_key(F.col(cat_text)).alias("blk"),
+    )
+    dist = F.levenshtein(F.col(probe_text), F.col(cat_text))
+    return (
+        p.join(c, on="blk")
+        .withColumn("edit_dist", dist.cast("long"))
+        .withColumn("matched", F.col("edit_dist") <= max_edit)
+    )

@@ -1458,3 +1458,89 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, cb, m=8)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return _adc(queries, codes, cb, k=5)
+
+
+@register(
+    "fuzzy_blocked_linkage",
+    oracle="""
+    WITH names AS (
+        SELECT c_custkey,
+               substr(md5(c_custkey::VARCHAR), 1, 8) || ' ' ||
+               substr(md5(c_custkey::VARCHAR), 9, 8) AS name
+        FROM customer
+    ), variants AS (
+        SELECT c_custkey + 1000000 AS probe_id,
+               substr(name, 1, c_custkey % 9)
+                   || substr(name, 2 + c_custkey % 9) AS probe_text
+        FROM names WHERE c_custkey % 7 = 0
+    ), p AS (
+        SELECT probe_id, probe_text, right(probe_text, 2) AS blk
+        FROM variants
+    ), c AS (
+        SELECT c_custkey AS cat_id, name AS cat_text,
+               right(name, 2) AS blk
+        FROM names
+    ), cand AS (
+        SELECT p.probe_id, p.blk, c.cat_id,
+               CAST(levenshtein(p.probe_text, c.cat_text) AS BIGINT)
+                   AS edit_dist
+        FROM p JOIN c ON p.blk = c.blk
+    )
+    SELECT probe_id,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN edit_dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(min(CASE WHEN edit_dist <= 1 THEN cat_id END) AS BIGINT)
+               AS matched_key
+    FROM cand
+    GROUP BY probe_id
+    """,
+)
+def fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking (operators.dedup.
+    blocked_edit_linkage): sparse two-word entity names (md5-derived
+    — the deterministic stand-in for real-world name sparsity; dense
+    zero-padded ids would collide at distance 1 by construction),
+    every 7th one perturbed by a one-char deletion into a "typo'd"
+    probe record, linked back to the catalog by a last-2-chars block
+    join + levenshtein ≤ 1 verification — never an all-pairs
+    comparison. Per probe: candidates its block held (the cost
+    actually paid, ~|catalog|/256), verified matches, resolved key.
+    The deletion lands before the block key's characters (first 9 of
+    17), so blocking never loses the true match; on sparse names the
+    edit-distance check rejects every other block member, so
+    n_matched=1 and matched_key is the true source. At 100 TB the
+    catalog is bucketed by block key — a probe reads one bucket."""
+    from ..operators.dedup import blocked_edit_linkage
+
+    cust = read_table(spark, sf_dir, "customer")
+    name = F.concat(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+        F.lit(" "),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 9, 8),
+    )
+    names = cust.select("c_custkey", name.alias("name"))
+    variants = names.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("probe_id"),
+        F.concat(
+            F.col("name").substr(F.lit(1), (F.col("c_custkey") % 9).cast("int")),
+            F.col("name").substr(
+                (F.lit(2) + F.col("c_custkey") % 9).cast("int"),
+                F.lit(100).cast("int"),
+            ),
+        ).alias("probe_text"),
+    )
+    catalog = names.select(
+        F.col("c_custkey").alias("cat_id"), F.col("name").alias("cat_text")
+    )
+    pairs = blocked_edit_linkage(
+        variants,
+        catalog,
+        block_key=lambda s: s.substr(F.length(s) - 1, F.lit(2)),
+        max_edit=1,
+    )
+    return pairs.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("matched").cast("long")).alias("n_matched"),
+        F.min(F.when(F.col("matched"), F.col("cat_id"))).alias("matched_key"),
+    )
