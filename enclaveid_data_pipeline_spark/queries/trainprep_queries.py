@@ -486,3 +486,80 @@ def packed_sequences_64(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("seq_doc_ids", lambda x: x.cast("string"))
         ).alias("doc_ids"),
     )
+
+
+from ..functions.textstats import STOPWORDS as _CURR_STOPWORDS
+from ..functions.textstats import quality_score
+
+_CURR_STOPS_SQL = ", ".join(f"'{s}'" for s in _CURR_STOPWORDS)
+
+
+@register(
+    "curriculum_phases",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), scored AS (
+        SELECT doc_id, len(t) AS n_tok,
+               round(
+                 0.4 * least(1.0, len(t)::DOUBLE / 100.0)
+               + 0.4 * (len(list_filter(t, x -> x IN ({_CURR_STOPS_SQL})))::DOUBLE / len(t))
+               + 0.2 * (1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE
+                               / length(text))), 6) AS quality
+        FROM toks
+    ), th AS (
+        SELECT round(quantile_cont(quality, 0.25), 6) AS q1,
+               round(quantile_cont(quality, 0.50), 6) AS q2,
+               round(quantile_cont(quality, 0.75), 6) AS q3
+        FROM scored
+    )
+    SELECT CASE WHEN quality >= q3 THEN 0
+                WHEN quality >= q2 THEN 1
+                WHEN quality >= q1 THEN 2
+                ELSE 3 END AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(min(quality), 6) AS min_q,
+           round(max(quality), 6) AS max_q
+    FROM scored, th
+    GROUP BY 1
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment for training-order scheduling: documents
+    bucket into 4 phases by quality quartile (phase 0 = cleanest,
+    trained first — the standard quality-curriculum recipe). The
+    scalable shape is thresholds-then-CASE, NOT a global ntile: a
+    global ntile needs a single total-order window task, while the
+    three quartile scalars stay in-plan as a broadcast 1-row cross
+    join (SURVEY X7) and the phase label is a row-local expression —
+    the corpus is never globally sorted. Per phase: doc/token totals
+    and the quality band, i.e. the table a training scheduler
+    consumes."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_tok"),
+        quality_score(F.col("text"), tokenize(F.col("text"))).alias("quality"),
+    )
+    th = scored.agg(
+        F.round(F.percentile(F.col("quality"), F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(F.col("quality"), F.lit(0.50)), 6).alias("q2"),
+        F.round(F.percentile(F.col("quality"), F.lit(0.75)), 6).alias("q3"),
+    )
+    phase = (
+        F.when(F.col("quality") >= F.col("q3"), 0)
+        .when(F.col("quality") >= F.col("q2"), 1)
+        .when(F.col("quality") >= F.col("q1"), 2)
+        .otherwise(3)
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy(phase.cast("long").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.min("quality"), 6).alias("min_q"),
+            F.round(F.max("quality"), 6).alias("max_q"),
+        )
+    )
