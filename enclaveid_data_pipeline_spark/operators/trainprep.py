@@ -263,3 +263,47 @@ def mixture_sample(
         else F.lit(default_rate)
     )
     return df.filter(hash_bucket(key, buckets) < rate_expr * buckets)
+
+
+def with_global_ordinal(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    out_col: str = "ordinal",
+) -> DataFrame:
+    """Dense 0-based global ordinal over (shard, order) — the "row
+    number across the whole corpus" a trainer needs for deterministic
+    resume points and sample addressing — WITHOUT a global-order
+    window (which plans as one task holding the total order).
+
+    Two-pass shape: per-shard counts (one tiny aggregate), a window
+    cumsum over the SHARD COUNT table only (|shards| rows — driver-
+    free and trivially small), broadcast the per-shard offsets back,
+    and add the within-shard row_number. The big side's window
+    partitions by shard, so every task orders only its shard —
+    parallelism = shard count, same contract as
+    :func:`pack_sequences`.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(shard_col).agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy(shard_col).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select(shard_col, "__offset")
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    return (
+        df.join(F.broadcast(offsets), on=shard_col)
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"),
+        )
+        .drop("__offset")
+    )

@@ -239,3 +239,16 @@ def read_text_lines(
     text-analysis and dedup operators. No parsing, no schema drift;
     pair with ``F.input_file_name()`` for provenance."""
     return spark.read.text(path, wholetext=wholetext, lineSep=line_sep)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet layout whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a corpus
+    table). Plain reads infer the schema from one footer, silently
+    dropping columns the sampled file lacks; ``mergeSchema`` unions
+    every file's schema instead, with files that predate a column
+    yielding NULL for it. Schema merge reads all footers (metadata
+    only, not data) — at 100 TB prefer a catalog/table format for the
+    schema and keep this for ad-hoc layouts; column REMOVAL or type
+    change is not evolution and should go through a rewrite."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -126,3 +126,30 @@ def test_text_lines_and_wholetext(spark, tmp_path):
     rows = {r.src.rsplit("/", 1)[-1]: r.value for r in docs.collect()}
     assert rows["a.txt"].count("\n") == 2
     assert rows["b.txt"] == "doc two only line\n"
+
+
+def test_read_evolved_merges_added_columns(spark, tmp_path):
+    """Files written before a column existed read back as NULL for
+    it under mergeSchema; the plain read samples one footer and can
+    silently drop the new column (the pitfall read_evolved closes)."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.readers import read_evolved
+
+    path = str(tmp_path / "evolve")
+    v1 = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.range(3, 5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    v2.write.mode("append").parquet(path)
+
+    got = read_evolved(spark, path)
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+    assert got.count() == 5
+    assert got.filter(F.col("lang").isNull()).count() == 3
+    assert got.filter("lang = 'en'").count() == 2

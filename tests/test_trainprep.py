@@ -290,3 +290,26 @@ def test_write_training_shards_manifest(spark, tmp_path):
         assert f"shard={r.shard}" in r.file
     # the written layout reads back complete
     assert spark.read.parquet(path).count() == want.n
+
+
+def test_with_global_ordinal_dense_and_shard_parallel(spark):
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.trainprep import (
+        with_global_ordinal,
+    )
+
+    df = spark.createDataFrame(
+        [(s, i) for s in (2, 0, 1) for i in range(10 * (s + 1))],
+        "shard int, seq long",
+    ).repartition(8)
+    out = with_global_ordinal(df, "shard", "seq").collect()
+    # dense 0..n-1, and ordered by (shard, seq)
+    got = sorted((r.ordinal, r.shard, r.seq) for r in out)
+    assert [g[0] for g in got] == list(range(60))
+    assert got == sorted(
+        (i, s, q)
+        for i, (s, q) in enumerate(
+            sorted((r.shard, r.seq) for r in out)
+        )
+    )
