@@ -49,9 +49,23 @@ def calendar_offset(ts: Column, offset: str) -> Column:
     return F.timestamp_add("SECOND", F.lit(seconds), ts)
 
 
+def epoch_micros(ts: Column | str) -> Column:
+    """Microseconds since the epoch for BOTH timestamp flavors.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ outright, and parquet
+    sources with ``isAdjustedToUTC=false`` (this repo's ``events``
+    table) surface as NTZ — so every epoch conversion goes through
+    this cast. The session pins ``spark.sql.session.timeZone=UTC``
+    (session.py), which makes the NTZ→LTZ cast a micros-identity and
+    keeps parity with DuckDB's ``epoch_us`` on naive timestamps.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def epoch_seconds(ts: Column) -> Column:
     """F5: ``EXTRACT('epoch' FROM ts)`` with fractional seconds."""
-    return F.unix_micros(ts).cast("double") / F.lit(1_000_000.0)
+    return epoch_micros(ts).cast("double") / F.lit(1_000_000.0)
 
 
 def hhmm_to_timestamp(date_col: Column, hhmm: Column) -> Column:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutils import epoch_micros
 from ..operators.asof import asof_join_union
 from ..operators.skew import salted_count_by_key
 from ..sources.readers import read_table
@@ -122,7 +123,7 @@ def events_in_shrunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     pts = ev.select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_id", epoch_micros("ts").alias("ts_us")
     )
     hour_us = 3_600_000_000
     w = (
@@ -130,8 +131,8 @@ def events_in_shrunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_format("ts", "yyyy-MM-dd").alias("date_s")
         )
         .agg(
-            (F.unix_micros(F.min("ts")) + hour_us).alias("start_us"),
-            (F.unix_micros(F.max("ts")) - hour_us).alias("end_us"),
+            (epoch_micros(F.min("ts")) + hour_us).alias("start_us"),
+            (epoch_micros(F.max("ts")) - hour_us).alias("end_us"),
         )
         .filter(F.col("start_us") <= F.col("end_us"))
     )

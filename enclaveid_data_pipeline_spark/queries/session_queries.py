@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutils import epoch_micros
 from ..operators.sessionize import chunk_ids
 from ..sources.readers import read_table
 from .registry import register
@@ -31,7 +32,7 @@ def _events_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     return ev.withColumn("prev_ts", prev).withColumn(
-        "gap_us", F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+        "gap_us", epoch_micros(F.col("ts")) - epoch_micros(prev)
     )
 
 

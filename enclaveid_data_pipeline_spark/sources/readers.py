@@ -144,6 +144,19 @@ def apply_row_limit(df: DataFrame, limit: int | None) -> DataFrame:
     return df if limit is None else df.limit(limit)
 
 
+def strip_zone_pattern(fmt: str) -> str:
+    """Derive the TIMESTAMP_NTZ datetime pattern from an LTZ one by
+    dropping the trailing zone-offset tokens (``X``/``x``/``Z``/
+    ``O``/``V``/``z``). Spark's text writers format NTZ columns with
+    ``timestampNTZFormat`` — ``timestampFormat`` is silently ignored
+    for them — and an NTZ pattern must not carry an offset section,
+    so one user-supplied format has to serve both: parquet sources
+    with ``isAdjustedToUTC=false`` (this repo's ``events`` table)
+    surface as NTZ, while the same reader must also accept LTZ DDLs.
+    """
+    return fmt.rstrip("XxZzOV")
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,
@@ -170,7 +183,9 @@ def read_csv_table(
         .option("mode", mode)
     )
     if timestamp_format is not None:
-        r = r.option("timestampFormat", timestamp_format)
+        r = r.option("timestampFormat", timestamp_format).option(
+            "timestampNTZFormat", strip_zone_pattern(timestamp_format)
+        )
     return r.csv(path)
 
 
@@ -196,7 +211,9 @@ def read_jsonl(
         .option("mode", mode)
     )
     if timestamp_format is not None:
-        r = r.option("timestampFormat", timestamp_format)
+        r = r.option("timestampFormat", timestamp_format).option(
+            "timestampNTZFormat", strip_zone_pattern(timestamp_format)
+        )
     return r.json(path)
 
 

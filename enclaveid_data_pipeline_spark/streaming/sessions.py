@@ -10,39 +10,87 @@ state cleanup for late data — the piece the reference lacks entirely.
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: The corpus events.parquet stores ts as TIMESTAMP(NANOS); the stream
-#: schema reads it as raw INT64 nanos and converts at the boundary
+
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Legacy layout: events.parquet written as TIMESTAMP(NANOS) — the
+#: stream schema reads raw INT64 nanos and converts at the boundary
 #: (same convention as sources.readers for the batch path).
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+EVENT_SCHEMA = _event_schema(T.LongType())
+
+#: Current layout: TIMESTAMP(MICROS, isAdjustedToUTC=false) — read
+#: directly as TIMESTAMP_NTZ, no conversion needed.
+EVENT_SCHEMA_US = _event_schema(T.TimestampNTZType())
+
+
+def _ts_is_nanos(directory: str, glob: str) -> bool:
+    """Peek ONE parquet footer to pick the stream schema. A stream
+    source needs its schema up front, but the corpus has shipped in
+    two layouts (int64/TIMESTAMP(NANOS) vs μs NTZ) — one driver-side
+    footer read resolves it instead of hardcoding either. Defaults to
+    the current μs layout when no file has landed yet."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:  # no pyarrow → assume current layout
+        return False
+    for p in sorted(_glob.glob(os.path.join(directory, glob))):
+        try:
+            typ = pq.ParquetFile(p).schema_arrow.field("ts").type
+        except (OSError, KeyError, pa.ArrowInvalid):
+            return False
+        return pa.types.is_int64(typ) or (
+            pa.types.is_timestamp(typ) and typ.unit == "ns"
+        )
+    return False
 
 
 def read_event_stream(
-    spark: SparkSession, directory: str, glob: str = "events*.parquet"
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events*.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over event parquet drops (the streaming
-    replacement for the reference's directory-diff sensor, S9)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(directory)
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    replacement for the reference's directory-diff sensor, S9).
+    Schema-adaptive across both corpus layouts via a one-footer peek;
+    either way the stream surfaces ``ts`` as a proper timestamp.
+    ``max_files_per_trigger`` pins drop→micro-batch granularity in
+    tests (and bounds batch size in production backfills)."""
+    nanos = _ts_is_nanos(directory, glob)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    r = spark.readStream.schema(
+        EVENT_SCHEMA if nanos else EVENT_SCHEMA_US
+    ).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = r.parquet(directory)
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks/windows demand TIMESTAMP (LTZ) — surface the NTZ
+        # source column as LTZ (micros-identity under the UTC session)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_session_counts(

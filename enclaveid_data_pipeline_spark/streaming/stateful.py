@@ -169,7 +169,9 @@ def stateful_sessionize(
         # stateful op's input — projecting it away detaches the
         # watermark and EventTimeTimeout refuses to plan
         prepared = prepared.withWatermark("__ts", watermark_delay)
-    prepared = prepared.withColumn("ts_us", F.unix_micros(F.col("__ts")))
+    prepared = prepared.withColumn(
+        "ts_us", F.unix_micros(F.col("__ts").cast("timestamp"))
+    )
     out = prepared.groupBy("user_id").applyInPandasWithState(
         _make_session_fn(
             int(gap_seconds * 1_000_000),

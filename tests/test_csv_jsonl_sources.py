@@ -13,10 +13,20 @@ from enclaveid_data_pipeline_spark.sources.readers import (
     read_table,
 )
 
+# events.ts comes off parquet as TIMESTAMP_NTZ (isAdjustedToUTC=false)
+# — the DDL must say so, or the reader would reinterpret wall-clock
+# values through the session zone.
 EVENTS_DDL = (
-    "event_id long, ts timestamp, user_id long, "
+    "event_id long, ts timestamp_ntz, user_id long, "
     "event_type string, value double, props string"
 )
+
+#: one user-facing format; writers need it under BOTH option names
+#: (Spark picks timestampNTZFormat for NTZ columns and silently
+#: ignores timestampFormat there — readers.strip_zone_pattern mirrors
+#: this on the read side).
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+TS_FMT_NTZ = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def _events(spark, sf_dir):
@@ -36,13 +46,11 @@ def test_csv_round_trip(spark, sf_dir, tmp_path):
     path = str(tmp_path / "events_csv")
     (
         src.write.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT_NTZ)
         .csv(path)
     )
-    back = read_csv_table(
-        spark, path, EVENTS_DDL,
-        timestamp_format="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-    )
+    back = read_csv_table(spark, path, EVENTS_DDL, timestamp_format=TS_FMT)
     _assert_same(src, back)
     # props JSON (quotes, commas, braces) survived CSV quoting
     assert back.filter(F.col("props").startswith("{")).count() == back.count()
@@ -51,9 +59,13 @@ def test_csv_round_trip(spark, sf_dir, tmp_path):
 def test_jsonl_round_trip(spark, sf_dir, tmp_path):
     src = _events(spark, sf_dir)
     path = str(tmp_path / "events_jsonl")
-    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # μs; JSON default is ms
-    src.write.option("timestampFormat", fmt).json(path)
-    back = read_jsonl(spark, path, EVENTS_DDL, timestamp_format=fmt)
+    # μs on both column flavors; JSON default keeps ms only
+    (
+        src.write.option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT_NTZ)
+        .json(path)
+    )
+    back = read_jsonl(spark, path, EVENTS_DDL, timestamp_format=TS_FMT)
     _assert_same(src, back)
 
 

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from enclaveid_data_pipeline_spark.operators.sessionize import sessionize
 from enclaveid_data_pipeline_spark.sources.readers import read_table
-from enclaveid_data_pipeline_spark.streaming.sessions import EVENT_SCHEMA
+from enclaveid_data_pipeline_spark.streaming.sessions import read_event_stream
 from enclaveid_data_pipeline_spark.streaming.stateful import stateful_sessionize
 
 
@@ -29,7 +29,10 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_pa
     gap_us = 1800 * 1_000_000
     tbl = pq.read_table(src).sort_by("ts")
     pdf = tbl.to_pandas().reset_index(drop=True)
-    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    if pdf["ts"].dtype.kind == "M":  # μs-timestamp layout
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    else:  # legacy int64-nanos layout
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
     users = pdf["user_id"].to_numpy()
 
     split_idx = span_a_us = span_b_us = span_user = None
@@ -59,13 +62,10 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_pa
     pq.write_table(tbl.slice(0, split_idx), stream_dir / "events-000.parquet")
     pq.write_table(tbl.slice(split_idx), stream_dir / "events-001.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)  # force one drop per batch
-        .parquet(str(stream_dir))
+    # one drop per micro-batch; schema adapts to the corpus layout
+    stream = read_event_stream(
+        spark, str(stream_dir), max_files_per_trigger=1
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     out = stateful_sessionize(stream, gap_seconds=1800.0)
     q = (
@@ -122,7 +122,8 @@ def _drop_events(spark, tmp_path, stream_dir, name, rows):
         rows, "event_id long, ts_us long, user_id long"
     ).select(
         "event_id",
-        (F.col("ts_us") * 1000).alias("ts"),  # ns, like the corpus
+        # μs NTZ, like the current corpus layout
+        F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
         "user_id",
         F.lit("click").alias("event_type"),
         F.lit(1.0).alias("value"),
@@ -137,13 +138,9 @@ def _drop_events(spark, tmp_path, stream_dir, name, rows):
 
 
 def _read_stream(spark, stream_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stream_dir))
+    return read_event_stream(
+        spark, str(stream_dir), max_files_per_trigger=1
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 BASE_US = 1_700_000_000_000_000

@@ -73,7 +73,7 @@ def test_cross_batch_state_matching(spark, tmp_path):
         ).select(
             "event_id",
             # file carries raw int64 (ns) like events.parquet
-            (F.col("ts_us") * 1000).alias("ts"),
+            F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
             "user_id",
             "event_type",
             F.lit(1.0).alias("value"),

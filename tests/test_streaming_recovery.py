@@ -14,18 +14,16 @@ import pathlib
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from enclaveid_data_pipeline_spark.streaming.sessions import EVENT_SCHEMA
+from enclaveid_data_pipeline_spark.streaming.sessions import read_event_stream
 
 
 def _start(spark, stream_dir, out_dir, ckpt_dir):
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stream_dir))
+    raw = read_event_stream(
+        spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
     )
     events = raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "ts",
         "user_id",
         "value",
     )
@@ -97,13 +95,9 @@ def test_streaming_exact_dedup_across_batches(spark, sf_dir, tmp_path):
     dup = tbl.slice(half - 100, 100 + (n - half))
     pq.write_table(dup, stream_dir / "d1.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stream_dir))
+    events = read_event_stream(
+        spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = streaming_exact_dedup(events, watermark="365 days")
 
     q = (

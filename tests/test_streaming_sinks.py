@@ -23,7 +23,8 @@ def _drop(spark, tmp_path, stream_dir, name, rows):
         rows, "event_id long, ts_us long, user_id long, event_type string"
     ).select(
         "event_id",
-        (F.col("ts_us") * 1000).alias("ts"),
+        # μs NTZ, like the current corpus layout
+        F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
         "user_id",
         "event_type",
         F.lit(1.0).alias("value"),
@@ -213,7 +214,7 @@ def test_rollup_sink_folds_batches_and_skips_replay(spark, tmp_path):
     ).select(
         "user_id",
         F.lit(1.0).alias("value"),
-        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
     )
     want = {
         r.user_id: (r.total, r.n, r.first_us)
