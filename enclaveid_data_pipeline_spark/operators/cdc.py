@@ -1,0 +1,145 @@
+"""Change-data-capture operators: latest-wins snapshots, SCD Type-2
+history, and changelog-into-snapshot merge.
+
+The reference keeps its per-user tables fresh by re-materializing
+them wholesale when the poll sensor fires (reference
+sensors/__init__.py:16-40) and upserts into Postgres by
+delete-then-append per partition (reference
+assets/recent_history.py:127-178). At 100 TB neither form survives:
+the engine needs the *changelog* algebra — reduce a stream of keyed
+change rows to current state, fold a new batch of changes into a
+persisted snapshot in O(|snapshot| + |batch|), and keep attribute
+history as validity intervals instead of overwriting it.
+
+All three operators are one window or one union+window over rows
+hash-partitioned by the business key — no driver state, no
+iteration. At scale, snapshot and changelog both live bucketed by
+``keys``, which turns every shuffle here into a co-located,
+exchange-free pass; the same layout serves the point-lookup path.
+
+Ordering discipline: ``seq_cols`` must be a TOTAL order per key
+(e.g. ``(ts, event_id)`` with a unique id last). With ties possible,
+"latest" is nondeterministic under retries — the same reason the
+split operator hashes instead of calling ``rand()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _desc_order(seq_cols: Sequence[str]) -> list[Column]:
+    return [F.col(c).desc() for c in seq_cols]
+
+
+def latest_snapshot(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """Reduce a changelog to current state: the newest row per key,
+    with keys whose newest row is a delete removed entirely (the
+    Debezium/CDC contract: a trailing tombstone wins).
+
+    One window over one shuffle on ``keys``. ``WindowGroupLimit``
+    pushes the rank-1 filter below the sort at the partial level, so
+    each map task forwards at most one row per key it holds — the
+    shuffle carries surviving candidates, not the changelog.
+    """
+    w = Window.partitionBy(*keys).orderBy(*_desc_order(seq_cols))
+    cur = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if op_col is not None:
+        cur = cur.filter(~F.col(op_col).isin(list(delete_ops)))
+    return cur
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """Fold one batch of change rows into a persisted snapshot —
+    the engine form of MERGE INTO (and of the reference's
+    delete-then-append upsert, assets/recent_history.py:127-178):
+    inserts appear, newer updates win, deletes drop the key.
+
+    ``union → newest-per-key`` rather than join-per-case: one window
+    pass handles insert/update/delete uniformly, and equals a full
+    :func:`latest_snapshot` recompute over the concatenated
+    changelog (the invariant the ``cdc_merge_upsert`` oracle pins)
+    because picking the newest of (newest-of-A, B) is associative
+    when ``seq_cols`` is a total order. Cost is
+    O(|snapshot| + |batch|), never corpus history; with both sides
+    bucketed by ``keys`` the union aggregates without an exchange.
+
+    The snapshot side carries no ``op_col`` (it holds only live
+    rows); batch rows supply theirs, snapshot rows rank as plain
+    upserts.
+    """
+    if op_col is None:
+        merged = snapshot.unionByName(batch)
+        return latest_snapshot(merged, keys, seq_cols)
+    snap = snapshot.withColumn(op_col, F.lit("U"))
+    merged = snap.unionByName(batch.select(*snap.columns))
+    return latest_snapshot(
+        merged, keys, seq_cols, op_col=op_col, delete_ops=delete_ops
+    ).drop(op_col)
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: collapse a changelog into
+    validity intervals per key — one row per *change* of the tracked
+    attributes, carrying ``effective_from`` (this row's ``seq_col``),
+    ``effective_to`` (the next change's, NULL while current),
+    ``is_current`` and a per-key ``version`` ordinal.
+
+    Two windows over the SAME partitioning (keys) and ordering, so
+    Catalyst plans one shuffle and one sort for both: a ``lag`` per
+    attribute marks change rows (``IS DISTINCT FROM`` keeps
+    NULL-valued attributes honest), then ``lead``/``row_number`` over
+    the surviving change rows close the intervals. Consecutive
+    duplicates collapse — re-delivered unchanged rows never mint
+    spurious versions, which is what makes the operator safe to run
+    over at-least-once ingest.
+    """
+    order = [F.col(seq_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # first row per key always opens an interval; afterwards a row is
+    # a change iff ANY tracked attribute differs null-safely from the
+    # previous row's value
+    changed = F.row_number().over(w) == 1
+    for a in attr_cols:
+        changed = changed | ~F.lag(F.col(a)).over(w).eqNullSafe(F.col(a))
+
+    change_rows = changelog.withColumn("__is_change", changed).filter(
+        F.col("__is_change")
+    )
+
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        change_rows.withColumn(
+            "effective_from", F.col(seq_col)
+        )
+        .withColumn("effective_to", F.lead(seq_col).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .withColumn("version", F.row_number().over(w2))
+        .drop("__is_change")
+    )

@@ -21,5 +21,6 @@ from . import asof_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
 from . import tpch2_queries  # noqa: E402,F401
 from . import trainprep_queries  # noqa: E402,F401
+from . import cdc_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,171 @@
+"""Change-data-capture queries over the ``events`` table
+(operators.cdc): latest-wins snapshot reduction, SCD Type-2 validity
+intervals, and the batch-into-snapshot merge pinned against a full
+recompute.
+
+The ``events`` stream doubles as the changelog: key is
+``(user_id, event_type)`` (or ``user_id`` for the dimension case),
+``(ts, event_id)`` is the total per-key order, and a deterministic
+``op`` column derives deletes from the payload so the oracle can
+replay the exact same changelog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import apply_changes, latest_snapshot, scd2_history
+from ..sources.readers import read_table
+from .registry import register
+
+_DUCK_OP = "CASE WHEN value < 10 THEN 'D' ELSE 'U' END"
+
+
+def _op():
+    """Tombstone rule shared by every query here (and their
+    oracles): tiny-value rows are deletes. A function because classic
+    PySpark Columns need a live SparkContext at construction."""
+    return F.when(F.col("value") < 10, F.lit("D")).otherwise(F.lit("U"))
+
+_TS_S = "yyyy-MM-dd HH:mm:ss"
+_DUCK_TS_S = "%Y-%m-%d %H:%M:%S"
+
+#: merge boundary for the upsert query: snapshot is built from rows
+#: before this instant, the "incoming batch" is everything after.
+_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "cdc_latest_snapshot",
+    oracle=f"""
+    WITH c AS (
+        SELECT *, {_DUCK_OP} AS op FROM events
+    ), cur AS (
+        SELECT * FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           round(value, 4) AS last_value,
+           strftime(ts, '{_DUCK_TS_S}') AS last_ts
+    FROM cur WHERE op <> 'D'
+    """,
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state: newest row per (user_id,
+    event_type), keys whose newest row is a tombstone dropped. One
+    shuffle on the key; ``WindowGroupLimit`` keeps the per-task
+    forward volume at one row per key."""
+    ch = read_table(spark, sf_dir, "events").withColumn("op", _op())
+    cur = latest_snapshot(
+        ch, keys=("user_id", "event_type"), seq_cols=("ts", "event_id"),
+        op_col="op",
+    )
+    return cur.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+        F.date_format("ts", _TS_S).alias("last_ts"),
+    )
+
+
+@register(
+    "scd2_value_band_history",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value / 50) AS INT) AS band
+        FROM events
+    ), m AS (
+        SELECT *,
+               (row_number() OVER w = 1 OR
+                lag(band) OVER w IS DISTINCT FROM band) AS is_change
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT * FROM m WHERE is_change
+    )
+    SELECT user_id, band,
+           strftime(ts, '{_DUCK_TS_S}') AS effective_from_s,
+           coalesce(strftime(lead(ts) OVER w2, '{_DUCK_TS_S}'),
+                    'current') AS effective_to_s,
+           CAST(lead(ts) OVER w2 IS NULL AS BIGINT) AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
+    FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_value_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 over a derived dimension attribute (the value
+    quartile band per user): one validity interval per change, with
+    consecutive duplicates collapsed so at-least-once redelivery
+    never mints a version. Both windows share one shuffle+sort on
+    user_id."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") / 50).cast("int").alias("band"),
+    )
+    hist = scd2_history(
+        ev, keys=("user_id",), seq_col="ts", attr_cols=("band",),
+        tiebreak_cols=("event_id",),
+    )
+    return hist.select(
+        "user_id",
+        "band",
+        F.date_format("effective_from", _TS_S).alias("effective_from_s"),
+        F.coalesce(
+            F.date_format("effective_to", _TS_S), F.lit("current")
+        ).alias("effective_to_s"),
+        F.col("is_current").cast("long").alias("is_current"),
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH c AS (
+        SELECT *, {_DUCK_OP} AS op FROM events
+    ), cur AS (
+        SELECT * FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+    ), live AS (
+        SELECT * FROM cur WHERE op <> 'D'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE), 2)
+               AS sum_value,
+           strftime(max(ts), '{_DUCK_TS_S}') AS max_ts_s
+    FROM live GROUP BY event_type
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge invariant, end to end: build a snapshot from the
+    changelog before the cutoff, apply the post-cutoff rows as a
+    batch with :func:`apply_changes`, and summarize the merged
+    state. The oracle computes current state over the WHOLE
+    changelog in one pass — hash equality IS the proof that
+    fold-a-batch == full recompute, the property that lets the
+    100 TB snapshot refresh in O(batch) instead of O(history).
+    DECIMAL sum for order-independent money math."""
+    keys = ("user_id", "event_type")
+    seq = ("ts", "event_id")
+    ev = read_table(spark, sf_dir, "events").withColumn("op", _op())
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    snap = latest_snapshot(
+        ev.filter(F.col("ts") < cutoff), keys, seq, op_col="op"
+    ).drop("op")
+    batch = ev.filter(F.col("ts") >= cutoff)
+    merged = apply_changes(snap, batch, keys, seq, op_col="op")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.date_format(F.max("ts"), _TS_S).alias("max_ts_s"),
+    )
