@@ -646,3 +646,68 @@ def blocked_edit_linkage(
         .withColumn("edit_dist", dist.cast("long"))
         .withColumn("matched", F.col("edit_dist") <= max_edit)
     )
+
+
+def bloom_positions(key: Column, m: int, k: int) -> Column:
+    """The ``k`` bit positions a membership key sets in an ``m``-bit
+    Bloom filter, as ``array<long>`` — Kirsch-Mitzenmacher double
+    hashing (pos_i = (h1 + i·h2) mod m), so ONE md5 digest per key
+    serves all k probes, same discipline as :func:`shingle_hashes`.
+    Deterministic → oracle-replayable."""
+    h1 = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 7), 16, 10).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (h1 + i * h2) % F.lit(m),
+    )
+
+
+def bloom_fingerprint(
+    corpus: DataFrame, key: Column, m: int, k: int
+) -> DataFrame:
+    """Corpus membership fingerprint: the DISTINCT set bit positions,
+    one ``pos`` row each — the relational form of the filter's bitmap.
+
+    Size is ≤ min(m, |corpus|·k) longs no matter how large the corpus
+    text is: the 100 TB corpus compresses to a fingerprint a probe
+    job can cheaply join (bucketed by ``pos`` at scale, or folded
+    further into an actual bitmap per pos-range). Append-only under
+    corpus growth — new batches just union their positions in, the
+    same O(batch) maintenance contract as operators.rollup."""
+    return (
+        corpus.select(F.explode(bloom_positions(key, m, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    probes: DataFrame,
+    fingerprint: DataFrame,
+    id_col: str,
+    key: Column,
+    m: int,
+    k: int,
+) -> DataFrame:
+    """Probe the fingerprint: a probe is ``maybe_member`` iff ALL k
+    of its positions are set (no false negatives; false-positive rate
+    ≈ (bits_set/m)^k — size m accordingly). The Bloom gate is the
+    cheap first stage of incremental exact dedup: only flagged probes
+    go on to the exact verify join, so the corpus-sized side is
+    touched per-position, never per-text.
+
+    Plan shape: explode k positions per probe → ONE equi-join on
+    ``pos`` → count hits per probe. No all-pairs anything; skew-free
+    because md5 positions are uniform."""
+    pp = probes.withColumn("__pos", F.explode(bloom_positions(key, m, k)))
+    hits = (
+        pp.join(
+            fingerprint.withColumnRenamed("pos", "__pos").withColumn(
+                "__hit", F.lit(1)
+            ),
+            on="__pos",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg((F.count("__hit") == F.lit(k)).alias("maybe_member"))
+    )
+    return probes.join(hits, on=id_col, how="left").drop("__pos")

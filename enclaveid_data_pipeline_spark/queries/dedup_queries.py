@@ -1544,3 +1544,87 @@ def fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("matched").cast("long")).alias("n_matched"),
         F.min(F.when(F.col("matched"), F.col("cat_id"))).alias("matched_key"),
     )
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+#: DuckDB twin of operators.dedup.bloom_positions over column kk.
+_DUCK_BLOOM_POS = (
+    f"list_transform(generate_series(0, {_BLOOM_K - 1}), "
+    f"i -> (('0x' || substr(md5(kk), 1, 7))::BIGINT "
+    f"+ i * ('0x' || substr(md5(kk), 9, 7))::BIGINT) % {_BLOOM_M})"
+)
+
+
+@register(
+    "bloom_membership_probe",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 80) AS kk FROM documents
+    ), corpus AS (
+        SELECT * FROM d WHERE doc_id % 2 = 0
+    ), probes AS (
+        SELECT * FROM d WHERE doc_id % 2 = 1
+    ), fp AS (
+        SELECT DISTINCT unnest({_DUCK_BLOOM_POS}) AS pos FROM corpus
+    ), pp AS (
+        SELECT doc_id, unnest({_DUCK_BLOOM_POS}) AS pos FROM probes
+    ), hits AS (
+        SELECT pp.doc_id, (count(fp.pos) = {_BLOOM_K}) AS maybe
+        FROM pp LEFT JOIN fp USING (pos) GROUP BY pp.doc_id
+    ), truth AS (
+        SELECT DISTINCT kk FROM corpus
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN h.maybe THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN t.kk IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN h.maybe AND t.kk IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positives
+    FROM probes p
+    JOIN hits h USING (doc_id)
+    LEFT JOIN truth t USING (kk)
+    """,
+)
+def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate for incremental corpus dedup
+    (operators.dedup.bloom_*): even-doc_id docs form the corpus, odd
+    ones probe it on the prefix-80 key. The corpus compresses to a
+    ≤m-row position fingerprint; probing is explode-k → one pos
+    equi-join — the corpus text is never rescanned. Summary pins the
+    no-false-negative guarantee (n_flagged ⊇ n_true_members) and the
+    exact flagged/FP counts, since the md5 double-hash family is
+    deterministic in both engines. m={_BLOOM_M} bits is deliberately
+    tight (~25% fill) so false positives are plausible and the FP
+    accounting is exercised, not vacuous."""
+    from ..operators.dedup import bloom_fingerprint, bloom_membership
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.substring(F.col("text"), 1, 80)
+    d = docs.select("doc_id", key.alias("kk"))
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    probes = d.filter(F.col("doc_id") % 2 == 1)
+    fp = bloom_fingerprint(corpus, F.col("kk"), _BLOOM_M, _BLOOM_K)
+    mem = bloom_membership(
+        probes, fp, "doc_id", F.col("kk"), _BLOOM_M, _BLOOM_K
+    )
+    truth = corpus.select("kk").distinct().withColumn("__t", F.lit(1))
+    return (
+        mem.join(truth, on="kk", how="left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0)).alias(
+                "n_true_members"
+            ),
+            F.sum(
+                F.when(
+                    F.col("maybe_member") & F.col("__t").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_false_positives"),
+        )
+    )
