@@ -42,16 +42,35 @@ from pyspark.sql import functions as F
 #: source column is ignored for "count" (row count).
 AggSpec = tuple[str, str]
 
-_KINDS = ("sum", "count", "min", "max", "hll")
+_KINDS = ("sum", "count", "min", "max", "hll", "kll")
+
+
+def _kll_merge(name: str):
+    """Fold a key's KLL sketch partials into one. The Datasketches
+    merge is exposed as a two-arg scalar (not an agg like
+    ``hll_union_agg``), so the fold is collect_list → reduce — fine
+    here because a rollup merge sees O(1) partials per key (existing
+    row + batch row), never the corpus. Merged estimates are
+    rank-accurate, not byte-identical to a single-pass sketch — the
+    same contract as the hll kind."""
+    lst = F.collect_list(name)
+    return F.reduce(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.get(lst, F.lit(0)),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
 
 #: how a partial of each kind folds with another partial of the same
-#: kind — counts fold by SUM, distinct-count sketches by sketch union.
+#: kind — counts fold by SUM, distinct-count sketches by sketch union,
+#: quantile sketches by pairwise Datasketches merge.
 _MERGE_FN = {
     "sum": F.sum,
     "count": F.sum,
     "min": F.min,
     "max": F.max,
     "hll": F.hll_union_agg,
+    "kll": _kll_merge,
 }
 
 
@@ -81,6 +100,10 @@ def rollup_partials(
             aggs.append(F.count(F.lit(1)).alias(name))
         elif kind == "hll":
             aggs.append(F.hll_sketch_agg(src).alias(name))
+        elif kind == "kll":
+            aggs.append(
+                F.kll_sketch_agg_double(F.col(src).cast("double")).alias(name)
+            )
         else:
             aggs.append(getattr(F, kind)(src).alias(name))
     return df.groupBy(*keys).agg(*aggs)
@@ -123,3 +146,16 @@ def with_estimate(rollup: DataFrame, out_col: str, sketch: str) -> DataFrame:
     sketch column — the read-time twin of :func:`with_ratio` for
     COUNT(DISTINCT)."""
     return rollup.withColumn(out_col, F.hll_sketch_estimate(sketch))
+
+
+def with_quantile(
+    rollup: DataFrame, out_col: str, sketch: str, q: float
+) -> DataFrame:
+    """Derive a quantile estimate from a stored ``kll`` sketch column
+    — incremental percentiles without re-sorting anything: exact
+    percentile needs every value (A2 keeps that form as the oracle);
+    the sketch keeps O(log n) values per key, folds per batch, and
+    answers any rank at read time within KLL's ~1.7% rank error."""
+    return rollup.withColumn(
+        out_col, F.kll_sketch_get_quantile_double(sketch, F.lit(float(q)))
+    )

@@ -91,3 +91,51 @@ def test_hll_kind_merges_and_estimates(spark):
         # union result tracks both the single-pass sketch and truth
         assert abs(est_m[k] - est_f[k]) / est_f[k] <= 0.02
         assert abs(est_m[k] - exact[k]) / exact[k] <= 0.1
+
+
+def test_kll_kind_merges_and_answers_quantiles(spark):
+    """Quantile sketches fold per batch: the folded median must track
+    both the single-pass sketch and the exact percentile (KLL rank
+    error is ~1.7% at default k; the 1000-value grid makes 5% a
+    generous but non-vacuous band), and each key keeps its own
+    distribution."""
+    from enclaveid_data_pipeline_spark.operators.rollup import with_quantile
+
+    measures = {"q": ("kll", "v"), "n": ("count", "*")}
+    # key 0: values 0..999; key 1: odd values 1..1997
+    data = spark.createDataFrame(
+        [
+            (i % 2, float(i // 2) if i % 2 == 0 else float(i // 2 * 2 + 1))
+            for i in range(2000)
+        ],
+        "k int, v double",
+    )
+    full = rollup_partials(data, KEYS, measures)
+    r = None
+    for m in range(4):  # four uneven batches folded sequentially
+        part = rollup_partials(
+            data.filter(F.col("v").cast("int") % 4 == m), KEYS, measures
+        )
+        r = part if r is None else merge_rollups(r, part, KEYS, measures)
+
+    med_folded = {
+        row.k: row.med
+        for row in with_quantile(r, "med", "q", 0.5).collect()
+    }
+    med_single = {
+        row.k: row.med
+        for row in with_quantile(full, "med", "q", 0.5).collect()
+    }
+    exact = {
+        row.k: row.m
+        for row in data.groupBy("k")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        spread = ex  # medians are ~500 / ~1000 on 0-based grids
+        assert abs(med_folded[k] - ex) <= 0.05 * spread + 1, (k, med_folded[k], ex)
+        assert abs(med_single[k] - ex) <= 0.05 * spread + 1
+    # merged row count still exact alongside the sketch
+    ns = {row.k: row.n for row in r.collect()}
+    assert ns == {0: 1000, 1: 1000}
