@@ -328,3 +328,55 @@ def session_window_30m_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "daily_rate_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT user_id, day, n,
+               avg(CAST(n AS DOUBLE)) OVER w AS mu,
+               stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd
+        FROM daily WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
+           CAST(n AS BIGINT) AS n_events,
+           round((n - mu) / sd, 4) AS z
+    FROM scored
+    WHERE abs((n - mu) / sd) >= 2
+    """,
+)
+def daily_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: a user-day is anomalous when its
+    event count sits ≥2 sample standard deviations from that user's
+    own daily mean — the self-normalizing form (each user is their own
+    baseline), so bots and quiet users are judged on their own scale.
+
+    Plan: one groupBy to daily counts, then mean/stddev as window
+    aggregates over the SAME user partitioning the groupBy just
+    established — Catalyst reuses the exchange, so anomaly scoring
+    costs one extra sort, not a second shuffle. Single-day users have
+    NULL stddev and drop out in both engines (no division guard
+    needed — NULL comparison is already false)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    scored = daily.select(
+        "user_id",
+        "day",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return scored.filter(F.abs(z) >= 2).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(z, 4).alias("z"),
+    )

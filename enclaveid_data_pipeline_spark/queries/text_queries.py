@@ -263,3 +263,114 @@ def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrub_pii(F.col("text"))).cast("long").alias("scrubbed_len"),
         F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
     )
+
+
+_PMI_CAP = 64
+_PMI_MIN_C12 = 5
+
+
+@register(
+    "token_pmi_top20",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(text, ' ')))[1:{_PMI_CAP}]
+                   AS arr
+        FROM documents
+    ), n AS (
+        SELECT count(*) AS n_docs FROM arrs
+    ), tok AS (
+        SELECT doc_id, unnest(arr) AS t FROM arrs
+    ), c1 AS (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), pairs AS (
+        SELECT a.doc_id, a.t AS t1, b.t AS t2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND a.t < b.t
+    ), c12 AS (
+        SELECT t1, t2, count(*) AS c FROM pairs GROUP BY t1, t2
+        HAVING count(*) >= {_PMI_MIN_C12}
+    )
+    SELECT t1, t2, CAST(c12.c AS BIGINT) AS n_pair,
+           round(ln(CAST(c12.c * n.n_docs AS DOUBLE) / (ca.c * cb.c)), 4)
+               AS pmi
+    FROM c12, n
+    JOIN c1 ca ON c12.t1 = ca.t
+    JOIN c1 cb ON c12.t2 = cb.t
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+)
+def token_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information token pairs — the collocation
+    signal (named entities, boilerplate phrases) a curation pipeline
+    mines from the corpus.
+
+    Spark-first shape: pair generation is ROW-LOCAL — each doc's
+    sorted distinct-token array (capped at {cap} to bound the fan-out
+    quadratic) emits its ordered pairs via nested transform+flatten,
+    so there is no self-join and no shuffle until the pair counts —
+    one groupBy on (t1, t2) plus one on t, then two equi-joins to
+    attach marginals. At 100 TB the cap is what keeps a pathological
+    10 MB doc from emitting 10^14 pairs; doc counts N and marginals
+    are partial-aggregated as usual. Deterministic tie-broken top-20
+    on the rounded PMI.""".format(cap=_PMI_CAP)
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+            1,
+            _PMI_CAP,
+        ).alias("arr"),
+    )
+    n_docs = arrs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = arrs.select("doc_id", F.explode("arr").alias("t"))
+    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # ordered pairs, row-local: arr is sorted+distinct, so pairing each
+    # element with its strict suffix yields every t1 < t2 exactly once
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "arr",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("arr"),
+                            i + 2,
+                            F.greatest(
+                                F.size("arr") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("t1"), y.alias("t2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    c12 = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_C12)
+    )
+    ca = c1.select(F.col("t").alias("t1"), F.col("c").alias("c_a"))
+    cb = c1.select(F.col("t").alias("t2"), F.col("c").alias("c_b"))
+    out = (
+        c12.join(F.broadcast(n_docs))
+        .join(ca, "t1")
+        .join(cb, "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_docs")).cast("double")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.col("pmi").desc(), "t1", "t2").limit(20)
