@@ -1,0 +1,113 @@
+"""Iterative rank propagation over an edge table (PageRank), as pure
+DataFrame joins — the second iterative graph algorithm beside
+connected components (operators.merge), sharing its discipline:
+fixed rounds of shuffle-on-key joins, a materialization boundary
+between rounds, nothing driver-side but the loop counter.
+
+Determinism is the design constraint: float PageRank is NOT
+reproducible at scale (per-destination contribution sums are doubles
+added in shuffle order), so ranks here are FIXED-POINT — scaled
+integers with integer division. Every operation (div, sum, scale) is
+exact and order-independent, which makes a run byte-replayable by an
+independent engine (the oracle query unrolls the same iterations in
+SQL) and stable across retries/partitionings on a cluster. The cost
+is a deterministic rounding loss of < 1/SCALE per edge per round —
+pick SCALE for the tolerance you need.
+
+Scale shape per round: one equi-join ranks⋈edges on src (both sides
+hash-partitioned on the key; at scale keep edges bucketed by src so
+only ranks move), one partial-aggregated sum per dst, one broadcast
+1-row join for the dangling mass. Skewed in-degree hot nodes are
+exactly the AQE skew-join case; out-degree skew is bounded because a
+node's contribution is computed once and fanned out by the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..materialize import materialize
+
+#: fixed-point scale: ranks live in units of 1e-12.
+SCALE = 1_000_000_000_000
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_mode: str | None = "none",
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge table; returns
+    ``(node, rank_s)`` with ``rank_s`` in units of 1/SCALE.
+
+    Semantics: standard power iteration with uniform teleport
+    ``(100-damping_pct)%`` and dangling-node mass redistributed
+    uniformly, except every division is integer division — exact in
+    any engine, positive operands so floor == trunc. Directed input;
+    pass a symmetrized edge table for undirected graphs. Self-loops
+    and duplicate edges count like any other edge — dedup upstream if
+    that isn't wanted.
+
+    ``materialize_mode`` cuts lineage between rounds (same knob as
+    operators.merge.connected_components): 'none' for few-round runs,
+    'table'/'reliable' on clusters where a deep iterative lineage
+    must not be recomputed from scratch on executor loss.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree per node; 0 marks dangling nodes
+    nd = nodes.join(
+        deg.withColumnRenamed("src", "node"), on="node", how="left"
+    ).select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+
+    n_nodes = nd.select(F.count(F.lit(1)).alias("n"))
+    # integer `div` throughout (not double / then cast: a 1-ulp
+    # rounding of the double quotient can disagree with exact floor)
+    ranks = nd.join(F.broadcast(n_nodes)).select(
+        "node",
+        "deg",
+        F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("rank_s"),
+        "n",
+    )
+    teleport_num = (100 - damping_pct) * SCALE
+
+    for _ in range(iterations):
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_s div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank_s"), F.lit(0).cast("long")).alias("dm")
+        )
+        ranks = (
+            ranks.join(contrib, on="node", how="left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                "n",
+                F.expr(
+                    f"CAST({teleport_num} AS BIGINT) div (100 * n) "
+                    f"+ ({damping_pct} * (coalesce(in_sum, CAST(0 AS BIGINT))"
+                    f" + (dm div n))) div 100"
+                ).alias("rank_s"),
+            )
+        )
+        ranks = materialize(ranks, mode=materialize_mode)
+
+    return ranks.select("node", "rank_s")

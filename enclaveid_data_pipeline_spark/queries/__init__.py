@@ -22,5 +22,6 @@ from . import tpch_queries  # noqa: E402,F401
 from . import tpch2_queries  # noqa: E402,F401
 from . import trainprep_queries  # noqa: E402,F401
 from . import cdc_queries  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,108 @@
+"""Graph queries: fixed-point PageRank over the customer↔supplier
+bipartite graph (operators.graph). The oracle unrolls the identical
+integer-arithmetic iterations in SQL — byte-exact replay is the whole
+point of the fixed-point design (float PageRank sums in shuffle order
+and is not reproducible, let alone cross-engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import SCALE, pagerank_fixed
+from ..sources.readers import read_table
+from .registry import register
+
+_ITER = 3
+_DAMP = 85
+_TELEPORT_NUM = (100 - _DAMP) * SCALE
+
+# one PageRank round in DuckDB, integer math identical to
+# operators.graph.pagerank_fixed (// floor-div == Spark `div` on the
+# all-positive operands here)
+_DUCK_ROUND = """
+    {nxt} AS (
+        SELECT nd.node, nd.deg, nd.n,
+               CAST({tele} AS BIGINT) // (100 * nd.n)
+               + ({damp} * (coalesce(c.in_sum, 0) + (d.dm // nd.n))) // 100
+                   AS rank_s
+        FROM nd
+        CROSS JOIN (
+            SELECT coalesce(sum(r.rank_s), 0) AS dm
+            FROM {cur} r WHERE r.deg = 0
+        ) d
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank_s // r.deg) AS in_sum
+            FROM {cur} r JOIN e ON e.src = r.node
+            WHERE r.deg > 0 GROUP BY e.dst
+        ) c USING (node)
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    rounds = ",".join(
+        _DUCK_ROUND.format(
+            cur=f"r{i}", nxt=f"r{i + 1}", tele=_TELEPORT_NUM, damp=_DAMP
+        )
+        for i in range(_ITER)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS (
+        SELECT 'c' || c::VARCHAR AS src, 's' || s::VARCHAR AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || s::VARCHAR, 'c' || c::VARCHAR FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e
+    ), nd AS (
+        SELECT n0.node,
+               coalesce(dg.deg, 0) AS deg,
+               (SELECT count(*) FROM nodes) AS n
+        FROM nodes n0
+        LEFT JOIN (SELECT src AS node, count(*) AS deg FROM e GROUP BY src)
+            dg USING (node)
+    ), r0 AS (
+        SELECT node, deg, n, CAST({SCALE} AS BIGINT) // n AS rank_s FROM nd
+    ), {rounds}
+    SELECT node, CAST(rank_s AS BIGINT) AS rank_s
+    FROM r{_ITER}
+    ORDER BY rank_s DESC, node LIMIT 20
+    """
+
+
+@register("pagerank_top20", oracle=_pagerank_oracle())
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank rounds over the symmetrized
+    customer↔supplier graph (edge iff a customer's order contains the
+    supplier's line item), top-20 hubs. Each round is one ranks⋈edges
+    equi-join + one partial-aggregated per-dst sum + a broadcast
+    1-row dangling term — the connected-components discipline applied
+    to rank propagation. Integer arithmetic end to end, so the
+    unrolled SQL oracle replays it exactly."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst")
+        )
+    )
+    ranks = pagerank_fixed(
+        edges, iterations=_ITER, damping_pct=_DAMP
+    )
+    return ranks.orderBy(F.col("rank_s").desc(), "node").limit(20)
