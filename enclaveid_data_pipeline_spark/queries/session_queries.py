@@ -380,3 +380,89 @@ def daily_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round(z, 4).alias("z"),
     )
+
+
+@register(
+    "tumbling_counts_15m",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts),
+                    '{_TS_FMT_DUCK}') AS window_start_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(14, 4))) AS DOUBLE), 4)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_counts_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed (tumbling) window aggregation in batch via the built-in
+    ``F.window`` — the batch twin of the streaming windowed counts,
+    same operator the stream runs incrementally. Bucket assignment is
+    row-local (epoch div); the only shuffle is the final groupBy.
+    DECIMAL sum for order-independent totals."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(14,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "trailing_7d_features",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               epoch(CAST(ts AS DATE)) // 86400 AS day_i,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+           CAST(count(*) OVER w AS BIGINT) AS days_active_7d,
+           round(avg(CAST(n AS DOUBLE)) OVER w, 4) AS avg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_i
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature engineering: per user-day, the 7-day
+    trailing event count / active-day count / mean — the standard
+    activity-feature block of a per-user training table. RANGE frame
+    over integer epoch-days (not ROWS: absent days must shrink the
+    window, not slide past it). One shuffle on user_id shared by the
+    daily groupBy and the window sort."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn(
+        "day_i", F.unix_date(F.col("day")).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_i")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("n").cast("long").alias("n_events"),
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_active_7d"),
+        F.round(F.avg(F.col("n").cast("double")).over(w), 4).alias("avg_7d"),
+    )

@@ -374,3 +374,68 @@ def token_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("pmi").desc(), "t1", "t2").limit(20)
+
+
+@register(
+    "inverted_index_top25",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), idx AS (
+        SELECT term,
+               count(*) AS df,
+               array_to_string(list_sort(list(doc_id))[1:10], ',')
+                   AS posting_head
+        FROM tok GROUP BY term
+    )
+    SELECT term, CAST(df AS BIGINT) AS df, posting_head
+    FROM idx ORDER BY df DESC, term LIMIT 25
+    """,
+)
+def inverted_index_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (term → document-frequency +
+    posting-list head): the search-side structure a corpus engine
+    materializes next to the forward table. Explode-distinct →
+    one groupBy per term; posting lists are sorted so the layout is
+    deterministic, and only the head is carried here (full posting
+    lists at scale are written bucketed by term, where a term lookup
+    reads one bucket — same catalog discipline as the LSH band
+    table). Top-25 by df, tie-broken on term."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    idx = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+        ).alias("posting_head"),
+    )
+    return idx.orderBy(F.col("df").desc(), "term").limit(25)
+
+
+@register(
+    "value_histogram_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(least(greatest(floor(value / 10), 0), 19) AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type (20 buckets of
+    width 10, clamped): bucket assignment is a row-local expression,
+    the aggregation partial-combines map-side — the two-column
+    summary a profiler or optimizer collects without ever sorting
+    values. (Exact percentiles stay in A2; sketches in the kll
+    rollup kind.)"""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(19)
+    )
+    return ev.groupBy(
+        "event_type", bucket.cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -563,3 +563,52 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("quality"), 6).alias("max_q"),
         )
     )
+
+
+@register(
+    "weighted_sample_top50",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars, source,
+               round(pow(
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+                    + 1) / 268435457.0,
+                   1.0 / n_chars), 12) AS k
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source, k
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-Res form: each doc draws u ∈ (0,1] and keeps key u^(1/w); the
+    top-k keys ARE a weighted sample (here w = n_chars, the
+    token-budget-proportional choice). u derives from md5(doc_id) —
+    the same no-rand() discipline as with_split, so the sample is
+    stable under retries, repartitioning, and incremental growth,
+    and an independent engine replays it exactly. Keys are row-local;
+    the only cross-partition work is the top-k itself
+    (TakeOrderedAndProject — per-partition heads, never a global
+    sort). Keys round to 12 digits so engine libm ulp differences
+    cannot reorder the cut."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+        ).cast("double")
+        + 1
+    ) / F.lit(268435457.0)  # 2^28 + 1 → u ∈ (0, 1]
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars")), 12
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "source",
+            key.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+    )
