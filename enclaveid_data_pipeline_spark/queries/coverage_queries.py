@@ -628,3 +628,69 @@ def incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_10pct"),
         )
     )
+
+
+@register(
+    "dq_expectations_events",
+    oracle=r"""
+    WITH m AS (
+        SELECT count(*) AS total,
+               sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_null,
+               sum(CASE WHEN value IS NULL OR value < 0 OR value > 100
+                        THEN 1 ELSE 0 END) AS v_range,
+               sum(CASE WHEN event_type NOT IN
+                        ('click','error','purchase','signup','view')
+                        THEN 1 ELSE 0 END) AS v_vals,
+               count(*) - count(DISTINCT event_id) AS v_uniq,
+               sum(CASE WHEN props IS NULL
+                        OR NOT regexp_matches(props, '^\{.*\}$')
+                        THEN 1 ELSE 0 END) AS v_match
+        FROM events
+    )
+    SELECT r.rule,
+           CAST(r.v AS BIGINT) AS n_violations,
+           round(r.v / greatest(m.total, 1), 6) AS violation_frac,
+           CAST(r.v <= r.thr * m.total AS BIGINT) AS passed
+    FROM m, LATERAL (VALUES
+        ('not_null_user_id', m.v_null, 0.0),
+        ('in_range_value', m.v_range, 0.5),
+        ('accepted_values_event_type', m.v_vals, 0.0),
+        ('unique_event_id', m.v_uniq, 0.0),
+        ('matches_props', m.v_match, 0.0)
+    ) AS r(rule, v, thr)
+    """,
+)
+def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators.expectations) over
+    events: five rules — null check, tolerated range band (50%
+    threshold, so 'passed with violations' is exercised), value
+    whitelist, key uniqueness, and a regex shape check — ALL compiled
+    into one conditional-aggregate pass (one scan regardless of rule
+    count). Output is the metrics frame a quality table would land;
+    the oracle recomputes every counter independently in SQL."""
+    from ..operators.expectations import (
+        accepted_values,
+        check_expectations,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    rules = [
+        not_null("user_id"),
+        in_range("value", 0, 100, threshold=0.5),
+        accepted_values(
+            "event_type", ["click", "error", "purchase", "signup", "view"]
+        ),
+        unique(("event_id",)),
+        matches("props", r"^\{.*\}$"),
+    ]
+    out = check_expectations(ev, rules)
+    return out.select(
+        "rule",
+        "n_violations",
+        "violation_frac",
+        F.col("passed").cast("long").alias("passed"),
+    )

@@ -253,3 +253,98 @@ def value_outliers_2sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.0))
         .select("user_id", "event_id", F.round(z, 4).alias("z"))
     )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user event-type counts as columns — the
+    feature-matrix shape a model join wants. The value list is
+    EXPLICIT (not inferred): inference costs an extra distinct scan
+    and makes the output schema data-dependent, which breaks at scale
+    where the schema must be known before the job runs. With pinned
+    values Spark plans this as ONE groupBy of conditional aggregates
+    — same plan as the CASE-sum SQL, no extra pass."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(t, F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+@register(
+    "snapshot_reconciliation",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ), b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(coalesce(a.o_orderkey, b.o_orderkey)) AS BIGINT)
+               AS min_key
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via FULL OUTER join — the reconciliation report
+    every migration/backfill ends with: added / removed / changed /
+    unchanged row counts between two keyed versions of a table
+    (derived deterministically from orders here: mod-7 deletions,
+    mod-5 additions gap, mod-3 price bumps). One co-partitioned
+    full-outer equi-join on the key (both sides bucketed by key at
+    scale → exchange-free), classification row-local."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    b = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_b"),
+    )
+    j = a.join(b, on="o_orderkey", how="full_outer")
+    status = (
+        F.when(F.col("price_a").isNull(), F.lit("added"))
+        .when(F.col("price_b").isNull(), F.lit("removed"))
+        .when(F.col("price_a") != F.col("price_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
