@@ -694,3 +694,125 @@ def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violation_frac",
         F.col("passed").cast("long").alias("passed"),
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE) /
+                 greatest((SELECT count(*) FROM s1), 1), 4)
+               AS full_conversion
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → later click → later
+    purchase): each stage is first-occurrence-AFTER the previous
+    stage, not mere co-occurrence — the strict event-ordering form
+    analytics engines sell as a primitive. Three chained per-user
+    aggregates on the SAME user_id grouping, so Catalyst reuses one
+    exchange; each stage's join input shrinks to the survivors of
+    the previous stage (semi-join-shaped, never the event table
+    squared)."""
+    ev = read_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_click"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(n3))
+        .select(
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_purchase").cast("double")
+                / F.greatest(F.col("n_signup"), F.lit(1)),
+                4,
+            ).alias("full_conversion"),
+        )
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        -- epoch() is DOUBLE in DuckDB and // does not floor doubles:
+        -- go through BIGINT before any integer division
+        SELECT user_id,
+               min(CAST(epoch(CAST(ts AS DATE)) AS BIGINT) // 86400)
+                   AS first_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               f.first_day // 7 AS cohort_week,
+               (CAST(epoch(CAST(e.ts AS DATE)) AS BIGINT) // 86400
+                - f.first_day) // 7 AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted per week-offset of later activity — the
+    (cohort × offset) grid behind every retention curve. Integer
+    epoch-day arithmetic end to end (no date-diff float anywhere);
+    one aggregate for first-seen, one equi-join back, one distinct
+    count per cell, all partial-aggregated on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    day_i = F.unix_date(F.to_date("ts")).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(day_i).alias("first_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.expr("first_day div 7").alias("cohort_week"),
+            F.expr(
+                f"(unix_date(to_date(ts)) - first_day) div 7"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
