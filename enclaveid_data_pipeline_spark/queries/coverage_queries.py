@@ -816,3 +816,36 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    path extraction with ``variant_get`` — the open-schema path for
+    payload columns whose shape drifts (vs. the fixed-schema
+    ``from_json`` used by the takeout ingest, F10). Parse and
+    extraction are row-local expressions feeding a partial-aggregated
+    groupBy; at scale the variant column also shreds into parquet so
+    repeated path reads skip re-parsing the text."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )

@@ -439,3 +439,43 @@ def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", bucket.cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "udtf_bigrams_top10",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        ) g
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 10
+    """,
+)
+def udtf_bigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface, end to end: register a table function,
+    call it through SQL with a LATERAL join over the documents
+    table, aggregate its output — pinned against a pure-SQL replay.
+    The UDTF mechanism (functions.udtfs) is for logic SQL can't
+    express; this one deliberately CAN be, so the harness can verify
+    the machinery itself. Arrow-batched exec; corpus-side work stays
+    a partial-aggregated groupBy."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT b.w1, b.w2, count(*) AS n
+        FROM __docs_udtf d, LATERAL word_bigrams(d.text) b
+        GROUP BY b.w1, b.w2
+        ORDER BY n DESC, b.w1, b.w2 LIMIT 10
+        """
+    ).select("w1", "w2", F.col("n").cast("long").alias("n"))
