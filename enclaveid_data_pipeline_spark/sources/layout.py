@@ -196,3 +196,109 @@ def drop_table(spark: SparkSession, table: str) -> None:
     else:
         rel = parts[-1]
     shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)
+
+
+# ---- snapshot versioning (time travel) ---------------------------------
+
+_SNAP_FMT = "snap-{:05d}"
+_CURRENT = "_CURRENT"
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All snapshot versions present on disk (committed or not),
+    ascending."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("snap-"):
+            try:
+                out.append(int(n.split("-", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_snapshot(path: str) -> int | None:
+    """The committed version the pointer names, or None."""
+    try:
+        with open(os.path.join(path, _CURRENT)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot of ``df`` and commit it —
+    poor-man's time travel with the two properties that matter:
+
+    - **readers never see a partial table**: data files land in a
+      fresh ``snap-N`` directory first; the commit is a single
+      atomic pointer replace (``_CURRENT``), so a crash mid-write
+      leaves an orphan directory and the previous version intact
+      (the rename-aside lesson from compact_to_file_size, applied
+      as write-ahead instead of swap);
+    - **history stays queryable**: old snapshots are untouched until
+      :func:`vacuum_snapshots`, so a bad backfill is a pointer flip
+      away from undone, and any past version remains readable for
+      reproducing a training run.
+
+    Orphans from crashed writers are skipped (next version =
+    max(on-disk, committed) + 1) and reaped by vacuum. Single
+    concurrent writer assumed — multi-writer commit needs a real
+    table format's conditional pointer swap (the documented
+    escalation path at scale).
+    """
+    os.makedirs(path, exist_ok=True)
+    versions = snapshot_versions(path)
+    cur = current_snapshot(path)
+    nxt = max(versions + ([cur] if cur is not None else []) + [0]) + 1
+    snap_dir = os.path.join(path, _SNAP_FMT.format(nxt))
+    df.write.mode("error").parquet(snap_dir)
+    tmp = os.path.join(path, _CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(path, _CURRENT))
+    return nxt
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (default) or time-travel to
+    ``version``."""
+    v = current_snapshot(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    snap_dir = os.path.join(path, _SNAP_FMT.format(v))
+    if not os.path.isdir(snap_dir):
+        raise FileNotFoundError(
+            f"snapshot {v} not present at {path} (vacuumed or never "
+            f"committed); available: {snapshot_versions(path)}"
+        )
+    return spark.read.parquet(snap_dir)
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Reclaim space: keep the newest ``keep_last`` COMMITTED
+    snapshots (the pointer's own version always among them), drop
+    older history and crashed-writer orphans (dirs newer than the
+    pointer). Run only while no writer is active — single-writer is
+    the module's stated concurrency model. Returns removed
+    versions."""
+    import shutil
+
+    cur = current_snapshot(path)
+    committed = [v for v in snapshot_versions(path) if cur is None or v <= cur]
+    keep = set(committed[-max(keep_last, 1):])
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for v in snapshot_versions(path):
+        if v in keep:
+            continue
+        shutil.rmtree(os.path.join(path, _SNAP_FMT.format(v)))
+        removed.append(v)
+    return removed

@@ -126,3 +126,42 @@ def test_zorder_narrows_file_stats_on_both_columns(spark, tmp_path):
     # ideal quadrant span = 0.25)
     assert coverage(z_path, "x") < 0.5
     assert coverage(z_path, "y") < 0.5
+
+
+def test_snapshot_time_travel_commit_and_vacuum(spark, tmp_path):
+    """Pointer-commit snapshots: readers see only committed versions,
+    time travel reaches history, a crashed writer's orphan is
+    invisible and reaped, vacuum keeps the committed tail."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        current_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "versioned")
+    v1 = write_snapshot(spark.range(0, 5).toDF("id"), path)
+    v2 = write_snapshot(spark.range(10, 13).toDF("id"), path)
+    assert (v1, v2) == (1, 2) and current_snapshot(path) == 2
+
+    assert read_snapshot(spark, path).count() == 3          # latest
+    assert read_snapshot(spark, path, version=1).count() == 5  # travel
+
+    # crashed writer: data dir exists, pointer never flipped
+    spark.range(100).toDF("id").write.parquet(f"{path}/snap-00003")
+    assert current_snapshot(path) == 2
+    assert read_snapshot(spark, path).count() == 3  # orphan invisible
+
+    # next writer skips the orphan's version
+    v4 = write_snapshot(spark.range(20, 22).toDF("id"), path)
+    assert v4 == 4 and read_snapshot(spark, path).count() == 2
+
+    removed = vacuum_snapshots(path, keep_last=1)
+    assert 3 in removed and 1 in removed  # orphan + old history gone
+    assert snapshot_versions(path) == [4]
+    assert read_snapshot(spark, path).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="available"):
+        read_snapshot(spark, path, version=1)
