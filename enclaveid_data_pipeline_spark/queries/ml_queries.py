@@ -223,3 +223,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthetic_assets(spark, docs)
     feats = extract_features(assets, dim=8, decode_stub=True)
     return feats.select("asset_id", "modality", "n_bytes", "content_md5")
+
+
+@register(
+    "cluster_separation_matrix",
+    oracle="""
+    WITH e AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ), c AS (
+        SELECT label, pos, round(avg(v), 6) AS cv
+        FROM e GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, sqrt(sum(cv * cv)) AS nrm FROM c GROUP BY label
+    ), dots AS (
+        SELECT x.label AS label_a, y.label AS label_b,
+               sum(x.cv * y.cv) AS dot
+        FROM c x JOIN c y ON x.pos = y.pos AND x.label < y.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           round(d.dot / (na.nrm * nb.nrm), 4) AS centroid_cos
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+)
+def cluster_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation diagnostics: pairwise cosine between label
+    centroids — the cheap first answer to 'are my clusters
+    distinct?' before anything silhouette-shaped. Centroids come
+    from the posexplode → per-(label,dim) avg shape (partial-
+    aggregated; shuffle carries labels×dims partials, never
+    vectors), rounded before the cosine so avg's shuffle-order float
+    variance cannot leak into the output; the pair matrix is
+    labels², which is tiny by construction — all-pairs is CORRECT
+    here, the corpus never self-joins."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").alias("v"))
+    c = e.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("cv"))
+    norms = c.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nrm")
+    )
+    x = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("cv").alias("ca")
+    )
+    y = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("cv").alias("cb")
+    )
+    dots = (
+        x.join(y, (x["pos"] == y["pos"]) & (x["label_a"] < y["label_b"]))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "centroid_cos"
+            ),
+        )
+    )

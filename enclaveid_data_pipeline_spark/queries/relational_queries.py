@@ -348,3 +348,118 @@ def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "column_stats_orders",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    """,
+)
+def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (rows / non-null / NDV /
+    min / max per column) — the stats table a cost-based optimizer
+    and a data catalog both feed from. All columns' counters ride
+    ONE aggregation pass (multiple count-distincts rewrite to one
+    expand + two-phase agg, still a single scan); per-column rows
+    come from exploding the struct of results, not re-scanning. At
+    corpus scale swap exact NDV for approx_count_distinct — the
+    exact form stays here because the oracle must replay it."""
+    o = read_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.count_distinct(F.col("o_custkey")).alias("ndv_ck"),
+        F.min("o_custkey").cast("string").alias("min_ck"),
+        F.max("o_custkey").cast("string").alias("max_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.count_distinct(F.col("o_totalprice")).alias("ndv_tp"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_tp"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_tp"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.count_distinct(F.col("o_orderstatus")).alias("ndv_st"),
+        F.min("o_orderstatus").alias("min_st"),
+        F.max("o_orderstatus").alias("max_st"),
+    )
+    cols = [
+        ("o_custkey", "nn_ck", "ndv_ck", "min_ck", "max_ck"),
+        ("o_totalprice", "nn_tp", "ndv_tp", "min_tp", "max_tp"),
+        ("o_orderstatus", "nn_st", "ndv_st", "min_st", "max_st"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("col"),
+            F.col("n").alias("n_rows"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(ndv).alias("ndv"),
+            F.col(mn).alias("min_s"),
+            F.col(mx).alias("max_s"),
+        )
+        for name, nn, ndv, mn, mx in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.col", "s.n_rows", "s.n_nonnull", "s.ndv", "s.min_s", "s.max_s"
+    )
+
+
+@register(
+    "incremental_join_refresh",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2)
+               AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join view maintenance (operators.ivm): the orders⋈
+    lineitem view is first built from the pre-delta bases (orderkey
+    mod-4 split on orders, shipdate split on lineitem), then the
+    deltas fold in via two delta-sized joins — and the summary must
+    equal the full recompute the oracle runs, which is the whole IVM
+    claim: the base⋈base join never runs again after day one. Only
+    deltas shuffle; at scale both bases are bucketed on orderkey so
+    even those joins co-locate."""
+    from ..operators.ivm import incremental_join
+
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    cut = F.lit("1996-06-01").cast("timestamp_ntz")
+    a_old = o.filter(F.col("o_orderkey") % 4 != 0)
+    da = o.filter(F.col("o_orderkey") % 4 == 0)
+    b_old = l.filter(F.col("l_shipdate") < cut)
+    db = l.filter(F.col("l_shipdate") >= cut)
+    view = a_old.join(b_old, "o_orderkey")
+    refreshed = incremental_join(view, a_old, da, b_old, db, "o_orderkey")
+    return refreshed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

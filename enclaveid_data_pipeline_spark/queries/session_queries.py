@@ -466,3 +466,51 @@ def trailing_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("days_active_7d"),
         F.round(F.avg(F.col("n").cast("double")).over(w), 4).alias("avg_7d"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                 4) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: P(next event type | type)
+    estimated from each user's time-ordered stream — the Markov
+    summary behind next-action models and funnel diagnostics. One
+    window pass per user for the successor, one 25-cell aggregate,
+    and the row-normalization is a window over the TINY matrix, not
+    the corpus. Transitions never cross users (lead stays inside the
+    partition)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wt).cast("double"), 4
+        ).alias("p"),
+    )
