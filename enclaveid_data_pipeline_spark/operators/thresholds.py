@@ -59,3 +59,40 @@ def with_group_threshold(
         df, value_col, p, group_cols=group_cols, out_col=out_col, approx=approx
     )
     return df.join(F.broadcast(thresholds), on=list(group_cols), how="left")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    group_cols: tuple[str, ...] = ("user_id",),
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo_p, hi_p] percentile
+    band — the standard outlier treatment before a float feature
+    feeds a model. Same plan discipline as
+    :func:`with_group_threshold`: both band edges come from ONE tiny
+    grouped aggregate, broadcast back, so the corpus is never sorted
+    and never re-shuffled; the clip itself is a row-local
+    least/greatest. ``approx=True`` swaps in percentile_approx for
+    the 100 TB path (exact percentile shuffles every value of a
+    group to one reducer)."""
+    out = out_col or f"{value_col}_winsorized"
+    pct = F.percentile_approx if approx else F.percentile
+    band = df.groupBy(*group_cols).agg(
+        pct(F.col(value_col).cast("double"), F.lit(float(lo_p))).alias("__lo"),
+        pct(F.col(value_col).cast("double"), F.lit(float(hi_p))).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(band), on=list(group_cols), how="left")
+        .withColumn(
+            out,
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
+                F.col("__hi"),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -307,3 +307,46 @@ def with_global_ordinal(
         )
         .drop("__offset")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    target_per_class: int,
+    key: Column,
+) -> DataFrame:
+    """Deterministic class rebalancing toward ``target_per_class``
+    rows per label: minority classes oversample by integer
+    replication plus a hash-gated extra copy for the fractional
+    remainder; majority classes downsample through the same gate
+    (ratio < 1 → zero whole copies, keep-probability = ratio). In
+    expectation every class lands on the target, and membership is a
+    pure function of ``key`` — the with_split stance — so the
+    resample survives retries, repartitioning, and corpus growth,
+    and replays in SQL.
+
+    Plan: per-class counts are a tiny aggregate broadcast back; the
+    copy decision and ``explode(sequence(...))`` fan-out are
+    row-local. Nothing shuffles but the |labels|-row count table.
+    Output carries ``copy_idx`` (0-based) so downstream dedup-aware
+    ops can distinguish replicas.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # uniform u ∈ [0, 1) from 28 bits of md5(key) — replayable
+    u = F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10).cast(
+        "double"
+    ) / F.lit(268435456.0)
+    ratio = F.lit(float(target_per_class)) / F.col("__cnt")
+    n_whole = F.floor(ratio).cast("int")
+    frac = ratio - n_whole
+    n_copies = n_whole + F.when(u < frac, 1).otherwise(0)
+    return (
+        df.join(F.broadcast(counts), on=label_col)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)),
+        )
+        .drop("__cnt", "__n")
+    )

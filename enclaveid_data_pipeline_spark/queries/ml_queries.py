@@ -292,3 +292,56 @@ def cluster_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "int8_quantize_embeddings",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   / 127.0 AS s
+        FROM embeddings
+    ), e AS (
+        SELECT q.vec_id, q.label, q.s,
+               list_sum(list_transform(b.embedding,
+                   x -> abs(x::DOUBLE
+                            - round(x::DOUBLE / q.s) * q.s))) AS abs_err
+        FROM q JOIN embeddings b USING (vec_id)
+    )
+    SELECT vec_id, label,
+           round(s, 6) AS scale_r,
+           round(abs_err / 64, 6) AS mean_abs_err
+    FROM e
+    """,
+)
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (max-abs symmetric, the
+    storage/serving compression step): per-vector scale = max|v|/127,
+    codes = round(v/scale), and the dequantization error reported
+    per vector — all row-local array expressions (transform /
+    aggregate HOFs over the 64-dim array), zero shuffle, so the op
+    is pure scan→write at any corpus size. Per-vector output keeps
+    every float reduction inside one row's array (deterministic
+    order) — no cross-row float sums to break engine parity. ~4×
+    storage cut; compose with the PQ/IVF paths for the search side."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("s")
+    q = emb.select("vec_id", "label", v.alias("vd"), s)
+    err = F.aggregate(
+        F.transform(
+            "vd",
+            lambda x: F.abs(x - F.round(x / F.col("s")) * F.col("s")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("s", 6).alias("scale_r"),
+        F.round(err / F.lit(64), 6).alias("mean_abs_err"),
+    )

@@ -514,3 +514,120 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(wt).cast("double"), 4
         ).alias("p"),
     )
+
+
+@register(
+    "assoc_rules_event_types",
+    oracle="""
+    WITH baskets AS (
+        SELECT user_id, event_type FROM events GROUP BY 1, 2
+    ), n AS (
+        SELECT count(DISTINCT user_id) AS n_users FROM events
+    ), singles AS (
+        SELECT event_type, count(*) AS c FROM baskets GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS c
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs,
+           round(p.c / CAST(n.n_users AS DOUBLE), 4) AS support,
+           round(p.c / CAST(sl.c AS DOUBLE), 4) AS confidence,
+           round((p.c * n.n_users) / (CAST(sl.c AS DOUBLE) * sr.c), 4)
+               AS lift
+    FROM pairs p, n
+    JOIN singles sl ON sl.event_type = p.lhs
+    JOIN singles sr ON sr.event_type = p.rhs
+    """,
+)
+def assoc_rules_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user baskets (lhs ⇒ rhs on event
+    types): support / confidence / lift — market-basket mining where
+    the basket is a user's distinct event-type set. The basket table
+    is the deduped (user, type) frame (≤ 5 rows per user by
+    construction), so the pair self-join is bounded per user and the
+    rule matrix is |types|² — the corpus contributes one groupBy,
+    never an unbounded all-pairs. Directional pairs (lhs≠rhs, both
+    orders) because confidence is asymmetric."""
+    ev = read_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = baskets.withColumnRenamed("event_type", "lhs")
+    b = baskets.withColumnRenamed("event_type", "rhs")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sl = singles.select(F.col("event_type").alias("lhs"), F.col("c").alias("cl"))
+    sr = singles.select(F.col("event_type").alias("rhs"), F.col("c").alias("cr"))
+    return (
+        pairs.join(F.broadcast(n))
+        .join(sl, "lhs")
+        .join(sr, "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            F.round(F.col("c") / F.col("n_users").cast("double"), 4).alias(
+                "support"
+            ),
+            F.round(F.col("c") / F.col("cl").cast("double"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("c") * F.col("n_users"))
+                / (F.col("cl").cast("double") * F.col("cr")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+    WITH band AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+               quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+        FROM events GROUP BY event_type
+    ), w AS (
+        SELECT e.event_type, e.value,
+               least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi) AS wv
+        FROM events e JOIN band b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN wv <> value THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           round(avg(CAST(value AS DOUBLE)), 4) AS mean_raw,
+           round(avg(wv), 4) AS mean_winsorized
+    FROM w GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (operators.thresholds.winsorize): clip
+    values to the type's own [p5, p95] band and report how the mean
+    moves — outlier treatment whose thresholds stay IN-PLAN (tiny
+    grouped aggregate, broadcast back, row-local clip; the corpus
+    never sorts). The approx escape hatch is the stated 100 TB path;
+    the exact form is what the oracle can replay."""
+    from ..operators.thresholds import winsorize
+
+    ev = read_table(spark, sf_dir, "events")
+    w = winsorize(
+        ev, "value", 0.05, 0.95, group_cols=("event_type",), out_col="wv"
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("wv") != F.col("value"), 1).otherwise(0)
+        ).alias("n_clipped"),
+        F.round(F.avg(F.col("value").cast("double")), 4).alias("mean_raw"),
+        F.round(F.avg("wv"), 4).alias("mean_winsorized"),
+    )

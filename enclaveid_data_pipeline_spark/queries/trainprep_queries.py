@@ -612,3 +612,67 @@ def weighted_sample_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "balanced_lang_resample",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    ), dec AS (
+        SELECT d.doc_id, d.lang, c.cnt,
+               CAST(floor(100.0 / c.cnt) AS INT)
+               + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))
+                           ::BIGINT / 268435456.0
+                           < (100.0 / c.cnt) - floor(100.0 / c.cnt)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN counts c USING (lang)
+    )
+    SELECT lang,
+           CAST(min(cnt) AS BIGINT) AS n_before,
+           CAST(sum(n_copies) AS BIGINT) AS n_after,
+           CAST(count(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT)
+               AS n_replicated,
+           CAST(count(CASE WHEN n_copies = 0 THEN 1 END) AS BIGINT)
+               AS n_dropped
+    FROM dec GROUP BY lang
+    """,
+)
+def balanced_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced resampling (operators.trainprep.balance_classes)
+    toward 100 docs per language: the majority class downsamples
+    through the md5 gate, minorities replicate with a hash-gated
+    fractional copy — deterministic, so the oracle recomputes every
+    per-class copy count exactly. Summary per lang: before/after
+    sizes plus how many docs replicated or dropped."""
+    from ..operators.trainprep import balance_classes
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = balance_classes(docs, "lang", 100, key=F.col("doc_id"))
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    per_doc = out.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    after = per_doc.groupBy("lang").agg(
+        F.sum("n_copies").alias("n_after"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+            "n_replicated"
+        ),
+        F.count(F.lit(1)).alias("n_survived"),
+    )
+    return (
+        before.join(after, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_replicated", F.lit(0))
+            .cast("long")
+            .alias("n_replicated"),
+            (
+                F.col("n_before") - F.coalesce("n_survived", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
