@@ -166,3 +166,73 @@ def rollup_sink(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def cdc_snapshot_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    seq_cols: tuple[str, ...],
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Continuously maintained latest-wins snapshot over a change
+    stream — streaming MERGE INTO, composing operators.cdc with the
+    :func:`rollup_sink` maintenance discipline. Each micro-batch
+    pre-reduces to its newest row per key, then folds into the
+    persisted table by another latest-wins pass; per trigger the
+    cost is O(|snapshot| + |batch|).
+
+    The stored table is the COMPACTED-LOG form: tombstones are kept
+    as rows, not applied as drops (:func:`read_cdc_snapshot` filters
+    them out). That single choice makes the fold a pure max over
+    ``seq_cols`` — associative, commutative, idempotent — so
+    out-of-order batches, re-delivered batches, and full replays all
+    converge to the same table with NO batch-id guard (contrast the
+    additive rollup fold, which needs one). Dropping deletes eagerly
+    instead would let a replayed pre-delete batch resurrect its key.
+    Tombstone space is reclaimed by a retention sweep once upstream
+    can no longer re-deliver older sequence numbers — the compacted
+    Kafka topic model. ``seq_cols`` must totally order each key's
+    changes (arrival order decides nothing).
+
+    Same durability shape as rollup_sink: read-merge-overwrite with
+    a local materialization cutting lineage before the overwrite
+    replaces the files the merge read. At scale, partition by a
+    stable key prefix and rewrite only touched partitions.
+    """
+    from ..operators.cdc import latest_snapshot
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cur = latest_snapshot(batch_df, keys, seq_cols)
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 - first batch: no table yet
+            existing = None
+        if existing is None:
+            merged = batch_cur
+        else:
+            merged = latest_snapshot(
+                existing.unionByName(batch_cur), keys, seq_cols
+            )
+        out = _materialize(merged, "local")
+        out.write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def read_cdc_snapshot(
+    spark,
+    path: str,
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("D",),
+) -> DataFrame:
+    """Live rows of a :func:`cdc_snapshot_sink` table: the stored
+    compacted log minus tombstones."""
+    df = spark.read.parquet(path)
+    if op_col in df.columns:
+        df = df.filter(~F.col(op_col).isin(list(delete_ops)))
+    return df

@@ -229,3 +229,79 @@ def test_rollup_sink_folds_batches_and_skips_replay(spark, tmp_path):
     finally:
         q2.stop()
     assert snap() == want
+
+
+def _drop_changes(spark, tmp_path, stream_dir, name, rows):
+    """rows: (seq, user_id, value, op). One stream change-file."""
+    df = spark.createDataFrame(
+        rows, "seq long, user_id long, value double, op string"
+    )
+    staging = tmp_path / "staging" / f"cdc{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    shutil.copy(part, stream_dir / f"changes-{name}.parquet")
+
+
+def test_cdc_snapshot_sink_folds_and_survives_replay(spark, tmp_path):
+    """Streaming MERGE INTO: updates win by sequence (not arrival),
+    tombstones delete, and a full no-checkpoint replay converges to
+    the identical table because the fold is a pure max over seq."""
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        cdc_snapshot_sink,
+        read_cdc_snapshot,
+    )
+
+    stream_dir = tmp_path / "cdc_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "cdc_snap")
+
+    def start():
+        return cdc_snapshot_sink(
+            spark.readStream.schema(
+                "seq long, user_id long, value double, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir)),
+            out,
+            keys=("user_id",),
+            seq_cols=("seq",),
+        )
+
+    q = start()
+    try:
+        _drop_changes(
+            spark, tmp_path, stream_dir, "000",
+            [(1, 7, 10.0, "U"), (2, 8, 20.0, "U")],
+        )
+        q.processAllAvailable()
+        # batch 2: update 7, delete 8, insert 9 — plus a STALE row for
+        # 7 (seq 0) that must lose to seq 3 despite arriving later
+        _drop_changes(
+            spark, tmp_path, stream_dir, "001",
+            [(3, 7, 11.0, "U"), (4, 8, 0.0, "D"), (5, 9, 30.0, "U"),
+             (0, 7, 99.0, "U")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        r.user_id: r.value for r in read_cdc_snapshot(spark, out).collect()
+    }
+    assert live == {7: 11.0, 9: 30.0}  # 8 deleted, stale 7 ignored
+    # tombstone RETAINED in the stored compacted log
+    stored = {r.user_id: r.op for r in spark.read.parquet(out).collect()}
+    assert stored[8] == "D"
+
+    # full replay, fresh query, no checkpoint: fold is idempotent —
+    # and the retained tombstone keeps key 8 dead when its old
+    # insert is re-delivered
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    live2 = {
+        r.user_id: r.value for r in read_cdc_snapshot(spark, out).collect()
+    }
+    assert live2 == live
