@@ -631,3 +631,42 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("value").cast("double")), 4).alias("mean_raw"),
         F.round(F.avg("wv"), 4).alias("mean_winsorized"),
     )
+
+
+@register(
+    "hopping_counts_30m_15m",
+    oracle=f"""
+    WITH starts AS (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL 15 MINUTE, ts),
+                       time_bucket(INTERVAL 15 MINUTE, ts)
+                           - INTERVAL 15 MINUTE]) AS ws
+        FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def hopping_counts_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 30-minute windows every
+    15 minutes, so each event contributes to exactly two — built-in
+    ``F.window(ts, win, slide)`` expands row-locally (the oracle
+    replays the same two-bucket expansion); output volume is
+    win/slide × input, the aggregation still partial-combines. The
+    overlap is what a rate monitor wants that tumbling can't give:
+    no event sits near a boundary in BOTH its windows."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window(
+        F.col("ts").cast("timestamp"), "30 minutes", "15 minutes"
+    )
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+    )
