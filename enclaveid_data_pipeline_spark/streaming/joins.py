@@ -94,3 +94,30 @@ def clicks_with_recent_errors(
     return joined.filter(F.col("error_ts") < F.col("click_ts")).select(
         "user_id", "click_id", "click_ts", "error_id", "error_ts"
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes
+    (user tier, document source metadata…) to a stream without any
+    streaming state: the static side is re-executed per micro-batch,
+    so there is nothing to watermark and nothing to expire. With
+    ``broadcast_dim`` the dim ships to every task and the stream
+    never shuffles — the right default for the classic small-dim
+    case; turn it off for a dim too large to broadcast (the join
+    then shuffles each micro-batch on the key, still stateless).
+
+    Caveat pinned here rather than discovered in prod: per-batch
+    re-execution re-reads the dim's DATA, but a parquet-path dim's
+    FILE LISTING may be cached by the source — a dim that gains
+    files mid-stream needs a catalog table (or stream restart) to be
+    seen. Left join keeps stream rows whose key has no dim row yet
+    (late dimension arrival), with NULL attributes to backfill."""
+    cols = [on] if isinstance(on, str) else list(on)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=cols, how=how)

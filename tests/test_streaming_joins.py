@@ -110,3 +110,52 @@ def test_cross_batch_state_matching(spark, tmp_path):
 
     rows = spark.sql("SELECT * FROM ssj_state_out").collect()
     assert [(r.user_id, r.click_id, r.error_id) for r in rows] == [(7, 2, 1)]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Dim attributes attach per micro-batch with no streaming state;
+    keys missing from the dim survive with NULLs (late dimension)."""
+    from enclaveid_data_pipeline_spark.streaming.joins import enrich_stream
+    from enclaveid_data_pipeline_spark.streaming.sessions import (
+        read_event_stream,
+    )
+
+    stream_dir = tmp_path / "enrich_in"
+    stream_dir.mkdir()
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "basic")], "user_id long, tier string"
+    )
+    out = enrich_stream(
+        read_event_stream(spark, str(stream_dir)).select("user_id", "event_id"),
+        dim,
+        on="user_id",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .start()
+    )
+    try:
+        rows = [(1, 1_700_000_000_000_000, 7, "click"),
+                (2, 1_700_000_000_000_001, 9, "view")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "staging_e"))
+        part = next((tmp_path / "staging_e").glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / "events-000.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == {1: "gold", 2: None}
