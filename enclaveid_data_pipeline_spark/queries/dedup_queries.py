@@ -1628,3 +1628,104 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_positives"),
         )
     )
+
+
+@register(
+    "curation_end_to_end",
+    oracle=f"""
+    WITH variants AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, upper(text) || ' !!'
+        FROM documents WHERE doc_id % 10 = 0
+    ), keyed AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_key
+        FROM variants
+    ), reps AS (
+        SELECT canon_key, min(doc_id) AS doc_id
+        FROM keyed GROUP BY canon_key
+    ), unique_docs AS (
+        SELECT k.doc_id, k.text
+        FROM keyed k JOIN reps r
+          ON k.canon_key = r.canon_key AND k.doc_id = r.doc_id
+    ), m AS (
+        SELECT doc_id, {_DUCK_TOKS.replace('text', 'text')} AS w, text
+        FROM unique_docs
+    ), kept AS (
+        SELECT doc_id, len(w) AS n_tok FROM m
+        WHERE len(w) BETWEEN 30 AND 90
+          AND (length(text) - len(w) + 1.0) / len(w) BETWEEN 4.2 AND 4.8
+          AND len(list_filter(w, x -> x IN ({_STOPS_SQL}))) >= 2
+          AND len(list_distinct(w))::DOUBLE / len(w) >= 0.45
+    ), split AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))
+                             ::BIGINT % 256 < 240 THEN 'train'
+                    WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))
+                             ::BIGINT % 256 < 248 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM split GROUP BY split
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE lazy plan — what 'a user of
+    the reference could switch and run their pipeline' means
+    concretely: canonical exact dedup (reformatted replicas collapse,
+    min-id representative survives) → Gopher rule filter on the
+    survivors → hash-deterministic train/val/test split → per-split
+    token budget. Stage order is the production one (dedup before
+    quality: replicas must not vote on quality thresholds). Catalyst
+    sees the four stages together, so document text is scanned ONCE
+    and every stage's filter applies before the split's tiny
+    aggregate; each stage is individually oracle-checked elsewhere,
+    this query pins their composition."""
+    from ..functions.textstats import (
+        distinct_token_ratio,
+        mean_word_len,
+        stopword_hits,
+    )
+    from ..operators.trainprep import with_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    variants = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+    )
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    keyed = variants.withColumn("canon_key", canon)
+    reps = keyed.groupBy("canon_key").agg(F.min("doc_id").alias("doc_id"))
+    unique_docs = keyed.join(reps, on=["canon_key", "doc_id"]).select(
+        "doc_id", "text"
+    )
+    w = tokenize(F.col("text"))
+    m = unique_docs.select("doc_id", "text", w.alias("w"))
+    kept = m.filter(
+        F.size("w").between(30, 90)
+        & mean_word_len(F.col("text"), F.col("w")).between(4.2, 4.8)
+        & (stopword_hits(F.col("w")) >= 2)
+        & (distinct_token_ratio(F.col("w")) >= 0.45)
+    ).select("doc_id", F.size("w").cast("long").alias("n_tok"))
+    split = with_split(kept, key=F.col("doc_id"))
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
