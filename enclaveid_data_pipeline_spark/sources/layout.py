@@ -302,3 +302,81 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
         shutil.rmtree(os.path.join(path, _SNAP_FMT.format(v)))
         removed.append(v)
     return removed
+
+
+def write_point_lookup_layout(
+    df: DataFrame,
+    path: str,
+    lookup_col: str,
+    expected_ndv: int,
+    mode: str = "overwrite",
+) -> None:
+    """Layout for needle-in-haystack point lookups on ``lookup_col``:
+    parquet BLOOM FILTERS on the column (row groups that cannot
+    contain the key are skipped on ~equality probes even when values
+    are scattered) plus range clustering on the column (cluster_by)
+    (clusters values so plain min/max footer stats prune too — the
+    two mechanisms are complementary: stats need clustering, blooms
+    don't). At 100 TB this is the difference between a key probe
+    reading one row group and reading the table. ``expected_ndv``
+    sizes the filter — undersizing inflates the false-positive rate
+    until the bloom is useless, so pass the real cardinality (from
+    the column-stats pass)."""
+    (
+        cluster_by(df, lookup_col)
+        .write.mode(mode)
+        .option(f"parquet.bloom.filter.enabled#{lookup_col}", "true")
+        .option(
+            f"parquet.bloom.filter.expected.ndv#{lookup_col}",
+            str(expected_ndv),
+        )
+        .parquet(path)
+    )
+
+
+def apply_retention(
+    path: str, partition_col: str, min_keep: str
+) -> list[str]:
+    """Retention sweep over a hive-partitioned layout: drop every
+    ``<partition_col>=<value>`` directory whose value sorts below
+    ``min_keep`` — O(#expired partitions) directory deletes, zero
+    row rewrites, which is WHY time-partitioned layouts are the
+    retention answer at 100 TB (row-level retention means rewriting
+    every file that mixes ages). String ordering must match the
+    value's semantic order — zero-padded dates/ints do, which is the
+    standard hive-partition convention. Returns dropped values."""
+    import shutil
+
+    dropped = []
+    prefix = f"{partition_col}="
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < min_keep:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+    return dropped
+
+
+def erase_partition_keys(
+    path: str, partition_col: str, values: list
+) -> list[str]:
+    """Right-to-erasure over a key-partitioned layout (the
+    reference's per-user directory layout, S8/X2): deleting a user is
+    deleting their partition directory — surgical, immediate, no
+    table rewrite. Returns the values actually erased. For keys that
+    are NOT the partition column, rewrite the affected partitions
+    with the key filtered out (dynamic partition overwrite) — that
+    path costs a rewrite of touched partitions only, never the
+    table, but needs the affected-partition list (from the key→
+    partition index or a scan)."""
+    import shutil
+
+    erased = []
+    for v in values:
+        d = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            erased.append(v)
+    return erased

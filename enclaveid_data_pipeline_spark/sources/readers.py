@@ -269,3 +269,45 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     schema and keep this for ad-hoc layouts; column REMOVAL or type
     change is not evolution and should go through a rewrite."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    timestamp_format: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine-style ingest: parse what parses, capture what
+    doesn't — the production alternative to FAILFAST when an upstream
+    feed can't be trusted to be clean but the pipeline must not stop.
+    Returns ``(good, quarantined)``: good rows with the declared
+    schema, quarantined rows as their raw text (``_corrupt_record``)
+    for repair-and-replay.
+
+    PERMISSIVE mode with an explicit corrupt-record column; the
+    parsed frame is persisted before splitting because Spark refuses
+    to answer queries that filter on the corrupt column of an
+    unmaterialized scan (the parser would have to run twice and
+    could disagree with itself). The quarantine side should land in
+    a dated side table — repair is a batch job over it, not a
+    pipeline stall."""
+    ddl = schema + ", _corrupt_record string"
+    r = (
+        spark.read.schema(ddl)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if timestamp_format is not None:
+        r = r.option("timestampFormat", timestamp_format).option(
+            "timestampNTZFormat", strip_zone_pattern(timestamp_format)
+        )
+    df = r.csv(path).persist()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad

@@ -165,3 +165,26 @@ def test_read_evolved_merges_added_columns(spark, tmp_path):
     assert got.count() == 5
     assert got.filter(F.col("lang").isNull()).count() == 3
     assert got.filter("lang = 'en'").count() == 2
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "event_id,value\n"
+        "1,10.5\n"
+        "not_a_long,x\n"
+        "2,20.25\n"
+        "3,zzz\n"
+    )
+    good, bad = read_csv_with_quarantine(
+        spark, str(p), "event_id long, value double"
+    )
+    assert {(r.event_id, r.value) for r in good.collect()} == {
+        (1, 10.5), (2, 20.25)
+    }
+    raw = {r._corrupt_record for r in bad.collect()}
+    assert raw == {"not_a_long,x", "3,zzz"}

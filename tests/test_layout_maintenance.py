@@ -165,3 +165,74 @@ def test_snapshot_time_travel_commit_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="available"):
         read_snapshot(spark, path, version=1)
+
+
+def test_point_lookup_layout_bloom_and_clustering(spark, tmp_path):
+    """Bloom bytes actually land in the files (no metadata API in
+    this container's pyarrow/duckdb — the size delta against an
+    otherwise-identical write is the observable), and the
+    within-partition sort clusters values so footer min/max ranges
+    are narrow."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        write_point_lookup_layout,
+    )
+
+    df = spark.range(200_000).selectExpr(
+        "cast(hash(id) as long) as key", "id as payload"
+    ).repartition(2)
+    with_bloom = str(tmp_path / "with_bloom")
+    without = str(tmp_path / "without")
+    write_point_lookup_layout(df, with_bloom, "key", expected_ndv=200_000)
+    df.sortWithinPartitions("key").write.parquet(without)
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{d}/part-*.parquet")
+    )
+    # a 200k-NDV bloom is ~hundreds of KB; parquet data is identical
+    assert size(with_bloom) > size(without) + 50_000
+
+    # sorted layout: every file's key stats span a narrow slice, and
+    # files don't all cover the full range (what enables skipping)
+    spans = []
+    for f in glob.glob(f"{with_bloom}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        spans.append((st.min, st.max))
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    widths = [(s[1] - s[0]) / (hi - lo) for s in spans]
+    assert min(widths) < 0.9  # at least one file covers a sub-range
+
+
+def test_retention_and_erasure_partition_ops(spark, tmp_path):
+    """Retention drops partitions below the cutoff; erasure drops a
+    key's partition — both O(#dirs), no row rewrites, and the
+    surviving data still reads with its partition column intact."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        apply_retention,
+        erase_partition_keys,
+    )
+
+    path = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(
+            ["2024-01-01", "2024-01-02", "2024-02-01", "2024-02-02"]
+        )],
+        "day string, v int",
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    dropped = apply_retention(path, "day", min_keep="2024-02-01")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = {str(r.day) for r in spark.read.parquet(path).collect()}
+    assert left == {"2024-02-01", "2024-02-02"}
+
+    erased = erase_partition_keys(path, "day", ["2024-02-01", "2099-01-01"])
+    assert erased == ["2024-02-01"]  # missing key is a no-op, reported
+    left = {str(r.day) for r in spark.read.parquet(path).collect()}
+    assert left == {"2024-02-02"}
