@@ -670,3 +670,58 @@ def hopping_counts_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), bounds AS (
+        SELECT max(CAST(ts AS DATE)) AS max_day FROM events
+    ), contrib AS (
+        SELECT DISTINCT d.user_id,
+               CAST(unnest(generate_series(d.day, d.day + 6,
+                    INTERVAL 1 DAY)) AS DATE) AS report_day
+        FROM days d
+    )
+    SELECT strftime(c.report_day, '%Y-%m-%d') AS day_s,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM contrib c, bounds b
+    WHERE c.report_day <= b.max_day
+    GROUP BY c.report_day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (WAU curve) — COUNT(DISTINCT)
+    over a sliding window, which no window function computes
+    directly. The scalable rewrite: each (user, active-day) pair
+    CONTRIBUTES to the 7 report days it covers (row-local
+    generate-and-explode, bounded ×7 fan-out), then one distinct
+    aggregate per report day — corpus events collapse to user-days
+    first, so the exploded volume is 7×|user-days|, independent of
+    per-day event counts. The naive per-day self-join re-scans 7
+    days of events per report day; this shape scans once."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("report_day"),
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(max_day))
+        .filter(F.col("report_day") <= F.col("max_day"))
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("day_s"),
+            "active_7d",
+        )
+    )

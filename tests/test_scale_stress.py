@@ -140,3 +140,34 @@ def test_banded_equals_allpairs_under_skew(spark):
     )
     assert banded.exceptAll(theta).count() == 0
     assert theta.exceptAll(banded).count() == 0
+
+
+def test_cdc_latest_snapshot_hotkey_windowgrouplimit(spark):
+    """One key holds 50% of a 100k-row changelog: the newest-per-key
+    reduction must plan a WindowGroupLimit (rank filter pushed to the
+    partial level, so each map task forwards ~1 row per key it holds,
+    not the hot key's 50k rows) and still answer exactly."""
+    from enclaveid_data_pipeline_spark.operators.cdc import latest_snapshot
+
+    n = 100_000
+    df = spark.range(n).selectExpr(
+        "id as seq",
+        # even ids -> key 0 (the hot key); odd ids spread over 1..500
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE 1 + id % 500 END as k",
+        "CASE WHEN id % 97 = 0 THEN 'D' ELSE 'U' END as op",
+    )
+    cur = latest_snapshot(df, ("k",), ("seq",), op_col="op")
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    rows = {r.k: r.seq for r in cur.collect()}
+    # hot key: newest even seq is 99998; 99998 % 97 != 0 -> present
+    assert rows[0] == 99_998
+    # every key's answer is the max seq of its rows (spot-check 3)
+    for k in (2, 250, 500):
+        seqs = [s for s in range(n) if s % 2 == 1 and 1 + s % 500 == k]
+        top = max(seqs)
+        if top % 97 == 0:
+            assert k not in rows
+        else:
+            assert rows[k] == top
