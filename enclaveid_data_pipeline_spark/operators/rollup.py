@@ -46,19 +46,14 @@ _KINDS = ("sum", "count", "min", "max", "hll", "kll")
 
 
 def _kll_merge(name: str):
-    """Fold a key's KLL sketch partials into one. The Datasketches
-    merge is exposed as a two-arg scalar (not an agg like
-    ``hll_union_agg``), so the fold is collect_list → reduce — fine
-    here because a rollup merge sees O(1) partials per key (existing
-    row + batch row), never the corpus. Merged estimates are
-    rank-accurate, not byte-identical to a single-pass sketch — the
-    same contract as the hll kind."""
-    lst = F.collect_list(name)
-    return F.reduce(
-        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-        F.get(lst, F.lit(0)),
-        lambda acc, x: F.kll_sketch_merge_double(acc, x),
-    )
+    """Fold a key's KLL sketch partials into one via the TRUE
+    aggregate merge (``kll_merge_agg_double`` — SQL-only in this
+    Spark, hence the expr): partial-aggregable like ``hll_union_agg``,
+    so a fold over many partials map-side combines instead of
+    collecting a list. Merged estimates are rank-accurate, not
+    byte-identical to a single-pass sketch — the same contract as
+    the hll kind."""
+    return F.expr(f"kll_merge_agg_double(`{name}`)")
 
 
 #: how a partial of each kind folds with another partial of the same

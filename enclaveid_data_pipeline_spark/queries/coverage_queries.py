@@ -849,3 +849,64 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.sum("k").cast("long").alias("sum_k"),
     )
+
+
+@register(
+    "theta_audience_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_purchase,
+           CAST((SELECT count(*) FROM (
+               SELECT user_id FROM a UNION SELECT user_id FROM b))
+               AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM (
+               SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
+               AS BIGINT) AS n_intersect,
+           CAST((SELECT count(*) FROM (
+               SELECT user_id FROM a EXCEPT SELECT user_id FROM b))
+               AS BIGINT) AS n_click_only
+    """,
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra through Datasketches THETA sketches:
+    |A|, |B|, |A∪B|, |A∩B|, |A∖B| of the click vs purchase user
+    sets, all computed on two fixed-size sketches instead of joining
+    the sets — THE way to answer overlap questions across 100 TB
+    partitions/days, since sketches build partial-aggregated per
+    segment and compose by pure sketch algebra afterward (union /
+    intersection / difference), no re-scan. Below saturation
+    (< nominal k entries) theta sketches are EXACT, which is what
+    lets the DuckDB oracle pin the estimates against true set
+    counts — the corpus' user cardinality is chosen to stay in the
+    exact regime; past saturation the same plan degrades to ~2%
+    error instead of failing."""
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sa")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sb")
+    )
+    return (
+        a.join(b)
+        .select(
+            F.expr("theta_sketch_estimate(sa)").cast("long").alias("n_click"),
+            F.expr("theta_sketch_estimate(sb)")
+            .cast("long")
+            .alias("n_purchase"),
+            F.expr("theta_sketch_estimate(theta_union(sa, sb))")
+            .cast("long")
+            .alias("n_union"),
+            F.expr("theta_sketch_estimate(theta_intersection(sa, sb))")
+            .cast("long")
+            .alias("n_intersect"),
+            F.expr("theta_sketch_estimate(theta_difference(sa, sb))")
+            .cast("long")
+            .alias("n_click_only"),
+        )
+    )
