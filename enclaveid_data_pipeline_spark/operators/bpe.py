@@ -1,0 +1,114 @@
+"""Byte-pair-encoding tokenizer training as DataFrame aggregates.
+
+BPE training (Sennrich et al. 2016, arXiv:1508.07909) is an
+iterative reduction over a WORD-FREQUENCY table, not the corpus:
+count adjacent symbol pairs weighted by word frequency, merge the
+most frequent pair everywhere, repeat. The word table is the scale
+trick — a 100 TB corpus collapses to |vocab| rows (millions, not
+trillions) after ONE corpus pass, and every merge iteration after
+that touches only the word table. This module keeps each step a
+DataFrame op so the iteration distributes:
+
+- ``word_freq_table``: the one corpus-sized aggregation;
+- ``pair_counts``: row-local pair generation from each word's symbol
+  array (zip-with-shifted, weighted by freq) + one groupBy;
+- ``top_merge``: deterministic argmax (count desc, then pair lexical
+  — ties must break identically on every run for reproducible
+  vocabularies);
+- ``apply_merge``: regex replace of the winning pair on the
+  space-joined symbol string, with NON-CONSUMING boundaries
+  (lookbehind/lookahead), so consecutive occurrences ``a b a b``
+  both merge in one pass — a consuming boundary would swallow the
+  separator the next match needs.
+
+The driver loop holds only the winning pair per round (two strings) —
+same scalar-only discipline as connected_components' convergence
+check. Merged symbols join with U+2581 '▁'-free ``++`` glue;
+swap for your tokenizer's convention.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: glue between merged symbols ("l" + "o" → "l++o")
+GLUE = "++"
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq, sym): the single corpus-sized pass.
+    ``sym`` is the word as space-joined character symbols — the
+    mutable state of BPE training, one row per DISTINCT word."""
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # 'hello' -> 'h e l l o'
+    sym = F.array_join(F.split(F.col("word"), ""), " ")
+    return wf.withColumn("sym", sym)
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the current symbol strings,
+    weighted by word freq. Pair generation is row-local (array zipped
+    with its own tail); the only shuffle is the (a, b) groupBy."""
+    toks = F.split(F.col("sym"), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def top_merge(pairs: DataFrame) -> tuple[str, str, int] | None:
+    """The winning pair: max count, ties broken lexically — a
+    deterministic vocabulary requires a deterministic argmax. One
+    driver scalar per round (TakeOrderedAndProject, not a sort)."""
+    row = (
+        pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+    )
+    if not row:
+        return None
+    r = row[0]
+    return r["a"], r["b"], r["n"]
+
+
+def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Merge every ``a b`` occurrence into ``a++b`` across the symbol
+    strings. Lookbehind/lookahead boundaries are non-consuming, so
+    ``a b a b`` merges twice in one pass (a consuming `` `` boundary
+    would eat the space the next match needs — the classic BPE
+    off-by-one)."""
+    pat = f"(?<=^|\\s){re.escape(a)} {re.escape(b)}(?=\\s|$)"
+    return words.withColumn(
+        "sym",
+        F.regexp_replace("sym", pat, f"{a}{GLUE}{b}"),
+    )
+
+
+def train_bpe(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Run ``n_merges`` BPE rounds; returns the final word table and
+    the ordered merge list (the learned tokenizer). Each round is one
+    pair-count aggregation over the |vocab|-row word table plus a
+    row-local regex rewrite — corpus touched exactly once, in
+    :func:`word_freq_table`."""
+    words = word_freq_table(df, text_col)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = top_merge(pair_counts(words))
+        if best is None or best[2] < 2:
+            break
+        a, b, _n = best
+        merges.append((a, b))
+        words = apply_merge(words, a, b)
+    return words, merges

@@ -479,3 +479,82 @@ def udtf_bigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, b.w1, b.w2 LIMIT 10
         """
     ).select("w1", "w2", F.col("n").cast("long").alias("n"))
+
+
+#: DuckDB merge application: double internal spaces so consecutive
+#: pair occurrences keep their own boundaries, literal-replace the
+#: padded pair, collapse back. Equivalent to the engine's
+#: lookaround-regex apply (both merge consecutive occurrences and
+#: leave overlapping 'a a a' as one merge).
+_DUCK_APPLY = (
+    "trim(replace(replace("
+    "' ' || replace({sym}, ' ', '  ') || ' ', "
+    "' ' || {a} || '  ' || {b} || ' ', "
+    "' ' || {a} || '++' || {b} || ' '), '  ', ' '))"
+)
+
+
+@register(
+    "bpe_train_2merges",
+    oracle=f"""
+    WITH words AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) > 0
+        GROUP BY word
+    ), w0 AS (
+        SELECT word, freq,
+               array_to_string(list_transform(
+                   generate_series(1, length(word)),
+                   i -> substr(word, i, 1)), ' ') AS sym
+        FROM words
+    ), pc1 AS (
+        SELECT t[i] AS a, t[i + 1] AS b, sum(freq) AS n
+        FROM (SELECT freq, string_split(sym, ' ') AS t FROM w0),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+        GROUP BY 1, 2
+    ), m1 AS (
+        SELECT a, b FROM pc1 ORDER BY n DESC, a, b LIMIT 1
+    ), w1 AS (
+        SELECT word, freq,
+               {_DUCK_APPLY.format(sym="w0.sym", a="m1.a", b="m1.b")} AS sym
+        FROM w0, m1
+    ), pc2 AS (
+        SELECT t[i] AS a, t[i + 1] AS b, sum(freq) AS n
+        FROM (SELECT freq, string_split(sym, ' ') AS t FROM w1),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+        GROUP BY 1, 2
+    ), m2 AS (
+        SELECT a, b FROM pc2 ORDER BY n DESC, a, b LIMIT 1
+    ), w2 AS (
+        SELECT word, freq,
+               {_DUCK_APPLY.format(sym="w1.sym", a="m2.a", b="m2.b")} AS sym
+        FROM w1, m2
+    )
+    SELECT word, CAST(freq AS BIGINT) AS freq, sym
+    FROM w2 ORDER BY freq DESC, word LIMIT 15
+    """,
+)
+def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of BPE tokenizer training (operators.bpe) over the
+    documents corpus, pinned end to end: the oracle unrolls both
+    rounds in SQL — pair counts weighted by word frequency,
+    deterministic argmax (count desc, lexical tie-break: reproducible
+    vocabularies are a correctness property, not a nicety), merge
+    applied across every word. The corpus is scanned ONCE into the
+    |distinct words| frequency table; each round after that is a
+    row-local rewrite + one tiny aggregate — why BPE training is
+    tractable at 100 TB at all. Top-15 words with their merged
+    symbol state are the observable."""
+    from ..operators.bpe import train_bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    words, _merges = train_bpe(docs, n_merges=2)
+    return (
+        words.select(
+            "word", F.col("freq").cast("long").alias("freq"), "sym"
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(15)
+    )

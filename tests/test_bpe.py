@@ -1,0 +1,80 @@
+"""BPE training vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from enclaveid_data_pipeline_spark.operators.bpe import (
+    GLUE,
+    train_bpe,
+    word_freq_table,
+)
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Textbook BPE on a word-frequency dict."""
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        # same tie-break: count desc, then lexical
+        (a, b), n = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if n < 2:
+            break
+        merges.append((a, b))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + GLUE + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, {w: " ".join(s) for w, s in syms.items()}
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wider wide wide widest",
+    "low newer low wider new",
+]
+
+
+def test_learned_merges_match_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    words, merges = train_bpe(df, n_merges=6)
+    ref_merges, ref_syms = _ref_bpe(TEXTS, 6)
+    assert merges == ref_merges
+    got = {r["word"]: r["sym"] for r in words.collect()}
+    assert got == ref_syms
+
+
+def test_consecutive_pair_merges_in_one_pass(spark):
+    # 'a b a b' must become 'a++b a++b' in a single apply_merge
+    from enclaveid_data_pipeline_spark.operators.bpe import apply_merge
+
+    df = spark.createDataFrame([("abab abab",)], "text string")
+    words = word_freq_table(df)
+    merged = apply_merge(words, "a", "b")
+    sym = merged.collect()[0]["sym"]
+    assert sym == "a++b a++b"
+
+
+def test_corpus_scanned_once_then_word_table_only(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    words = word_freq_table(df)
+    # the word table is |distinct words|, not corpus-sized
+    n_distinct = len({w for t in TEXTS for w in t.split()})
+    assert words.count() == n_distinct
