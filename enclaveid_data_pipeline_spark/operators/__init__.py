@@ -1,6 +1,12 @@
+from .bpe import train_bpe
+from .cdc import apply_changes, latest_snapshot, scd2_history
+from .expectations import check_expectations
+from .graph import pagerank_fixed
+from .ivm import incremental_join
 from .recency import recency_split
 from .sessionize import chunk_ids, session_gaps, sessionize
-from .thresholds import group_percentile, with_group_threshold
+from .thresholds import group_percentile, winsorize, with_group_threshold
+from .trainprep import balance_classes
 
 __all__ = [
     "recency_split",
@@ -9,4 +15,13 @@ __all__ = [
     "sessionize",
     "group_percentile",
     "with_group_threshold",
+    "winsorize",
+    "latest_snapshot",
+    "apply_changes",
+    "scd2_history",
+    "incremental_join",
+    "pagerank_fixed",
+    "check_expectations",
+    "balance_classes",
+    "train_bpe",
 ]

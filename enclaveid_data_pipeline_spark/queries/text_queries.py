@@ -558,3 +558,47 @@ def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "word")
         .limit(15)
     )
+
+
+@register(
+    "token_entropy_scores",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+    FROM tc GROUP BY doc_id
+    """,
+)
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    curation signal that separates natural prose from boilerplate
+    and keyboard-mash (both extremes score low/high abnormally).
+    Computed by the identity H = log2(n) − Σc·log2(c)/n so ONE
+    two-level aggregate does it (explode → per-(doc,token) count →
+    per-doc sums) — the codegen groupBy shape, not a quadratic
+    count-each-distinct-token array HOF. Pairs with quality_scores
+    and repetition_scores as a keep/drop feature."""
+    docs = read_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
