@@ -725,3 +725,100 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_7d",
         )
     )
+
+
+@register(
+    "chisq_type_value_band",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               CAST(least(floor(value / 50), 3) AS INT) AS band,
+               count(*) AS obs
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(obs) AS n FROM o
+    ), m AS (
+        SELECT o.event_type, o.band, o.obs,
+               sum(o.obs) OVER (PARTITION BY o.event_type) AS row_tot,
+               sum(o.obs) OVER (PARTITION BY o.band) AS col_tot
+        FROM o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(
+               pow(m.obs - (m.row_tot * m.col_tot) / CAST(t.n AS DOUBLE), 2)
+               / ((m.row_tot * m.col_tot) / CAST(t.n AS DOUBLE))
+           ), 4) AS chi2
+    FROM m, tot t
+    """,
+)
+def chisq_type_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event_type × value-band
+    — the contingency test a feature-selection or drift-detection
+    pass runs over categorical pairs. The contingency table is ONE
+    groupBy (|types|×|bands| cells); marginals come from windows
+    over that tiny table, never the corpus; the statistic is a
+    row-local expression folded by one more tiny aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(3))
+        .cast("int")
+        .alias("band"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("band")
+    m = o.select(
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+    )
+    n = m.agg(F.sum("obs").alias("n"))
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return (
+        m.join(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(F.pow(F.col("obs") - e, 2) / e), 4
+            ).alias("chi2"),
+        )
+    )
+
+
+@register(
+    "numeric_profile_events",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4)
+               AS corr_value_hour,
+           round(stddev_samp(value), 4) AS sd_value,
+           round((avg(value * value * value)
+                  - 3 * avg(value) * avg(value * value)
+                  + 2 * pow(avg(value), 3))
+                 / pow(var_pop(value), 1.5), 4) AS skew_value
+    FROM events GROUP BY event_type
+    """,
+)
+def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type numeric profile: Pearson correlation (value vs
+    hour-of-day), sample stddev, population skewness — the moment
+    block of a data-profiling pass, all single-pass co-moment
+    aggregates (partial-combinable, one shuffle of 5 groups).
+    Skewness is spelled out from raw moments on BOTH sides because
+    the engines' built-ins disagree on the estimator (Spark:
+    population g1; DuckDB: sample-adjusted G1) — cross-engine parity
+    means pinning the formula, not the function name. Rounded to 4
+    so accumulation-order float noise can't leak."""
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.hour(F.col("ts")).cast("double")
+    v = F.col("value")
+    skew = (
+        F.avg(v * v * v)
+        - 3 * F.avg(v) * F.avg(v * v)
+        + 2 * F.pow(F.avg(v), 3)
+    ) / F.pow(F.var_pop(v), 1.5)
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", hour), 4).alias("corr_value_hour"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(skew, 4).alias("skew_value"),
+    )
