@@ -1729,3 +1729,140 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def _labeled_pairs(emb, query_pred):
+    """(query_id, qlabel, neighbor_id, nlabel, sim) for a bounded
+    query set × the corpus — shared by the contrastive-mining and
+    label-agreement queries."""
+    from ..functions.vectors import as_double, cosine_similarity, l2_norm
+
+    q = emb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        as_double(F.col("embedding")).alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__qv"), F.col("__cv"),
+            a_norm=F.col("__qn"), b_norm=F.col("__cn"),
+            assume_double=True,
+        ),
+        6,
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qlabel", "neighbor_id", "nlabel",
+                sim.alias("sim"))
+    )
+
+
+@register(
+    "hard_negatives_top3",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), pairs AS (
+        SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+               c.label AS nlabel,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM q JOIN embeddings c
+          ON c.vec_id != q.query_id AND c.label != q.qlabel
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, qlabel, neighbor_id, nlabel, sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negatives_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's
+    3 most-similar vectors from OTHER labels — the negatives that
+    actually teach the boundary (random negatives are trivially
+    easy). Same broadcast-queries × corpus shape as the ANN baseline
+    with the label inequality fused into the join condition, so
+    same-label pairs are never scored; per-query top-k is the
+    partial ``WindowGroupLimit`` form. IVF/PQ compose here the same
+    way they do for knn when the corpus outgrows a full scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = _labeled_pairs(
+        emb, (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    ).filter(F.col("nlabel") != F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "qlabel", "neighbor_id", "nlabel", "sim",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+        FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000
+    ), pairs AS (
+        SELECT q.query_id, q.qlabel, c.label AS nlabel,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim,
+               c.vec_id AS neighbor_id
+        FROM q JOIN embeddings c ON c.vec_id != q.query_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, qlabel,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree,
+           round(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                 / 5.0, 4) AS agree_frac,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) <= 1
+               AS BIGINT) AS suspected_mislabel
+    FROM ranked WHERE rank <= 5
+    GROUP BY query_id, qlabel
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighborhood vote: for each probe
+    vector, how many of its 5 nearest neighbors share its label —
+    a vector whose neighborhood overwhelmingly disagrees is a
+    suspected mislabel (Confident-Learning's cheap geometric
+    cousin). Bounded probe set × corpus, top-5 per probe, then a
+    5-row-per-probe aggregate; at scale the neighbor search swaps to
+    the IVF path and this becomes a post-join summary."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = _labeled_pairs(
+        emb, (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    top5 = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    agree = F.sum(
+        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+    )
+    return top5.groupBy("query_id", "qlabel").agg(
+        agree.cast("long").alias("n_agree"),
+        F.round(agree / F.lit(5.0), 4).alias("agree_frac"),
+        (agree <= 1).cast("long").alias("suspected_mislabel"),
+    )
