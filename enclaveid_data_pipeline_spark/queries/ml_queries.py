@@ -345,3 +345,46 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 6).alias("scale_r"),
         F.round(err / F.lit(64), 6).alias("mean_abs_err"),
     )
+
+
+@register(
+    "normalized_embedding_stats",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ), c AS (
+        SELECT label, pos, round(avg(v), 6) AS cv
+        FROM e GROUP BY 1, 2
+    ), centered AS (
+        SELECT e.vec_id, e.label, e.pos, e.v - c.cv AS cv
+        FROM e JOIN c ON c.label = e.label AND c.pos = e.pos
+    )
+    SELECT vec_id, label,
+           round(sqrt(sum(cv * cv)), 4) AS centered_norm
+    FROM centered GROUP BY vec_id, label
+    """,
+)
+def normalized_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-centering of embeddings (the whitening-lite
+    step before clustering: removes each label's common direction so
+    within-cluster structure dominates), reported as each vector's
+    centered L2 norm. Centroids come from the posexplode
+    partial-aggregated shape rounded before use (shuffle-order float
+    variance stays out of the oracle); the centering itself is one
+    equi-join on (label, pos) — at scale the centroid table is
+    labels×dims rows and broadcasts."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    c = e.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("cv"))
+    centered = e.join(F.broadcast(c), ["label", "pos"]).select(
+        "vec_id", "label", (F.col("v") - F.col("cv")).alias("cv")
+    )
+    return centered.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 4).alias(
+            "centered_norm"
+        )
+    )
