@@ -1866,3 +1866,142 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(agree / F.lit(5.0), 4).alias("agree_frac"),
         (agree <= 1).cast("long").alias("suspected_mislabel"),
     )
+
+
+@register(
+    "containment_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    )
+    SELECT c.left_id, c.right_id,
+           round(len(list_intersect(la.s, lb.s))::DOUBLE
+                 / least(len(la.s), len(lb.s)), 6) AS containment,
+           round(len(list_intersect(la.s, lb.s))::DOUBLE
+                 / (len(la.s) + len(lb.s) - len(list_intersect(la.s, lb.s))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN dsh la ON la.doc_id = c.left_id
+    JOIN dsh lb ON lb.doc_id = c.right_id
+    WHERE round(len(list_intersect(la.s, lb.s))::DOUBLE
+                / least(len(la.s), len(lb.s)), 6) >= 0.7
+    """,
+)
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup detection: |A∩B| / min(|A|,|B|) ≥
+    0.7 on the SAME LSH candidates as the Jaccard pipeline — the
+    asymmetric measure that catches a document EMBEDDED in a larger
+    one, where symmetric Jaccard dilutes below threshold as the size
+    gap grows (quote pages, concatenated crawls, boilerplate-wrapped
+    republications). Same candidates-then-verify discipline: the
+    banded equi-join bounds pairs, both measures come from one
+    array_intersect per candidate; reported side by side so the
+    asymmetry is visible in the output."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    cand = minhash_lsh_pairs(
+        toks,
+        id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    sh = _materialize(
+        toks.select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+        )
+    )
+    la = sh.select(F.col("doc_id").alias("left_id"), F.col("s").alias("__sa"))
+    lb = sh.select(F.col("doc_id").alias("right_id"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    cont = F.round(
+        inter.cast("double")
+        / F.least(F.size("__sa"), F.size("__sb")),
+        6,
+    )
+    jac = F.round(
+        inter.cast("double") / (F.size("__sa") + F.size("__sb") - inter),
+        6,
+    )
+    return (
+        cand.select("left_id", "right_id")
+        .join(la, "left_id")
+        .join(lb, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.7)
+    )
+
+
+@register(
+    "cell_diverse_sample",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1 AND vec_id < 2000
+    ), sims AS (
+        SELECT e.vec_id, e.label, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), assigned AS (
+        SELECT vec_id, label, cent_id FROM sims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+    )
+    SELECT cent_id,
+           CAST(count(*) AS BIGINT) AS n_in_cell,
+           CAST(min(vec_id) AS BIGINT) AS rep_vec_id,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM assigned GROUP BY cent_id
+    """,
+)
+def cell_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling by coverage: one deterministic
+    representative per coarse cell (plus the cell's size and label
+    spread) — the cheap corpus-scale stand-in for facility-location
+    coreset selection: cells partition the embedding space, so the
+    representative set spans it by construction instead of by an
+    O(k·n) greedy loop. Assignment is the shared broadcast-argmin
+    (one shuffled row per vector); everything after is a |cells|-row
+    aggregate. Budget control = centroid count, the same knob as
+    IVF."""
+    from ..operators.knn import _prep_centroids, assign_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") % 40 == 1) & (F.col("vec_id") < 2000)
+    )
+    cent = _prep_centroids(centroids, "vec_id", "embedding")
+    assigned = assign_cells(emb, cent, "vec_id", "embedding")
+    labeled = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return labeled.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_in_cell"),
+        F.min("vec_id").cast("long").alias("rep_vec_id"),
+        F.count_distinct("label").alias("n_labels"),
+    )
