@@ -169,3 +169,68 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
         F.date_format(F.max("ts"), _TS_S).alias("max_ts_s"),
     )
+
+
+#: point-in-time instant for the as-of dimension lookup
+_AS_OF = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_as_of_lookup",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value / 50) AS INT) AS band
+        FROM events
+    ), m AS (
+        SELECT *,
+               (row_number() OVER w = 1 OR
+                lag(band) OVER w IS DISTINCT FROM band) AS is_change
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT * FROM m WHERE is_change
+    ), hist AS (
+        SELECT user_id, band, ts AS effective_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS effective_to
+        FROM ch
+    ), at_t AS (
+        SELECT user_id, band FROM hist
+        WHERE effective_from <= TIMESTAMP '{_AS_OF}'
+          AND (effective_to IS NULL
+               OR effective_to > TIMESTAMP '{_AS_OF}')
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS min_user_id
+    FROM at_t GROUP BY band
+    """,
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction — the read side that
+    justifies keeping SCD2 history at all: 'what band was every user
+    in at instant T?' answered by one interval predicate over the
+    validity table (effective_from ≤ T < effective_to), no event
+    replay. At scale the history table is partitioned by
+    effective_from month, so the as-of filter prunes partitions
+    newer than T and the predicate touches a bounded slice. Users
+    whose first change postdates T are correctly absent (they had no
+    state yet)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") / 50).cast("int").alias("band"),
+    )
+    hist = scd2_history(
+        ev, keys=("user_id",), seq_col="ts", attr_cols=("band",),
+        tiebreak_cols=("event_id",),
+    )
+    t = F.lit(_AS_OF).cast("timestamp_ntz")
+    asof = hist.filter(
+        (F.col("effective_from") <= t)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
+    )
+    return asof.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").cast("long").alias("min_user_id"),
+    )
