@@ -149,3 +149,39 @@ def read_jdbc_table(
             properties=properties or {},
         )
     return reader.jdbc(url, table, properties=properties or {})
+
+
+def jdbc_stream_sink(
+    stream_df,
+    url: str,
+    table: str,
+    partition_col: str = "user_id",
+    properties: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin of :func:`write_jdbc_partition_upsert`: each
+    micro-batch delete-then-appends the partition keys it touches —
+    the foreachBatch composition that gives effectively-once delivery
+    to an external database from an at-least-once stream: a replayed
+    micro-batch re-deletes and re-appends the same keys, converging
+    to the same table instead of duplicating rows (idempotence comes
+    from the keyed rewrite, not from transactions the sink may not
+    have).
+
+    Per trigger the DB work is proportional to the batch's key set,
+    not the table; keys untouched by a batch are never rewritten —
+    the same contract as streaming/sinks.partition_upsert_sink with
+    the database as the layout."""
+
+    def _upsert(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_jdbc_partition_upsert(
+            batch_df, url, table,
+            partition_col=partition_col, properties=properties,
+        )
+
+    w = stream_df.writeStream.foreachBatch(_upsert).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -75,3 +75,64 @@ def test_parallel_range_read(spark):
     )
     assert out.rdd.getNumPartitions() == 4
     assert out.count() == 40
+
+
+def test_jdbc_stream_sink_upserts_and_survives_replay(spark, tmp_path):
+    """Two micro-batches land in Derby via keyed delete-then-append;
+    a full no-checkpoint replay converges to the identical table
+    (effectively-once from the keyed rewrite, not transactions)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.jdbc import (
+        jdbc_stream_sink,
+        read_jdbc_table,
+    )
+
+    url = "jdbc:derby:memory:streamdb;create=true"
+    stream_dir = tmp_path / "jdbc_in"
+    stream_dir.mkdir()
+
+    def drop(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, v long")
+        staging = tmp_path / "staging" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"d-{name}.parquet")
+
+    def start():
+        return jdbc_stream_sink(
+            spark.readStream.schema("user_id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir)),
+            url,
+            "stream_tbl",
+        )
+
+    q = start()
+    try:
+        drop("000", [(7, 1), (8, 2)])
+        q.processAllAvailable()
+        # batch 2 touches user 7 again (its partition is rewritten
+        # with batch-2 content) and adds user 9
+        drop("001", [(7, 10), (9, 3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap():
+        return {
+            (r.user_id, r.v)
+            for r in read_jdbc_table(spark, url, "stream_tbl").collect()
+        }
+
+    got = snap()
+    assert got == {(7, 10), (8, 2), (9, 3)}
+
+    q2 = start()  # fresh query, no checkpoint: full replay
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert snap() == got

@@ -305,3 +305,47 @@ def test_cdc_snapshot_sink_folds_and_survives_replay(spark, tmp_path):
         r.user_id: r.value for r in read_cdc_snapshot(spark, out).collect()
     }
     assert live2 == live
+
+
+def test_rollup_sink_maintains_kll_quantiles(spark, tmp_path):
+    """Quantile sketches fold through the streaming rollup sink: the
+    maintained median tracks the exact percentile of all streamed
+    rows — incremental percentiles with the corpus never re-scanned."""
+    from enclaveid_data_pipeline_spark.operators.rollup import with_quantile
+    from enclaveid_data_pipeline_spark.streaming.sinks import rollup_sink
+
+    stream_dir = tmp_path / "kll_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "kll_out")
+    keys = ("user_id",)
+    measures = {"q": ("kll", "value"), "n": ("count", "*")}
+
+    q = rollup_sink(
+        read_event_stream(spark, str(stream_dir)).select(
+            "user_id", "event_id"
+        ),
+        out,
+        keys,
+        measures,
+        # value = event_id → streamed values are exactly 0..199
+        transform=lambda b: b.withColumn(
+            "value", F.col("event_id").cast("double")
+        ),
+    )
+    # two drops: user 7 gets values 0..199 split across batches
+    b1 = [(i, BASE + i, 7, "click") for i in range(100)]
+    b2 = [(i + 100, BASE + i + 100, 7, "click") for i in range(100)]
+    try:
+        _drop(spark, tmp_path, stream_dir, "000", b1)
+        q.processAllAvailable()
+        _drop(spark, tmp_path, stream_dir, "001", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = spark.read.parquet(out)
+    row = with_quantile(snap, "med", "q", 0.5).collect()[0]
+    assert row.n == 200
+    # exact median of 0..199 is 99.5; KLL at n=200 is exact (below
+    # sketch compaction), but allow its documented rank slack anyway
+    assert abs(row.med - 99.5) <= 4
