@@ -2005,3 +2005,152 @@ def cell_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("long").alias("rep_vec_id"),
         F.count_distinct("label").alias("n_labels"),
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ), uni AS (
+        SELECT w1 AS w, count(*) AS cu
+        FROM bg GROUP BY 1
+    ), bi AS (
+        SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+    ), v AS (
+        SELECT count(*) AS vsize FROM uni
+    ), logp AS (
+        SELECT bi.w1, bi.w2,
+               round(ln((bi.cb + 1.0) / (uni.cu + v.vsize)), 6) AS lp
+        FROM bi JOIN uni ON uni.w = bi.w1, v
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp.lp), 4) AS avg_logprob
+    FROM bg JOIN logp ON logp.w1 = bg.w1 AND logp.w2 = bg.w2
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned BIGRAM language model with add-one smoothing —
+    the next step up from the unigram filter: word-salad documents
+    whose individual tokens are common but whose SEQUENCES are not
+    score low (the failure mode unigram scoring cannot see).
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+|V|); per-bigram log-probs round
+    to 6 before the per-doc mean so both engines fold identical
+    values. The bigram table is Zipf-small and joins back by
+    (w1,w2); bigram generation is the row-local zipped-tail shape
+    shared with operators.bpe."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    t = F.col("t")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    uni = bg.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    v = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    logp = (
+        bi.join(uni, bi["w1"] == uni["w"])
+        .join(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb") + 1.0)
+                    / (F.col("cu") + F.col("vsize"))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(logp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+_VO_W = 8       # window length (tokens)
+_VO_MIN = 20    # min shared windows to report a pair
+
+
+@register(
+    "verbatim_overlap_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), win AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(t[i : i + {_VO_W} - 1], ' ')) AS wh
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {_VO_W} + 1)) AS i) g
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM win a JOIN win b
+      ON a.wh = b.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_VO_MIN}
+    """,
+)
+def verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap detection (the Lee et al. 2021,
+    arXiv:2107.06499 signal, window-hash form): stride-1 8-token
+    windows hash to md5, pairs sharing ≥{min} window hashes have a
+    long VERBATIM span in common — an absolute overlap measure,
+    where Jaccard/containment are relative ones (a 200-token shared
+    passage inside two long documents clears this and may clear
+    neither of those). Distinct window hashes per doc bound the join
+    fan-out; the window-hash table is the suffix-array stand-in that
+    stays an equi-join at corpus scale (bucketed by hash, uniform by
+    construction). Window count per doc ≈ len−7 — linear, and the
+    20-window threshold applies AFTER the partial-aggregated pair
+    count.""".format(min=_VO_MIN)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    n_win = F.greatest(F.size("t") - F.lit(_VO_W - 1), F.lit(0))
+    # window hashes generated row-locally (transform over the index
+    # sequence), then exploded — no join back, no second scan
+    win = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # sequence(1, 0) DESCENDS in Spark — guard short
+                    # docs to an empty window list instead
+                    F.when(
+                        n_win >= 1, F.sequence(F.lit(1), n_win)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("t"), i, _VO_W), " ")
+                    ),
+                )
+            ).alias("wh"),
+        )
+        .distinct()
+    )
+    a = win.select(F.col("doc_id").alias("left_id"), "wh")
+    b = win.select(F.col("doc_id").alias("right_id"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= _VO_MIN)
+    )

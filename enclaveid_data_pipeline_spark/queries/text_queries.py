@@ -602,3 +602,88 @@ def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+@register(
+    "js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), cnt AS (
+        SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, sum(c) AS n FROM cnt GROUP BY source
+    ), p AS (
+        SELECT t,
+               coalesce(max(CASE WHEN cnt.source = 'src0'
+                   THEN c / CAST(ta.n AS DOUBLE) END), 0) AS pa,
+               coalesce(max(CASE WHEN cnt.source = 'src1'
+                   THEN c / CAST(tb.n AS DOUBLE) END), 0) AS pb
+        FROM cnt
+        JOIN tot ta ON ta.source = 'src0'
+        JOIN tot tb ON tb.source = 'src1'
+        GROUP BY t
+    ), terms AS (
+        SELECT t, pa, pb, (pa + pb) / 2 AS m,
+               round(CASE WHEN pa > 0
+                     THEN pa * log2(pa / ((pa + pb) / 2)) ELSE 0 END
+                     + CASE WHEN pb > 0
+                     THEN pb * log2(pb / ((pa + pb) / 2)) ELSE 0 END, 9)
+                   AS contrib
+        FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab_union,
+           CAST(sum(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_shared,
+           round(sum(contrib) / 2, 4) AS js_divergence_bits
+    FROM terms
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' token
+    distributions — the symmetric, bounded [0,1]-bit drift metric a
+    mixture pipeline tracks to notice when a source's content shifts
+    (KL alone is asymmetric and infinite on novel tokens; JS is
+    neither). Two Zipf-small count tables full-outer-merge on token,
+    per-token contributions are row-local and rounded to 9 before
+    the fold so engine accumulation order cannot move the rounded
+    sum. One corpus scan, two tiny aggregates."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    wc = cnt.join(tot, "source").select(
+        "t", "source", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    a = wc.filter(F.col("source") == "src0").select("t", F.col("p").alias("pa"))
+    b = wc.filter(F.col("source") == "src1").select("t", F.col("p").alias("pb"))
+    merged = (
+        a.join(b, "t", "full_outer")
+        .select(
+            "t",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = F.round(
+        F.when(F.col("pa") > 0, F.col("pa") * F.log2(F.col("pa") / m))
+        .otherwise(0.0)
+        + F.when(F.col("pb") > 0, F.col("pb") * F.log2(F.col("pb") / m))
+        .otherwise(0.0),
+        9,
+    )
+    return merged.select(
+        "pa", "pb", contrib.alias("contrib")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vocab_union"),
+        F.sum(
+            F.when((F.col("pa") > 0) & (F.col("pb") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_shared"),
+        F.round(F.sum("contrib") / 2, 4).alias("js_divergence_bits"),
+    )
