@@ -40,7 +40,7 @@ from ..operators.dedup import (
 from ..materialize import materialize as _materialize
 from ..operators.knn import brute_force_topk, ivf_topk, lsh_bucketed_topk
 from ..sources.readers import read_table
-from .registry import register
+from .registry import REGISTRY, register
 
 _NUM_HASHES = 16
 _BANDS = 4
@@ -2154,3 +2154,112 @@ def verbatim_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
         .filter(F.col("n_shared_windows") >= _VO_MIN)
     )
+
+
+def _duck_ivf_hits(nprobe: int) -> str:
+    """IVF top-5 hit set at a given nprobe (shares the knn_ivf_top5
+    CTE structure), as a (query_id, neighbor_id) relation."""
+    return f"""
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   round({_duck_cos('p.qe', 'c.embedding')}, 6) AS sim
+            FROM (
+                SELECT vec_id AS query_id, embedding AS qe, cent_id
+                FROM ranked_assign
+                WHERE rn <= {nprobe} AND vec_id % 50 = 0
+            ) p JOIN cells c
+              ON c.cent_id = p.cent_id AND c.vec_id != p.query_id
+        ) x
+    ) r WHERE rank <= 5
+    """
+
+
+@register(
+    "ivf_nprobe_recall_tradeoff",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1
+    ), sims AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), ranked_assign AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM sims
+    ), cells AS (
+        SELECT vec_id, embedding, cent_id FROM ranked_assign WHERE rn = 1
+    ), bf AS ({REGISTRY["knn_bruteforce_top5"].oracle}),
+    ivf1 AS ({_duck_ivf_hits(1)}),
+    ivf2 AS ({_duck_ivf_hits(2)}),
+    r1 AS (
+        SELECT 1 AS nprobe,
+               count(i.neighbor_id) AS hits, count(*) AS truth
+        FROM bf LEFT JOIN ivf1 i
+          ON i.query_id = bf.query_id AND i.neighbor_id = bf.neighbor_id
+    ), r2 AS (
+        SELECT 2 AS nprobe,
+               count(i.neighbor_id) AS hits, count(*) AS truth
+        FROM bf LEFT JOIN ivf2 i
+          ON i.query_id = bf.query_id AND i.neighbor_id = bf.neighbor_id
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(hits AS BIGINT) AS n_hits,
+           CAST(truth AS BIGINT) AS n_truth,
+           round(hits / CAST(truth AS DOUBLE), 4) AS recall_at_5
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    """,
+)
+def ivf_nprobe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve in one result: IVF recall@5 against
+    brute-force truth at nprobe=1 vs nprobe=2 — the
+    accuracy-per-cells-probed trade every IVF deployment tunes, here
+    as a measured artifact instead of folklore. Probing one more
+    cell costs one more cell's candidates per query (linear in
+    nprobe) and buys the recall delta this query reports; both
+    searches share the cell assignment, so the sweep costs the
+    probes, not two index builds."""
+    from ..operators.knn import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 40 == 1)
+    bf = brute_force_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    out = None
+    for nprobe in (1, 2):
+        hits = ivf_topk(
+            queries, emb, centroids, id_col="vec_id",
+            vec_col="embedding", k=5, nprobe=nprobe,
+        ).select(
+            F.col("query_id").alias("iq"),
+            F.col("neighbor_id").alias("inb"),
+        )
+        r = (
+            bf.join(
+                hits,
+                (F.col("query_id") == F.col("iq"))
+                & (F.col("neighbor_id") == F.col("inb")),
+                "left",
+            )
+            .agg(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                F.count("inb").alias("n_hits"),
+                F.count(F.lit(1)).alias("n_truth"),
+                F.round(
+                    F.count("inb") / F.count(F.lit(1)).cast("double"), 4
+                ).alias("recall_at_5"),
+            )
+            .select("nprobe", "n_hits", "n_truth", "recall_at_5")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
