@@ -9,7 +9,7 @@ DuckDB oracle can check them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.quality import validity_counters
@@ -687,3 +687,101 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_shared"),
         F.round(F.sum("contrib") / 2, 4).alias("js_divergence_bits"),
     )
+
+
+@register(
+    "blended_quality_deciles",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), total AS (SELECT sum(c) AS n FROM vocab),
+    lm AS (
+        SELECT tok.doc_id, round(avg(round(ln(v.c / t.n), 6)), 4) AS lp
+        FROM tok JOIN vocab v USING (tok), total t
+        GROUP BY tok.doc_id
+    ), ent AS (
+        SELECT doc_id,
+               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS h
+        FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        GROUP BY doc_id
+    ), dr AS (
+        SELECT doc_id,
+               round(len(list_distinct(t))::DOUBLE / len(t), 6) AS uf
+        FROM toks
+    ), ranked AS (
+        SELECT lm.doc_id,
+               percent_rank() OVER (ORDER BY lm.lp, lm.doc_id) AS r_lm,
+               percent_rank() OVER (ORDER BY ent.h, ent.doc_id) AS r_ent,
+               percent_rank() OVER (ORDER BY dr.uf, dr.doc_id) AS r_uf
+        FROM lm JOIN ent USING (doc_id) JOIN dr USING (doc_id)
+    ), blended AS (
+        SELECT doc_id,
+               round((r_lm + r_ent + r_uf) / 3, 6) AS blend
+        FROM ranked
+    )
+    SELECT doc_id, blend,
+           CAST(least(floor(
+               percent_rank() OVER (ORDER BY blend, doc_id) * 10
+           ), 9) AS BIGINT) AS decile
+    FROM blended
+    """,
+)
+def blended_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite quality score curation pipelines actually rank
+    by: rank-average of three independent signals (unigram LM
+    log-prob, token entropy, distinct-token ratio) — rank blending
+    because the raw signals live on incomparable scales, and an
+    average of percent-ranks is scale-free. Each signal is a
+    partial-aggregated pass; the global percent_rank windows are
+    fine at eval scale and the documented 100 TB swap is
+    threshold-based banding (the curriculum_phases form: learn the
+    decile cut points from a sample, assign row-locally — no global
+    sort). Deterministic throughout: every rank orders by (signal,
+    doc_id)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    tok = toks.select("doc_id", F.explode("t").alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    lm = (
+        tok.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.round(F.log(F.col("c") / F.col("n")), 6)), 4
+            ).alias("lp")
+        )
+    )
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ent = tc.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            4,
+        ).alias("h")
+    )
+    dr = toks.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+        ).alias("uf"),
+    )
+    j = lm.join(ent, "doc_id").join(dr, "doc_id")
+    r_lm = F.percent_rank().over(Window.orderBy("lp", "doc_id"))
+    r_ent = F.percent_rank().over(Window.orderBy("h", "doc_id"))
+    r_uf = F.percent_rank().over(Window.orderBy("uf", "doc_id"))
+    blended = j.select(
+        "doc_id",
+        F.round((r_lm + r_ent + r_uf) / 3, 6).alias("blend"),
+    )
+    dec = F.least(
+        F.floor(
+            F.percent_rank().over(Window.orderBy("blend", "doc_id")) * 10
+        ),
+        F.lit(9),
+    ).cast("long")
+    return blended.select("doc_id", "blend", dec.alias("decile"))
