@@ -2263,3 +2263,125 @@ def ivf_nprobe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def _duck_bands_expr(bands: int, rows: int) -> str:
+    return (
+        f"list_transform(generate_series(0, {bands - 1}), b -> md5("
+        + " || '|' || ".join(
+            f"sig[b * {rows} + {r + 1}]::VARCHAR" for r in range(rows)
+        )
+        + "))"
+    )
+
+
+def _duck_band_cfg(tag: str, bands: int, rows: int) -> str:
+    """candidates + exact-Jaccard verification for one (b, r) config
+    over the shared 16-hash signatures."""
+    return f"""
+    bands_{tag} AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {bands - 1})) AS band_idx,
+               unnest({_duck_bands_expr(bands, rows)}) AS band_key
+        FROM sigs
+    ), cand_{tag} AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bands_{tag} a JOIN bands_{tag} b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), stats_{tag} AS (
+        SELECT {bands} AS bands, {rows} AS rows_per_band,
+               count(*) AS n_candidates,
+               sum(CASE WHEN
+                   round(len(list_intersect(la.s, lb.s))::DOUBLE
+                         / (len(la.s) + len(lb.s)
+                            - len(list_intersect(la.s, lb.s))), 6) >= 0.8
+                   THEN 1 ELSE 0 END) AS n_true
+        FROM cand_{tag} c
+        JOIN dsh la ON la.doc_id = c.left_id
+        JOIN dsh lb ON lb.doc_id = c.right_id
+    )"""
+
+
+@register(
+    "lsh_band_sensitivity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
+    ), dsh AS (
+        SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    ), {_duck_band_cfg('a', 4, 4)}, {_duck_band_cfg('b', 8, 2)}
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true_dups,
+           round(n_true / CAST(n_candidates AS DOUBLE), 4) AS precision_08
+    FROM (SELECT * FROM stats_a UNION ALL SELECT * FROM stats_b)
+    """,
+)
+def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding configuration, measured: the SAME 16-hash
+    signatures banded 4×4 vs 8×2, each config's candidate volume
+    and precision against exact Jaccard ≥ 0.8 side by side. 8 bands
+    of 2 rows lowers the collision threshold (s² vs s⁴ per band) —
+    more candidates, more recall, lower precision; this query turns
+    that S-curve folklore into numbers on YOUR corpus, which is how
+    the banding knob should be chosen before burning a 100 TB pass.
+    Signatures are computed once; each config only re-folds band
+    keys and re-joins."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = _materialize(
+        toks.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+        )
+    )
+    la = sh.select(F.col("doc_id").alias("left_id"), F.col("s").alias("__sa"))
+    lb = sh.select(F.col("doc_id").alias("right_id"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = F.round(
+        inter.cast("double") / (F.size("__sa") + F.size("__sb") - inter), 6
+    )
+    out = None
+    for bands, rows in ((4, 4), (8, 2)):
+        cand = minhash_lsh_pairs(
+            toks,
+            id_col="doc_id",
+            shingles=word_shingles(F.col("t"), 3),
+            num_hashes=_NUM_HASHES,
+            bands=bands,
+            rows_per_band=rows,
+        )
+        stats = (
+            cand.select("left_id", "right_id")
+            .join(la, "left_id")
+            .join(lb, "right_id")
+            .agg(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(jac >= 0.8, 1).otherwise(0)).alias(
+                    "n_true_dups"
+                ),
+            )
+            .select(
+                "bands",
+                "rows_per_band",
+                "n_candidates",
+                F.col("n_true_dups").cast("long").alias("n_true_dups"),
+                F.round(
+                    F.col("n_true_dups")
+                    / F.col("n_candidates").cast("double"),
+                    4,
+                ).alias("precision_08"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
