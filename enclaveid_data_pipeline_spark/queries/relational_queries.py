@@ -463,3 +463,87 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH mx AS (
+        SELECT max(o_orderdate) AS max_d FROM orders
+    ), base AS (
+        SELECT o.o_custkey AS custkey,
+               date_diff('day', max(o.o_orderdate), mx.max_d) AS recency_d,
+               count(*) AS frequency,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))
+                     AS DOUBLE), 2) AS monetary
+        FROM orders o, mx
+        GROUP BY o.o_custkey, mx.max_d
+    ), scored AS (
+        SELECT custkey,
+               CAST(least(floor(percent_rank() OVER (
+                   ORDER BY recency_d DESC, custkey) * 5), 4) + 1
+                   AS INT) AS r,
+               CAST(least(floor(percent_rank() OVER (
+                   ORDER BY frequency, custkey) * 5), 4) + 1
+                   AS INT) AS f,
+               CAST(least(floor(percent_rank() OVER (
+                   ORDER BY monetary, custkey) * 5), 4) + 1
+                   AS INT) AS m
+        FROM base
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(custkey) AS BIGINT) AS min_custkey
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile codes (1–5 each, 5 best) and the population of every
+    segment cell: the marketing-analytics workhorse, here with the
+    recency axis ranked DESCENDING so recent buyers score high.
+    One aggregate to per-customer RFM, three rank windows over the
+    |customers|-row result (tie-broken on custkey for determinism),
+    one segment rollup. DECIMAL money; at corpus scale the quintile
+    cut points come from learned thresholds instead of global ranks
+    (the curriculum_phases swap)."""
+    orders = read_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("max_d"))
+    base = (
+        orders.join(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.date_diff(F.max("max_d"), F.max("o_orderdate")).alias(
+                "recency_d"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+
+    def _quintile(order_cols):
+        return (
+            F.least(
+                F.floor(
+                    F.percent_rank().over(Window.orderBy(*order_cols)) * 5
+                ),
+                F.lit(4),
+            )
+            + 1
+        ).cast("int")
+
+    scored = base.select(
+        "custkey",
+        _quintile([F.col("recency_d").desc(), F.col("custkey")]).alias("r"),
+        _quintile([F.col("frequency"), F.col("custkey")]).alias("f"),
+        _quintile([F.col("monetary"), F.col("custkey")]).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("custkey").cast("long").alias("min_custkey"),
+    )
