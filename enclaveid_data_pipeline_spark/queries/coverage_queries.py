@@ -910,3 +910,68 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_click_only"),
         )
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT s1.user_id,
+               epoch_us(s3.t3) - epoch_us(s1.t1) AS lat_us
+        FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(CAST(quantile_cont(lat_us, 0.5) AS BIGINT) AS BIGINT)
+               AS p50_us,
+           CAST(CAST(quantile_cont(lat_us, 0.9) AS BIGINT) AS BIGINT)
+               AS p90_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency for the signup→purchase funnel: exact
+    p50/p90/max of the signup-to-first-subsequent-purchase gap —
+    the 'how long does conversion take' companion to the stage
+    counts. Integer-microsecond durations end to end (float seconds
+    are not engine-portable); percentiles truncated to whole µs on
+    both sides. Same chained per-user aggregates as the funnel, one
+    extra 1-row reduce."""
+    ev = read_table(spark, sf_dir, "events")
+    from ..functions.timeutils import epoch_micros
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = s1.join(s3, "user_id").select(
+        (epoch_micros(F.col("t3")) - epoch_micros(F.col("t1"))).alias(
+            "lat_us"
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("lat_us").cast("double"), F.lit(0.5))
+        .cast("long")
+        .alias("p50_us"),
+        F.percentile(F.col("lat_us").cast("double"), F.lit(0.9))
+        .cast("long")
+        .alias("p90_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )

@@ -231,3 +231,60 @@ def near_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
     return connected_components(edges).select("node", "component")
+
+
+@register(
+    "dup_cluster_size_distribution",
+    oracle=_PAIRS_ORACLE_CTE
+    + f"""
+    , edges AS (
+        SELECT left_id AS src, right_id AS dst
+        FROM pairs WHERE sim >= {_NEAR_DUP_THRESHOLD}
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), recursive_reach AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.root
+            FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT * FROM reach
+    ), cc AS (
+        SELECT node, min(root) AS component
+        FROM recursive_reach GROUP BY node
+    ), sizes AS (
+        SELECT component, count(*) AS csize FROM cc GROUP BY component
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs_in,
+           CAST(sum(csize) - count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY csize
+    """,
+)
+def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'How duplicated is my corpus' in one table: the distribution
+    of near-duplicate cluster sizes plus, per size, how many
+    documents a keep-one-per-cluster dedup would remove — the
+    go/no-go number a curation run reads before spending the rewrite
+    pass. Components from the same deterministic min-label
+    propagation; everything after is two tiny aggregates over the
+    component table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+    ).withColumn("sim", F.round("similarity", 6))
+    edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    sizes = (
+        connected_components(edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("csize"))
+    )
+    return sizes.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("csize").cast("long").alias("n_docs_in"),
+        (F.sum("csize") - F.count(F.lit(1))).cast("long").alias("n_removable"),
+    )
