@@ -822,3 +822,52 @@ def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(skew, 4).alias("skew_value"),
     )
+
+
+@register(
+    "sequence_pattern_vcp",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hits AS (
+        SELECT user_id, ts FROM seq
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_patterns,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_at_s
+    FROM hits GROUP BY user_id
+    """,
+)
+def sequence_pattern_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-event pattern detection (MATCH_RECOGNIZE's common
+    case as plain windows): count each user's strictly consecutive
+    view→click→purchase triples — 'consecutive' meaning no other
+    event intervenes, which filtering-then-funnel cannot express.
+    Two leads over ONE window spec = one shuffle+sort per user;
+    longer patterns are more leads, same plan shape. The general
+    regex-over-rows form needs a stateful pass (applyInPandasWithState
+    on a stream, or a sessionized UDTF) — this is the declarative
+    90% case."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("first_at_s"),
+    )

@@ -785,3 +785,40 @@ def blended_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(9),
     ).cast("long")
     return blended.select("doc_id", "blend", dec.alias("decile"))
+
+
+@register(
+    "source_charset_profile",
+    oracle=r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE)), 6) AS digit_ratio,
+           round(avg(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE)), 6) AS lower_ratio,
+           round(avg(length(regexp_replace(text, '[^ ]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE)), 6) AS space_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def source_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class fingerprint per source (digit / lowercase /
+    whitespace mass fractions) — the cheap first drift and
+    format-anomaly detector: a source that suddenly ships 30% digits
+    is serving tables, not prose, and this catches it without
+    tokenizing anything. Row-local regexp length arithmetic into one
+    partial-aggregated groupBy."""
+    ev = read_table(spark, sf_dir, "documents")
+
+    def ratio(cls: str):
+        return F.avg(
+            F.length(F.regexp_replace(F.col("text"), cls, ""))
+            / F.length("text").cast("double")
+        )
+
+    return ev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(ratio("[^0-9]"), 6).alias("digit_ratio"),
+        F.round(ratio("[^a-z]"), 6).alias("lower_ratio"),
+        F.round(ratio("[^ ]"), 6).alias("space_ratio"),
+    )
