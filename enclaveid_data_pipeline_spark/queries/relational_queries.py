@@ -547,3 +547,60 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.min("custkey").cast("long").alias("min_custkey"),
     )
+
+
+@register(
+    "ltv_by_order_rank",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS order_rank
+        FROM orders
+    ), cum AS (
+        SELECT o_custkey, order_rank,
+               sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY order_rank
+               ) AS cum_spend
+        FROM ranked
+    )
+    SELECT CAST(order_rank AS BIGINT) AS order_rank,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(avg(cum_spend) AS DOUBLE), 2) AS avg_cum_spend
+    FROM cum WHERE order_rank <= 10
+    GROUP BY order_rank
+    """,
+)
+def ltv_by_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve by order number: average
+    cumulative spend at each customer's 1st..10th order, with the
+    surviving-customer count per rank — the retention-economics
+    curve (how much is an Nth repeat purchase worth, how many make
+    it that far). Rank and running sum share one per-customer
+    window partitioning (one shuffle+sort); DECIMAL money until the
+    final rounded projection."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("order_rank"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_spend"),
+    )
+    return (
+        ranked.filter(F.col("order_rank") <= 10)
+        .groupBy(F.col("order_rank").cast("long").alias("order_rank"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("cum_spend").cast("double"), 2).alias(
+                "avg_cum_spend"
+            ),
+        )
+    )

@@ -871,3 +871,34 @@ def sequence_pattern_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_patterns"),
         F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("first_at_s"),
     )
+
+
+@register(
+    "hourly_seasonality",
+    oracle="""
+    SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE), 4)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heat map — the seasonality
+    profile capacity planning and anomaly baselines both read.
+    Row-local calendar extraction (Spark ``dayofweek`` is 1-based
+    Sunday-first; DuckDB ``dow`` is 0-based — the off-by-one is
+    normalized HERE, at the query, because silently different
+    calendar conventions are how dashboards lie) into one 168-cell
+    partial-aggregated groupBy."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double"), 4
+        ).alias("total_value"),
+    )
