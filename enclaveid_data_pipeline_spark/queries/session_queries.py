@@ -902,3 +902,50 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double"), 4
         ).alias("total_value"),
     )
+
+
+@register(
+    "weekly_growth_rates",
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(epoch(CAST(ts AS DATE)) AS BIGINT) // 86400 // 7
+                   AS week_i,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(14,4))) AS v
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(week_i AS BIGINT) AS week_i,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(v AS DOUBLE), 4) AS total_value,
+           round((n - lag(n) OVER (ORDER BY week_i))
+                 / CAST(lag(n) OVER (ORDER BY week_i) AS DOUBLE), 4)
+               AS wow_event_growth
+    FROM wk
+    """,
+)
+def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly totals with the lag-based
+    percent change — the KPI delta every report leads with. The
+    weekly rollup is tiny, so the ordered lag window over it is
+    free; first week's growth is NULL (no prior), identical in both
+    engines. Integer epoch-week bucketing (BIGINT before // —
+    the DuckDB double-floor-div lesson, pinned twice now)."""
+    ev = read_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.expr("unix_date(to_date(ts)) div 7").cast("long").alias("week_i")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    w = Window.orderBy("week_i")
+    prev = F.lag("n_events").over(w)
+    return wk.select(
+        "week_i",
+        "n_events",
+        "total_value",
+        F.round(
+            (F.col("n_events") - prev) / prev.cast("double"), 4
+        ).alias("wow_event_growth"),
+    )
