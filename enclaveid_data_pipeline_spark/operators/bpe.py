@@ -86,11 +86,18 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     strings. Lookbehind/lookahead boundaries are non-consuming, so
     ``a b a b`` merges twice in one pass (a consuming `` `` boundary
     would eat the space the next match needs — the classic BPE
-    off-by-one)."""
+    off-by-one).
+
+    The replacement string is escaped for Java's replacement
+    metacharacters (``$`` = group reference, ``\\`` = escape) —
+    ``Matcher.quoteReplacement`` semantics — or a corpus containing
+    ``$5`` crashes with INVALID_REGEXP_REPLACE and backslash symbols
+    silently corrupt the vocabulary."""
     pat = f"(?<=^|\\s){re.escape(a)} {re.escape(b)}(?=\\s|$)"
+    repl = (a + GLUE + b).replace("\\", "\\\\").replace("$", "\\$")
     return words.withColumn(
         "sym",
-        F.regexp_replace("sym", pat, f"{a}{GLUE}{b}"),
+        F.regexp_replace("sym", pat, repl),
     )
 
 

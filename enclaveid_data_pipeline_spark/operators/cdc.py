@@ -87,6 +87,20 @@ def apply_changes(
     The snapshot side carries no ``op_col`` (it holds only live
     rows); batch rows supply theirs, snapshot rows rank as plain
     upserts.
+
+    Delete caveat (the limit of the associativity claim): because
+    the returned snapshot DROPS tombstones, folding a batch that
+    carries a row with ``seq_cols`` OLDER than an already-applied
+    delete resurrects the deleted key — a full
+    :func:`latest_snapshot` recompute over the whole changelog would
+    keep it dead. Batches must therefore be seq-monotone per key:
+    never deliver a row older than a delete already folded for that
+    key (the at-least-once redelivery window must not straddle a
+    fold boundary). When that cannot be guaranteed, keep tombstones
+    in the stored table and filter at read time — exactly what
+    ``streaming.sinks.cdc_snapshot_sink`` /
+    ``read_cdc_snapshot`` do; their fold is idempotent under
+    arbitrary reordering because deletes persist as rows.
     """
     if op_col is None:
         merged = snapshot.unionByName(batch)

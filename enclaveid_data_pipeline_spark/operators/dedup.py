@@ -697,7 +697,14 @@ def bloom_membership(
 
     Plan shape: explode k positions per probe → ONE equi-join on
     ``pos`` → count hits per probe. No all-pairs anything; skew-free
-    because md5 positions are uniform."""
+    because md5 positions are uniform.
+
+    NULL-key probes get ``maybe_member = False`` explicitly (their
+    md5 positions are NULL, so they can never match the fingerprint;
+    without the coalesce they would surface as NULL and silently
+    vanish from a ``filter(maybe_member)``, muddying the
+    no-false-negative contract — NULL keys are not members of
+    anything, and that is now stated rather than implied)."""
     pp = probes.withColumn("__pos", F.explode(bloom_positions(key, m, k)))
     hits = (
         pp.join(
@@ -710,4 +717,6 @@ def bloom_membership(
         .groupBy(id_col)
         .agg((F.count("__hit") == F.lit(k)).alias("maybe_member"))
     )
-    return probes.join(hits, on=id_col, how="left").drop("__pos")
+    return probes.join(hits, on=id_col, how="left").withColumn(
+        "maybe_member", F.coalesce("maybe_member", F.lit(False))
+    )

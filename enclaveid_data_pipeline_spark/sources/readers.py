@@ -153,8 +153,13 @@ def strip_zone_pattern(fmt: str) -> str:
     so one user-supplied format has to serve both: parquet sources
     with ``isAdjustedToUTC=false`` (this repo's ``events`` table)
     surface as NTZ, while the same reader must also accept LTZ DDLs.
+
+    Any separator immediately before the zone section goes with it
+    (``"yyyy-MM-dd HH:mm:ss X"`` → ``"yyyy-MM-dd HH:mm:ss"``, not a
+    trailing-space pattern that fails to parse values lacking that
+    literal space).
     """
-    return fmt.rstrip("XxZzOV")
+    return fmt.rstrip("XxZzOV").rstrip(" \t'")
 
 
 def read_csv_table(

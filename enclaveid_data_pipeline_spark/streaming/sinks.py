@@ -33,8 +33,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.errors import AnalysisException
+
 from ..materialize import materialize as _materialize
 from ..sources.writers import write_partitioned
+
+
+def _read_existing(spark, path: str) -> DataFrame | None:
+    """Read the persisted table, returning ``None`` ONLY when the
+    table genuinely does not exist yet (first micro-batch).
+
+    Any other read failure — transient listing/permission error,
+    corrupt footer — re-raises so the trigger fails and the batch
+    retries. Treating every exception as "first batch" would make
+    the read-merge-overwrite folds below overwrite the whole
+    persisted table with just the current micro-batch: unrecoverable
+    loss, since committed batches are never replayed.
+    """
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def partition_upsert_sink(
@@ -77,10 +99,7 @@ def partition_upsert_sink(
                 )
             spark = batch_df.sparkSession
             cols = batch_df.columns
-            try:
-                existing = spark.read.parquet(path)
-            except Exception:  # noqa: BLE001 - first batch: no table yet
-                existing = None
+            existing = _read_existing(spark, path)
             if existing is not None:
                 touched = batch_df.select(*partition_cols).distinct()
                 keep = (
@@ -141,10 +160,7 @@ def rollup_sink(
         if transform is not None:
             batch_df = transform(batch_df)
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 - first batch: no table yet
-            existing = None
+        existing = _read_existing(spark, path)
         if existing is not None:
             done = existing.agg(F.max("_batch_id")).collect()[0][0]
             if done is not None and batch_id <= done:
@@ -205,10 +221,7 @@ def cdc_snapshot_sink(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_cur = latest_snapshot(batch_df, keys, seq_cols)
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 - first batch: no table yet
-            existing = None
+        existing = _read_existing(spark, path)
         if existing is None:
             merged = batch_cur
         else:
