@@ -81,6 +81,7 @@ SCALE_TWINS = (
     "ppjoin_jaccard_dups",
     "session_merge_banded",
     "skewed_merge_banded_hotkey",
+    "top1_neighbor_graph_ann",
     "knn_bruteforce_fixedq",
     "knn_ivf_fixedcent",
     "contamination_fixed_benchmark",

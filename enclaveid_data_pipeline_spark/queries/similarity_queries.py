@@ -288,3 +288,176 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("csize").cast("long").alias("n_docs_in"),
         (F.sum("csize") - F.count(F.lit(1))).cast("long").alias("n_removable"),
     )
+
+
+# ---- ANN-backed graph (scale twin of top1_neighbor_graph) ---------------
+
+#: Hyperplane count for the graph's LSH bucketing: 8 buckets per
+#: label. The bucket joins the group key, so a label's pair space
+#: shrinks ~8x and — the 100 TB point — one label's pairs no longer
+#: land on a single task: (label, bucket) is the shuffle key.
+_GRAPH_PLANES = 3
+
+
+def _duck_bucket_planes(e: str, planes: int) -> str:
+    """DuckDB twin of operators.knn.hyperplane_sign_bits (64-d fixed:
+    DuckDB can't bind a column inside generate_series here)."""
+    hex_high = "('8','9','a','b','c','d','e','f')"
+    terms = []
+    for p in range(planes):
+        proj = (
+            f"(SELECT sum(CASE WHEN substr(md5('{p}|' || i), 1, 1) IN {hex_high} "
+            f"THEN {e}[i]::DOUBLE ELSE -{e}[i]::DOUBLE END) "
+            f"FROM generate_series(1, 64) z(i))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_GRAPH_ORACLE = f"""
+    WITH b AS (
+        SELECT label, vec_id, embedding,
+               {_duck_bucket_planes('embedding', _GRAPH_PLANES)} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.label, a.vec_id AS left_id, c.vec_id AS right_id,
+               round({_duck_cos('a.embedding', 'c.embedding')}, 6) AS sim
+        FROM b a
+        JOIN b c
+          ON a.label = c.label AND a.bucket = c.bucket
+         AND a.vec_id < c.vec_id
+    ), ranked AS (
+        SELECT label, left_id, right_id, sim,
+               row_number() OVER (
+                   PARTITION BY label, left_id
+                   ORDER BY sim DESC, right_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT label,
+           left_id AS parent_id,
+           right_id AS child_id,
+           sim AS weight
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("top1_neighbor_graph_ann", oracle=_ANN_GRAPH_ORACLE)
+def top1_neighbor_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed twin of :func:`top1_neighbor_graph`: candidate
+    pairs come only from the anchor's LSH sign bucket WITHIN its
+    label (deterministic hyperplanes, operators.knn), so the
+    reference's per-user all-pairs graph build
+    (assets/recent_history.py:469-514) loses its quadratic coupling —
+    a pathological hot user fans out across 2^planes buckets instead
+    of one task's all-pairs. Same rounded-sim rank, same tie-break;
+    recall vs the exact graph is measured by
+    ``top1_graph_ann_recall``.
+
+    Honest recall note: on THIS synthetic corpus (near-uniform
+    random 64-d vectors, top-1 cosine ≈ 0.3) each plane keeps the
+    true neighbor with p ≈ 0.55, so 3 planes measure ≈ 0.18 top-1
+    recall — the floor case for LSH, because the nearest neighbor is
+    barely nearer than random. On a real embedding corpus where
+    top-1 neighbors are semantically close (p ≈ 0.9/plane) the same
+    3 planes give ≈ 0.73. That distribution-dependence is exactly
+    why the recall query ships next to the twin: run it on YOUR
+    corpus before swapping the exact build out; tune
+    ``_GRAPH_PLANES`` down (or add OR'd tables) to buy recall with
+    candidate volume."""
+    from ..operators.knn import hyperplane_sign_bits
+
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", hyperplane_sign_bits(F.col("embedding"), _GRAPH_PLANES)
+    )
+    pairs = pairwise_similarity(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        group_cols=("label", "bucket"),
+    ).withColumn("sim", F.round("similarity", 6))
+    top1 = top_k_neighbors(
+        pairs,
+        k=1,
+        group_cols=("label",),
+        anchor_col="left_id",
+        neighbor_col="right_id",
+        sim_col="sim",
+    )
+    return top1.select(
+        "label",
+        F.col("left_id").alias("parent_id"),
+        F.col("right_id").alias("child_id"),
+        F.col("sim").alias("weight"),
+    )
+
+
+_EXACT_GRAPH_ORACLE = (
+    _PAIRS_ORACLE_CTE
+    + """
+    , ranked AS (
+        SELECT label, left_id, right_id, sim,
+               row_number() OVER (
+                   PARTITION BY label, left_id
+                   ORDER BY sim DESC, right_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT label,
+           left_id AS parent_id,
+           right_id AS child_id,
+           sim AS weight
+    FROM ranked WHERE rn = 1
+    """
+)
+
+
+@register(
+    "top1_graph_ann_recall",
+    oracle=f"""
+    WITH exact AS (
+        {_EXACT_GRAPH_ORACLE}
+    ), ann AS (
+        {_ANN_GRAPH_ORACLE}
+    )
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_exact_edges,
+           CAST(count(a.child_id) AS BIGINT) AS n_matched,
+           round(count(a.child_id) * 1.0 / count(*), 4) AS top1_recall
+    FROM exact e
+    LEFT JOIN ann a
+      ON a.label = e.label AND a.parent_id = e.parent_id
+     AND a.child_id = e.child_id
+    GROUP BY e.label
+    """,
+)
+def top1_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate for the graph twin (same pattern as
+    ``ann_recall_at_5``): per label, the fraction of exact top-1
+    edges the bucketed build reproduces — the number that says
+    whether ``_GRAPH_PLANES`` is set right before the twin replaces
+    the exact build at scale. Costs two graph builds plus a thin
+    (label, parent, child) join."""
+    exact = top1_neighbor_graph(spark, sf_dir)
+    ann = top1_neighbor_graph_ann(spark, sf_dir).select(
+        F.col("label").alias("a_label"),
+        F.col("parent_id").alias("a_parent_id"),
+        F.col("child_id").alias("a_child_id"),
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("label") == F.col("a_label"))
+            & (F.col("parent_id") == F.col("a_parent_id"))
+            & (F.col("child_id") == F.col("a_child_id")),
+            "left",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_edges"),
+            F.count("a_child_id").alias("n_matched"),
+            F.round(F.count("a_child_id") / F.count(F.lit(1)), 4).alias(
+                "top1_recall"
+            ),
+        )
+    )

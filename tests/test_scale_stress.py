@@ -171,3 +171,89 @@ def test_cdc_latest_snapshot_hotkey_windowgrouplimit(spark):
             assert k not in rows
         else:
             assert rows[k] == top
+
+
+def _hot_label_embeddings(spark, n=6_000, dims=8):
+    """~30% of ``n`` vectors land on label -1 (the hot user); vectors
+    are hash-spread so hyperplane sign bits distribute uniformly."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(-1))
+        .otherwise((F.col("id") % 50).cast("long"))
+        .alias("label"),
+        F.array(
+            *[
+                (F.hash(F.col("id"), F.lit(d)) / 2_147_483_647.0).alias(
+                    f"d{d}"
+                )
+                for d in range(dims)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_ann_graph_twin_bounds_hot_user(spark):
+    """One user owns 30% of a 6k-vector corpus. The exact top-1 graph
+    puts that user's ~1.6M pairs on ONE task (group key = label); the
+    ANN twin's (label, bucket) key must (a) spread the hot user over
+    most of the 2^3 buckets, (b) cut candidate volume by ~bucket
+    count, and (c) cap the largest single join group — the max-task
+    input — well below the hot user's row count."""
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        hyperplane_sign_bits,
+    )
+
+    df = _hot_label_embeddings(spark)
+    n_hot = df.filter(F.col("label") == -1).count()
+    assert n_hot >= 1_500  # fixture sanity: hot user really is hot
+
+    b = df.withColumn(
+        "bucket", hyperplane_sign_bits(F.col("embedding"), 3)
+    )
+    hot_buckets = (
+        b.filter(F.col("label") == -1)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # (a) the hot user fans out over most buckets...
+    assert len(hot_buckets) >= 6, hot_buckets
+    # (c) ...and no single (label, bucket) join group keeps more than
+    # ~1/3 of the hot user's rows (uniform would be 1/8)
+    assert max(r["n"] for r in hot_buckets) <= 0.35 * n_hot, hot_buckets
+
+    t0 = time.time()
+    bucketed = pairwise_similarity(
+        b, id_col="vec_id", vec_col="embedding",
+        group_cols=("label", "bucket"),
+    )
+    n_bucketed = bucketed.count()
+    elapsed = time.time() - t0
+    # (b) candidate volume: exact all-pairs for the hot user alone is
+    # n_hot*(n_hot-1)/2; the bucketed space must be at least 4x under
+    # the full exact pair space (ideal is 8x with uniform buckets)
+    exact_pairs_hot = n_hot * (n_hot - 1) // 2
+    assert n_bucketed <= exact_pairs_hot / 2, (n_bucketed, exact_pairs_hot)
+    assert elapsed < 60
+
+    # graph contract survives bucketing: one edge per parent, ordered
+    from enclaveid_data_pipeline_spark.operators.similarity import (
+        top_k_neighbors,
+    )
+
+    top1 = top_k_neighbors(
+        bucketed.withColumn("sim", F.round("similarity", 6)),
+        k=1,
+        group_cols=("label",),
+        anchor_col="left_id",
+        neighbor_col="right_id",
+        sim_col="sim",
+    )
+    dup_parents = (
+        top1.groupBy("label", "left_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup_parents == 0
+    assert top1.filter(F.col("left_id") >= F.col("right_id")).count() == 0
