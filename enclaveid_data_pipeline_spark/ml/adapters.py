@@ -39,6 +39,21 @@ from .backends import RateLimiter
 _RETRYABLE = {429, 500, 502, 503, 504}
 
 
+def _free_accelerator_memory() -> None:
+    """gc + CUDA cache empty, guarded: the second half of the
+    reference's teardown (utils/old_history_utils.py:137-165)."""
+    import gc
+
+    gc.collect()
+    try:
+        import torch
+
+        if torch.cuda.is_available():  # pragma: no cover - no GPU here
+            torch.cuda.empty_cache()
+    except ImportError:
+        pass
+
+
 def _post_json(
     url: str,
     payload: dict,
@@ -225,6 +240,13 @@ def sentence_transformer_backend(
             )
             return [list(map(float, v)) for v in vecs]
 
+        def release(self) -> None:
+            # reference utils/old_history_utils.py:137-165 frees the
+            # model deliberately; llm_ops.release_executor_backends
+            # routes here
+            self.model = None
+            _free_accelerator_memory()
+
     return _STBackend()
 
 
@@ -253,6 +275,12 @@ def vllm_completion_backend(
         def complete(self, prompts: Sequence[str]) -> list[str]:
             outs = self.llm.generate(list(prompts), self.params)
             return [o.outputs[0].text for o in outs]
+
+        def release(self) -> None:
+            # the reference's explicit GPU free: drop the engine and
+            # empty the CUDA cache so the next model fits
+            self.llm = None
+            _free_accelerator_memory()
 
     return _VllmBackend()
 

@@ -35,6 +35,19 @@ class EmbeddingBackend(Protocol):
     def embed(self, texts: Sequence[str]) -> list[list[float]]: ...
 
 
+def release_backend(backend: object) -> None:
+    """Teardown half of the backend protocol: backends MAY define
+    ``release()`` to free heavy resources deliberately (GPU memory,
+    connection pools) — the engine's form of the reference's explicit
+    model free between pipeline stages (utils/old_history_utils.py:
+    137-165 deletes the vLLM engine and empties the CUDA cache so the
+    NEXT model fits). Backends without one need no teardown; see
+    ``llm_ops.release_executor_backends`` for when it runs."""
+    rel = getattr(backend, "release", None)
+    if callable(rel):
+        rel()
+
+
 _HIGH = set("89abcdef")
 
 

@@ -11,6 +11,7 @@ call rate (cluster-wide rate = task rate × concurrent tasks).
 
 from __future__ import annotations
 
+import atexit
 import uuid
 from collections.abc import Callable, Iterator
 
@@ -19,16 +20,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .backends import CompletionBackend, EmbeddingBackend
+from .backends import CompletionBackend, EmbeddingBackend, release_backend
 
 # Executor-side backend cache: one instance per (worker, key).
 _BACKEND_CACHE: dict[str, object] = {}
+_ATEXIT_REGISTERED = False
+
+
+def _release_all() -> None:
+    """Drain this python worker's backend cache, calling ``release()``
+    on every backend that defines one (backends.release_backend).
+    Idempotent: a drained cache is a no-op."""
+    while _BACKEND_CACHE:
+        _, backend = _BACKEND_CACHE.popitem()
+        release_backend(backend)
 
 
 def _cached(key: str, build: Callable[[], object]) -> object:
+    global _ATEXIT_REGISTERED
     if key not in _BACKEND_CACHE:
+        if not _ATEXIT_REGISTERED:
+            # Worker-lifetime finally-path: clean python-worker exit
+            # releases whatever is still cached, so even a pipeline
+            # that never calls release_executor_backends frees its
+            # models deliberately rather than by process death.
+            atexit.register(_release_all)
+            _ATEXIT_REGISTERED = True
         _BACKEND_CACHE[key] = build()
     return _BACKEND_CACHE[key]
+
+
+def release_executor_backends(spark, parallelism: int | None = None) -> None:
+    """Deliberate teardown of executor-cached model backends — the
+    engine's twin of the reference's explicit GPU free between
+    stages (utils/old_history_utils.py:137-165: delete the vLLM
+    engine, empty the CUDA cache, so the next stage's model fits).
+
+    Runs a small all-partitions ``mapInPandas`` job — the SAME
+    worker pool the model operators run on (python workers are
+    reuse-pooled per (exec, env); a plain RDD job would land on a
+    different pool and drain nothing). Every worker that picks up a
+    task drains its cache and calls ``release()`` on each cached
+    backend exactly once (the cache is popped before the call, so
+    re-entry is a no-op). Best-effort by construction — an idle
+    worker not scheduled keeps its cache until process exit, where
+    the atexit finally-path fires instead. Call it where the
+    reference frees its model: after the last action that needs the
+    backend, before a stage that needs the memory."""
+    n = parallelism or spark.sparkContext.defaultParallelism * 2
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _release_all()
+        yield from batches
+
+    spark.range(n).repartition(n).mapInPandas(op, "id long").count()
 
 
 def embed_text(

@@ -254,3 +254,79 @@ def test_st_adapter_with_fake_module(monkeypatch):
     )
     be = sentence_transformer_backend("mini-lm")
     assert be.embed(["ab", "cdef"]) == [[2.0], [4.0]]
+
+
+# ---- real-library smokes (skip-guarded; exercise the actual model
+# path the moment an environment ships the libs) ---------------------
+
+
+def test_real_sentence_transformer_smoke(spark):
+    pytest.importorskip("sentence_transformers")
+    from enclaveid_data_pipeline_spark.ml.adapters import (
+        sentence_transformer_backend,
+    )
+    from enclaveid_data_pipeline_spark.ml.llm_ops import embed_text
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    backend = sentence_transformer_backend("all-MiniLM-L6-v2")
+    probe = backend.embed(["probe"])
+    dim = len(probe[0])
+    assert dim > 0
+    out = embed_text(
+        df,
+        "text",
+        lambda: sentence_transformer_backend("all-MiniLM-L6-v2"),
+        dim=dim,
+    ).collect()
+    assert len(out) == 50
+    assert all(len(r.embedding) == dim for r in out)
+    # in-row alignment: same text embeds identically on both paths
+    row0 = next(r for r in out if r.doc_id == 0)
+    direct = backend.embed(["document number 0"])[0]
+    assert all(abs(a - b) < 1e-5 for a, b in zip(row0.embedding, direct))
+    backend.release()
+    assert backend.model is None
+
+
+def test_real_umap_hdbscan_smoke(spark):
+    pytest.importorskip("umap")
+    pytest.importorskip("hdbscan")
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.ml.adapters import umap_hdbscan_label_fn
+    from enclaveid_data_pipeline_spark.ml.clustering import cluster_embeddings
+
+    # two well-separated blobs per group + a lone outlier: HDBSCAN
+    # must find >=2 clusters and may mark the outlier noise (-1 ->
+    # the operator's noise contract)
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ("u1", "u2"):
+        for c, center in enumerate(([0.0] * 8, [10.0] * 8)):
+            for i in range(24):
+                v = (np.array(center) + rng.normal(0, 0.1, 8)).tolist()
+                rows.append((g, len(rows), v))
+        rows.append((g, len(rows), (np.array([5.0] * 8)).tolist()))
+    df = spark.createDataFrame(
+        rows, "user_id string, item_id long, embedding array<double>"
+    )
+    out = cluster_embeddings(
+        df,
+        vec_col="embedding",
+        group_cols=("user_id",),
+        id_col="item_id",
+        label_fn=umap_hdbscan_label_fn(
+            n_components=2, n_neighbors=10, min_cluster_size=5
+        ),
+    )
+    per_group = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("cluster_label").alias("n_labels"))
+        .collect()
+    )
+    assert all(r.n_labels >= 2 for r in per_group)
+    assert out.count() == len(rows)

@@ -208,3 +208,71 @@ def test_decode_payload_unit_paths():
         decode_payload("image", b"\x89PNG\r\n\x1a\n....")
     with _pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
         decode_payload("video", b"anything")
+
+
+# ---- backend release() teardown (reference's explicit GPU free) ---------
+
+
+def test_release_called_once_per_worker(spark, tmp_path):
+    """release_executor_backends drains each python worker's cache and
+    calls release() exactly once per cached backend: every released
+    pid is a builder pid, no pid releases twice, and a second sweep
+    releases nothing (the cache pops before the call)."""
+    import pandas as pd
+    from enclaveid_data_pipeline_spark.ml.llm_ops import (
+        embed_text,
+        release_executor_backends,
+    )
+
+    log = str(tmp_path / "lifecycle.log")
+
+    # defined in-function so cloudpickle ships it by value (the test
+    # module is not importable on executor python workers); build and
+    # release append pid-stamped lines, O_APPEND-atomic
+    class _ReleaseTrackingBackend:
+        def __init__(self, log_path: str, dim: int = 4):
+            self.log_path = log_path
+            self.dim = dim
+            self._log("build")
+
+        def _log(self, event: str) -> None:
+            import os
+
+            with open(self.log_path, "a") as fh:
+                fh.write(f"{event} {os.getpid()}\n")
+
+        def embed(self, texts):
+            return [[float(len(t or ""))] * self.dim for t in texts]
+
+        def release(self) -> None:
+            self._log("release")
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(64), "text": ["x"] * 64})
+    ).repartition(8)
+    out = embed_text(
+        df,
+        "text",
+        lambda: _ReleaseTrackingBackend(log),
+        dim=4,
+        cache_key="release-test",
+    )
+    assert out.count() == 64
+
+    release_executor_backends(spark)
+
+    events = [ln.split() for ln in open(log).read().splitlines()]
+    builds = [pid for ev, pid in events if ev == "build"]
+    releases = [pid for ev, pid in events if ev == "release"]
+    assert len(builds) >= 1
+    assert len(releases) >= 1
+    # once per worker: a pid never builds twice (cache) nor releases
+    # twice (popped before the call)
+    assert len(set(builds)) == len(builds), builds
+    assert len(set(releases)) == len(releases), releases
+    assert set(releases) <= set(builds)
+
+    # idempotent: a second sweep finds drained caches everywhere
+    release_executor_backends(spark)
+    events2 = [ln.split() for ln in open(log).read().splitlines()]
+    assert len([1 for ev, _ in events2 if ev == "release"]) == len(releases)
