@@ -949,3 +949,81 @@ def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") - prev) / prev.cast("double"), 4
         ).alias("wow_event_growth"),
     )
+
+
+@register(
+    "seq_pattern_vcp_gap2",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), hits AS (
+        SELECT v.user_id, v.ts, v.rn
+        FROM seq v
+        WHERE v.event_type = 'view'
+          AND EXISTS (
+            SELECT 1
+            FROM seq c
+            JOIN seq p
+              ON p.user_id = c.user_id
+             AND p.rn - c.rn BETWEEN 1 AND 3
+            WHERE c.user_id = v.user_id
+              AND c.event_type = 'click'
+              AND p.event_type = 'purchase'
+              AND c.rn - v.rn BETWEEN 1 AND 3
+          )
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_at_s
+    FROM hits GROUP BY user_id
+    """,
+)
+def seq_pattern_vcp_gap2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General sequence pattern (regex-over-rows, MATCH_RECOGNIZE-lite,
+    operators.seqpattern): view → click within ≤2 intervening events →
+    purchase within ≤2 more, counted per user with SKIP TO NEXT ROW
+    anchor semantics — the variable-gap form ``sequence_pattern_vcp``'s
+    lead-windows cannot express. Spark side is the collected symbol
+    string with a lookahead regex ``(?=v.{0,2}c.{0,2}p)``; the oracle
+    is deliberately DIFFERENT logic (window row_number + EXISTS with
+    BETWEEN bounds), so parity cross-checks the regex semantics, not
+    the implementation. first_at_s maps the first match's symbol
+    offset back to its anchor row (offset == row_number under the
+    same ordering)."""
+    from ..operators.seqpattern import (
+        match_pattern,
+        sequence_strings,
+        symbolize,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    sym = symbolize(
+        ev,
+        "event_type",
+        {"view": "v", "click": "c", "purchase": "p"},
+    )
+    seqs = sequence_strings(
+        sym, group_cols=("user_id",), order_cols=("ts", "event_id")
+    )
+    m = match_pattern(seqs, "v.{0,2}c.{0,2}p", per_anchor=True).filter(
+        F.col("n_matches") > 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.select(
+        F.col("user_id").alias("r_user_id"),
+        "ts",
+        F.row_number().over(w).alias("rn"),
+    )
+    return m.join(
+        rn,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("rn") == F.col("first_pos")),
+    ).select(
+        "user_id",
+        "n_matches",
+        F.date_format(F.col("ts"), _TS_FMT_SPARK).alias("first_at_s"),
+    )
