@@ -475,16 +475,50 @@ def kmeans_refine(
     )
 
 
-def hyperplane_sign_bits(vec: Column, planes: int) -> Column:
+def _plane_weights(plane: int, dims: int) -> list[float]:
+    """±1 weight vector for one hyperplane — the SAME md5-high-bit
+    derivation the SQL forms use (weight for dim d = +1 iff hex digit
+    1 of md5('p|d') is high), computed driver-side because it depends
+    only on (plane, dim), never on the data."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0] in "89abcdef"
+        else -1.0
+        for d in range(1, dims + 1)
+    ]
+
+
+def hyperplane_sign_bits(
+    vec: Column, planes: int, dims: int | None = None
+) -> Column:
     """Deterministic random-hyperplane signature: plane ``p`` weights
     dimension ``d`` by ±1 from the high bit of hex digit 1 of
     ``md5(p|d)``; the signature bit is the sign of the ±1-weighted
-    sum. Returns the bucket id as a BIGINT in [0, 2^planes)."""
-    dims = F.sequence(F.lit(1), F.size(vec))
+    sum. Returns the bucket id as a BIGINT in [0, 2^planes).
+
+    Pass ``dims`` when the vector width is known (it always is for a
+    concrete corpus): the ±1 weights become an array LITERAL folded
+    into the plan — one ``zip_with`` multiply-fold per plane — instead
+    of ``planes × dims`` per-ROW md5 calls, which profiling showed
+    dominating the bucketing stage. Identical values either way (same
+    md5 derivation, driver-side), so oracle parity is unaffected."""
     out = F.lit(0).cast("long")
+    if dims is not None:
+        for p in range(planes):
+            w = F.array(*[F.lit(x) for x in _plane_weights(p, dims)])
+            proj = F.aggregate(
+                F.zip_with(vec, w, lambda x, wt: x.cast("double") * wt),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            out = out + (proj > 0).cast("long") * F.lit(1 << p)
+        return out
+    seq = F.sequence(F.lit(1), F.size(vec))
     for p in range(planes):
         proj = F.aggregate(
-            dims,
+            seq,
             F.lit(0.0),
             lambda acc, d: acc
             + F.element_at(vec, d).cast("double")
@@ -506,6 +540,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     planes: int = 4,
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's sign bucket.
 
@@ -518,13 +553,13 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
-        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_sign_bits(F.col(vec_col), planes, dims).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
-        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_sign_bits(F.col(vec_col), planes, dims).alias("bucket"),
     )
     sim = F.round(
         cosine_similarity(

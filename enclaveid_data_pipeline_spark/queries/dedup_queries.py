@@ -452,7 +452,8 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucketed_topk(
-        queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4,
+        dims=64,
     )
 
 

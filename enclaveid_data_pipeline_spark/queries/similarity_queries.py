@@ -368,7 +368,8 @@ def top1_neighbor_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.knn import hyperplane_sign_bits
 
     emb = read_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", hyperplane_sign_bits(F.col("embedding"), _GRAPH_PLANES)
+        "bucket",
+        hyperplane_sign_bits(F.col("embedding"), _GRAPH_PLANES, dims=64),
     )
     pairs = pairwise_similarity(
         emb,

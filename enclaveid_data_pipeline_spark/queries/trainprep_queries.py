@@ -311,7 +311,8 @@ def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, id_col="vec_id", vec_col="embedding", k=5
     ).select("query_id", "neighbor_id")
     approx = lsh_bucketed_topk(
-        queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5, planes=4,
+        dims=64,
     ).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),
