@@ -504,32 +504,64 @@ def hyperplane_sign_bits(
     of ``planes × dims`` per-ROW md5 calls, which profiling showed
     dominating the bucketing stage. Identical values either way (same
     md5 derivation, driver-side), so oracle parity is unaffected."""
+    return _sign_bits_from(vec, range(planes), dims)
+
+
+def multitable_bucket_ids(
+    vec: Column, tables: int, planes: int, dims: int | None = None
+) -> Column:
+    """OR-amplified LSH: ``tables`` independent bucket ids per vector
+    (table t uses global planes [t*planes, (t+1)*planes) so tables
+    share no hyperplane), as ``array<struct<table, bucket>>`` ready to
+    explode into join keys. Two vectors are candidates iff they share
+    a bucket in ANY table — recall 1-(1-p^planes)^tables per pair vs
+    p^planes for one table, at ~tables× the candidate volume. This is
+    the standard LSH recall dial (band OR-construction, same shape as
+    MinHash bands in operators.dedup)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _sign_bits_from(
+                    vec, range(t * planes, (t + 1) * planes), dims
+                ).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def _sign_bits_from(
+    vec: Column, plane_ids, dims: int | None
+) -> Column:
+    """Bucket id from an explicit set of global plane indices (the
+    multi-table form needs disjoint plane sets per table; the
+    single-table ``hyperplane_sign_bits`` is planes [0, n))."""
     out = F.lit(0).cast("long")
-    if dims is not None:
-        for p in range(planes):
+    for bit, p in enumerate(plane_ids):
+        if dims is not None:
             w = F.array(*[F.lit(x) for x in _plane_weights(p, dims)])
             proj = F.aggregate(
                 F.zip_with(vec, w, lambda x, wt: x.cast("double") * wt),
                 F.lit(0.0),
                 lambda acc, t: acc + t,
             )
-            out = out + (proj > 0).cast("long") * F.lit(1 << p)
-        return out
-    seq = F.sequence(F.lit(1), F.size(vec))
-    for p in range(planes):
-        proj = F.aggregate(
-            seq,
-            F.lit(0.0),
-            lambda acc, d: acc
-            + F.element_at(vec, d).cast("double")
-            * F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{p}|"), d.cast("string"))), 1, 1
-                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        out = out + (proj > 0).cast("long") * F.lit(1 << p)
+        else:
+            proj = F.aggregate(
+                F.sequence(F.lit(1), F.size(vec)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.element_at(vec, d).cast("double")
+                * F.when(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{p}|"), d.cast("string"))),
+                        1,
+                        1,
+                    ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+        out = out + (proj > 0).cast("long") * F.lit(1 << bit)
     return out
 
 

@@ -299,18 +299,21 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 _GRAPH_PLANES = 3
 
 
-def _duck_bucket_planes(e: str, planes: int) -> str:
+def _duck_bucket_planes(e: str, planes: int, offset: int = 0) -> str:
     """DuckDB twin of operators.knn.hyperplane_sign_bits (64-d fixed:
-    DuckDB can't bind a column inside generate_series here)."""
+    DuckDB can't bind a column inside generate_series here).
+    ``offset`` selects a disjoint global-plane range — table t of the
+    OR-amplified form is offset t*planes."""
     hex_high = "('8','9','a','b','c','d','e','f')"
     terms = []
-    for p in range(planes):
+    for bit in range(planes):
+        p = offset + bit
         proj = (
             f"(SELECT sum(CASE WHEN substr(md5('{p}|' || i), 1, 1) IN {hex_high} "
             f"THEN {e}[i]::DOUBLE ELSE -{e}[i]::DOUBLE END) "
             f"FROM generate_series(1, 64) z(i))"
         )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << bit} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -441,6 +444,191 @@ def top1_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, parent, child) join."""
     exact = top1_neighbor_graph(spark, sf_dir)
     ann = top1_neighbor_graph_ann(spark, sf_dir).select(
+        F.col("label").alias("a_label"),
+        F.col("parent_id").alias("a_parent_id"),
+        F.col("child_id").alias("a_child_id"),
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("label") == F.col("a_label"))
+            & (F.col("parent_id") == F.col("a_parent_id"))
+            & (F.col("child_id") == F.col("a_child_id")),
+            "left",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_edges"),
+            F.count("a_child_id").alias("n_matched"),
+            F.round(F.count("a_child_id") / F.count(F.lit(1)), 4).alias(
+                "top1_recall"
+            ),
+        )
+    )
+
+
+# ---- OR-amplified (multi-table) LSH graph: the recall dial ---------------
+
+_ANN4X_TABLES = 4
+_ANN4X_PLANES = 3
+
+_ANN4X_BUCKET_COLS = ", ".join(
+    f"{_duck_bucket_planes('embedding', _ANN4X_PLANES, t * _ANN4X_PLANES)}"
+    f" AS b{t}"
+    for t in range(_ANN4X_TABLES)
+)
+_ANN4X_OR = " OR ".join(f"a.b{t} = c.b{t}" for t in range(_ANN4X_TABLES))
+
+_ANN4X_GRAPH_ORACLE = f"""
+    WITH b AS (
+        SELECT label, vec_id, {_ANN4X_BUCKET_COLS}
+        FROM embeddings
+    ), cand AS (
+        SELECT DISTINCT a.label, a.vec_id AS left_id, c.vec_id AS right_id
+        FROM b a
+        JOIN b c
+          ON a.label = c.label AND a.vec_id < c.vec_id
+         AND ({_ANN4X_OR})
+    ), pairs AS (
+        SELECT cand.label, cand.left_id, cand.right_id,
+               round({_duck_cos('e1.embedding', 'e2.embedding')}, 6) AS sim
+        FROM cand
+        JOIN embeddings e1 ON e1.vec_id = cand.left_id
+        JOIN embeddings e2 ON e2.vec_id = cand.right_id
+    ), ranked AS (
+        SELECT label, left_id, right_id, sim,
+               row_number() OVER (
+                   PARTITION BY label, left_id
+                   ORDER BY sim DESC, right_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT label,
+           left_id AS parent_id,
+           right_id AS child_id,
+           sim AS weight
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("top1_neighbor_graph_ann4x", oracle=_ANN4X_GRAPH_ORACLE)
+def top1_neighbor_graph_ann4x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified twin of :func:`top1_neighbor_graph_ann`: 4
+    independent 3-plane LSH tables; a pair is a candidate if it
+    shares a bucket in ANY table (recall 1-(1-p^3)^4 per pair vs p^3
+    single-table — the dial the single-table docstring names).
+    Measured on this near-uniform corpus at sf0.01: top-1 recall
+    0.60 vs 0.18 single-table, at ~4x the candidate volume — the
+    trade the paired recall queries quantify per corpus.
+
+    Two-phase plan — the 100 TB shape: bucket ids explode to
+    (label, table, bucket) join keys carrying ONLY ids, candidates
+    dedup BEFORE vectors re-join by id, so each surviving pair pays
+    the cosine exactly once and the wide vector rides the candidate
+    join not the bucket join. Shuffle keys stay (label, table,
+    bucket) — a hot label still spreads."""
+    from ..operators.knn import multitable_bucket_ids
+    from ..functions.vectors import as_double, cosine_similarity, l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ids = emb.select(
+        "label",
+        "vec_id",
+        F.explode(
+            multitable_bucket_ids(
+                F.col("embedding"), _ANN4X_TABLES, _ANN4X_PLANES, dims=64
+            )
+        ).alias("tb"),
+    ).select("label", "vec_id", F.col("tb.table").alias("t"), F.col("tb.bucket").alias("b"))
+    cand = (
+        ids.select(
+            "label", "t", "b", F.col("vec_id").alias("left_id")
+        )
+        .join(
+            ids.select(
+                "label", "t", "b", F.col("vec_id").alias("right_id")
+            ),
+            on=["label", "t", "b"],
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("label", "left_id", "right_id")
+        .distinct()
+    )
+    norms = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v"), assume_double=True))
+    sim = F.round(
+        cosine_similarity(
+            F.col("__va"),
+            F.col("__vb"),
+            a_norm=F.col("__na"),
+            b_norm=F.col("__nb"),
+            assume_double=True,
+        ),
+        6,
+    )
+    pairs = (
+        cand.join(
+            norms.select(
+                F.col("vec_id").alias("left_id"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "left_id",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("right_id"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "right_id",
+        )
+        .withColumn("sim", sim)
+    )
+    top1 = top_k_neighbors(
+        pairs,
+        k=1,
+        group_cols=("label",),
+        anchor_col="left_id",
+        neighbor_col="right_id",
+        sim_col="sim",
+    )
+    return top1.select(
+        "label",
+        F.col("left_id").alias("parent_id"),
+        F.col("right_id").alias("child_id"),
+        F.col("sim").alias("weight"),
+    )
+
+
+@register(
+    "top1_graph_ann4x_recall",
+    oracle=f"""
+    WITH exact AS (
+        {_EXACT_GRAPH_ORACLE}
+    ), ann AS (
+        {_ANN4X_GRAPH_ORACLE}
+    )
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_exact_edges,
+           CAST(count(a.child_id) AS BIGINT) AS n_matched,
+           round(count(a.child_id) * 1.0 / count(*), 4) AS top1_recall
+    FROM exact e
+    LEFT JOIN ann a
+      ON a.label = e.label AND a.parent_id = e.parent_id
+     AND a.child_id = e.child_id
+    GROUP BY e.label
+    """,
+)
+def top1_graph_ann4x_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the OR-amplified graph (pairs with
+    ``top1_graph_ann_recall`` to show the dial: more tables -> higher
+    recall, more candidates). Same thin (label, parent, child)
+    comparison join."""
+    exact = top1_neighbor_graph(spark, sf_dir)
+    ann = top1_neighbor_graph_ann4x(spark, sf_dir).select(
         F.col("label").alias("a_label"),
         F.col("parent_id").alias("a_parent_id"),
         F.col("child_id").alias("a_child_id"),
