@@ -822,3 +822,52 @@ def source_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio("[^a-z]"), 6).alias("lower_ratio"),
         F.round(ratio("[^ ]"), 6).alias("space_ratio"),
     )
+
+
+_QCLS_FEATURES = 1024
+
+_QCLS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('qcls|' || tok), 1, 7))::BIGINT
+                   % {_QCLS_FEATURES} AS feature_id
+        FROM toks
+    ), w AS (
+        SELECT f AS feature_id,
+               ('0x' || substr(md5('w|' || f), 1, 7))::BIGINT
+                   / {float(16**7)} * 2.0 - 1.0 AS weight
+        FROM generate_series(0, {_QCLS_FEATURES - 1}) z(f)
+    ), means AS (
+        SELECT t.doc_id, avg(w.weight) AS mw
+        FROM feats t JOIN w USING (feature_id)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-m.mw)), 4) AS score
+    FROM documents d LEFT JOIN means m ON m.doc_id = d.doc_id
+"""
+
+
+@register("hashed_linear_quality_scores", oracle=_QCLS_ORACLE)
+def hashed_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-filter inference at corpus scale (operators.classifier):
+    fastText-shaped linear scoring — hash every token into a fixed
+    feature space, broadcast-join the (feature_id, weight) table,
+    sigmoid of the per-doc mean weight. The weights here are the
+    deterministic demo table so DuckDB replays scoring bit-for-bit;
+    a production run points the same operator at trained weights.
+    The plan is the 100 TB quality-gate shape: corpus side never
+    shuffles wider than (doc_id, feature_id), model side is KBs,
+    broadcast."""
+    from ..operators.classifier import demo_weight_table, hashed_linear_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = demo_weight_table(spark, _QCLS_FEATURES)
+    out = hashed_linear_scores(
+        docs, w, id_col="doc_id", text_col="text",
+        n_features=_QCLS_FEATURES,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))

@@ -144,3 +144,27 @@ def test_split_and_mixture_have_no_exchange_before_agg(spark, sf_dir):
     for name in ("train_val_test_split", "source_mixture_counts"):
         plan = _plan(REGISTRY[name].fn(spark, sf_dir))
         assert plan.count("Exchange") <= 2, name  # partial→final agg only
+
+
+def test_classifier_weights_broadcast_and_no_udf(spark, sf_dir):
+    """Linear-classifier inference: the weight table must broadcast
+    (the corpus side never shuffles against it) and the whole plan
+    stays JVM-side."""
+    plan = _plan(
+        REGISTRY["hashed_linear_quality_scores"].fn(spark, sf_dir),
+        execute=True,
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_graph_twins_shuffle_on_bucket_keys(spark, sf_dir):
+    """Both LSH graph twins: no cartesian, no Python, and the pair
+    join is an equi-join (SortMergeJoin/ShuffledHashJoin on the
+    bucket key), never a broadcast-nested-loop over the corpus."""
+    for name in ("top1_neighbor_graph_ann", "top1_neighbor_graph_ann4x"):
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir), execute=True)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
