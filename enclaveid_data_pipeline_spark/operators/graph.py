@@ -111,3 +111,108 @@ def pagerank_fixed(
         ranks = materialize(ranks, mode=materialize_mode)
 
     return ranks.select("node", "rank_s")
+
+
+def count_triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Triangle count over an undirected edge table (input rows in
+    either direction; duplicates and self-loops are cleaned here),
+    optionally per ``group_cols`` (e.g. one count per label's
+    near-dup graph).
+
+    Skew is the whole game for triangles: enumerating wedges at a
+    hot node is O(deg²), so edges are ORIENTED by the (degree, id)
+    total order — every edge points low→high — before the wedge
+    join. Each node's wedge count drops from deg² to out_deg², and
+    out-degree under degree orientation is bounded by O(sqrt(|E|))
+    for any graph (a node of rank r in degree order has out-degree
+    ≤ max(deg_r, |E|/r)), which is the standard worst-case-optimal
+    bound. Each triangle has exactly one minimum node in the order,
+    so it is counted exactly once: wedge (u→v, u→w) with v before w,
+    closed by the oriented edge v→w.
+
+    Plan shape: degree agg (one shuffle) → orientation (row-local
+    after a degree join) → wedge self-join on the low endpoint →
+    closing semi-join on the oriented edge — all equi-joins on node
+    keys; the group key (if any) rides every shuffle.
+    """
+    g = list(group_cols)
+    e = (
+        edges.select(
+            *g, F.col(src).alias("a"), F.col(dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            *g,
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(*g, F.col("a").alias("node"))
+        .unionByName(e.select(*g, F.col("b").alias("node")))
+        .groupBy(*g, "node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        *g, F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        *g, F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    with_deg = e.join(da, on=[*g, "a"]).join(db, on=[*g, "b"])
+    # orient low→high in the (degree, id) total order
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        *g,
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        # (degree, id) of the HIGH endpoint — the wedge join orders
+        # its two high endpoints by this key
+        F.when(
+            a_first, F.struct(F.col("deg_b").alias("deg"), F.col("b").alias("id"))
+        )
+        .otherwise(
+            F.struct(F.col("deg_a").alias("deg"), F.col("a").alias("id"))
+        )
+        .alias("__hi_key"),
+    )
+    # wedges: two out-edges of u, ordered v before w in the same
+    # total order so each unordered pair appears once
+    e1 = oriented.select(
+        *g,
+        F.col("lo").alias("u"),
+        F.col("hi").alias("v"),
+        F.col("__hi_key").alias("__v_key"),
+    )
+    e2 = oriented.select(
+        *g,
+        F.col("lo").alias("u"),
+        F.col("hi").alias("w"),
+        F.col("__hi_key").alias("__w_key"),
+    )
+    wedges = e1.join(e2, on=[*g, "u"]).filter(
+        (F.col("__v_key.deg") < F.col("__w_key.deg"))
+        | (
+            (F.col("__v_key.deg") == F.col("__w_key.deg"))
+            & (F.col("__v_key.id") < F.col("__w_key.id"))
+        )
+    )
+    closing = oriented.select(
+        *g, F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.select(*g, "v", "w").join(
+        closing, on=[*g, "v", "w"], how="leftsemi"
+    )
+    if g:
+        return tri.groupBy(*g).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -650,3 +650,42 @@ def top1_graph_ann4x_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "neardup_triangle_counts",
+    oracle=_PAIRS_ORACLE_CTE
+    + f"""
+    , edges AS (
+        SELECT label, left_id AS a, right_id AS b
+        FROM pairs WHERE sim >= {_NEAR_DUP_THRESHOLD}
+    )
+    SELECT e1.label, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2
+      ON e2.label = e1.label AND e2.a = e1.a AND e2.b > e1.b
+    JOIN edges e3
+      ON e3.label = e1.label AND e3.a = e1.b AND e3.b = e2.b
+    GROUP BY e1.label
+    """,
+)
+def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of each label's near-duplicate graph — the
+    clustering-coefficient numerator that distinguishes tight
+    duplicate cliques from chains before a keep-one dedup commits
+    (a chain a-b-c can be one rewrite family or transitive drift;
+    triangles say which). Engine side orients edges by (degree, id)
+    so wedge work at a hot node is out-degree-bounded
+    (operators.graph.count_triangles); the oracle is a plain
+    id-ordered triple self-join. Labels with no triangle are absent
+    from both sides."""
+    from ..operators.graph import count_triangles
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+    ).withColumn("sim", F.round("similarity", 6))
+    edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
+        "label", F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    return count_triangles(edges, group_cols=("label",))
