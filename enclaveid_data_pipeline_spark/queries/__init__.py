@@ -23,5 +23,6 @@ from . import tpch2_queries  # noqa: E402,F401
 from . import trainprep_queries  # noqa: E402,F401
 from . import cdc_queries  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
+from . import dbscan_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]
