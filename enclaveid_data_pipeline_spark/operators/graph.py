@@ -113,6 +113,108 @@ def pagerank_fixed(
     return ranks.select("node", "rank_s")
 
 
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_mode: str | None = None,
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set: ``(node, hop)``
+    with hop = length of the shortest path from any seed (seeds are
+    hop 0). Directed edges; symmetrize upstream for undirected.
+    Nodes unreachable within ``max_hops`` are absent.
+
+    Classic frontier iteration: each round joins the CURRENT frontier
+    (not the whole visited set) against the edge table, then anti-joins
+    visited — per-round work is proportional to the frontier's edge
+    neighborhood, the property that makes BFS on a short-diameter
+    graph cheap even when the graph is huge. Visited and frontier are
+    materialized per round (lineage cut, same discipline as the other
+    iterative operators); the loop exits early on an empty frontier
+    using the frontier's own count, which the next join needs anyway.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = frontier.withColumn("hop", F.lit(0).cast("int"))
+    visited = materialize(visited, mode=materialize_mode)
+    frontier = visited.select("node")
+
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("hop", F.lit(hop).cast("int"))
+        )
+        nxt = materialize(nxt, mode=materialize_mode)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = materialize(
+            visited.unionByName(nxt), mode=materialize_mode
+        )
+        frontier = nxt.select("node")
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_mode: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fixed
+    rounds, fully deterministic: every node starts labeled with its
+    own id; each round every node adopts the most frequent label
+    among its in-neighbors, ties broken by the SMALLEST label. Returns
+    ``(node, label)``. Pass a symmetrized edge table for the usual
+    undirected semantics (then every node has in-neighbors; a node
+    with none would keep its label).
+
+    Textbook LPA is asynchronous with random visit order — results
+    change run to run, which is useless for a replayable pipeline.
+    Fixed synchronous rounds + (count DESC, label ASC) argmax make the
+    outcome a pure function of the graph, so the oracle replays it
+    round by round in SQL. Plan shape per round: one edges⋈labels
+    equi-join, one (node,label) count aggregate (partial-agg
+    friendly), one per-node top-1 window — all shuffles on node keys;
+    hot nodes are the AQE skew-join case, same as PageRank.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from pyspark.sql import Window
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        # nodes with no in-edges keep their current label
+        keep = labels.join(new_labels.select("node"), on="node", how="left_anti")
+        labels = materialize(
+            new_labels.unionByName(keep), mode=materialize_mode
+        )
+    return labels
+
+
 def count_triangles(
     edges: DataFrame,
     src: str = "src",

@@ -74,6 +74,125 @@ def _pagerank_oracle() -> str:
     """
 
 
+# shared customer↔supplier graph (same construction as PageRank):
+# edge iff a customer's order contains the supplier's line item,
+# symmetrized; every node therefore has in- and out-edges
+_GRAPH_CTE = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT 'c' || c::VARCHAR AS src, 's' || s::VARCHAR AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || s::VARCHAR, 'c' || c::VARCHAR FROM pairs
+    )
+"""
+
+_BFS_ORACLE = (
+    _GRAPH_CTE
+    + """
+    , seed AS (
+        SELECT 'c' || min(o_custkey)::VARCHAR AS node FROM orders
+    ), reach AS (
+        WITH RECURSIVE r(node, hop) AS (
+            SELECT node, 0 FROM seed
+            UNION
+            SELECT e.dst, r.hop + 1
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.hop < 4
+        )
+        SELECT * FROM r
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop
+    FROM reach GROUP BY node
+    """
+)
+
+
+@register("bfs_hops_4", oracle=_BFS_ORACLE)
+def bfs_hops_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (≤4) from the minimum customer node over the
+    symmetrized customer↔supplier graph — frontier iteration where
+    each round touches only the frontier's out-neighborhood, the
+    shape that keeps short-diameter reachability cheap on a huge
+    graph. Oracle: recursive CTE with a hop bound, min(hop) per
+    node."""
+    from ..operators.graph import bfs_levels
+
+    edges = _cust_supp_edges(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    seeds = orders.agg(F.min("o_custkey").alias("k")).select(
+        F.concat(F.lit("c"), F.col("k")).alias("node")
+    )
+    return bfs_levels(edges, seeds, max_hops=4)
+
+
+def _lpa_round(cur: str, nxt: str) -> str:
+    return f"""
+    v{nxt} AS (
+        SELECT e.dst AS node, l.label, count(*) AS c
+        FROM {cur} l JOIN e ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ), w{nxt} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label
+                   ) AS rn
+            FROM v{nxt}
+        ) t WHERE rn = 1
+    ), {nxt} AS (
+        SELECT node, label FROM w{nxt}
+        UNION ALL
+        SELECT l.node, l.label FROM {cur} l
+        WHERE l.node NOT IN (SELECT node FROM w{nxt})
+    )
+    """
+
+
+_LPA_ORACLE = (
+    _GRAPH_CTE
+    + ", l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), "
+    + ",".join(_lpa_round(f"l{i}", f"l{i + 1}") for i in range(3))
+    + " SELECT node, label FROM l3"
+)
+
+
+@register("label_propagation_3r", oracle=_LPA_ORACLE)
+def label_propagation_3r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous label-propagation rounds over the
+    customer↔supplier graph: every node adopts its in-neighbors'
+    most frequent label, ties to the smallest. Deterministic
+    replacement for async random-order LPA (useless in a replayable
+    pipeline); the oracle unrolls the identical rounds in SQL."""
+    from ..operators.graph import label_propagation
+
+    edges = _cust_supp_edges(spark, sf_dir)
+    return label_propagation(edges, iterations=3)
+
+
+def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst")
+        )
+    )
+
+
 @register("pagerank_top20", oracle=_pagerank_oracle())
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three fixed-point PageRank rounds over the symmetrized

@@ -68,3 +68,106 @@ def test_count_triangles_ungrouped_scalar(spark):
         [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
     )
     assert count_triangles(df).collect()[0].n_triangles == 1
+
+
+def test_bfs_levels_path_graph(spark):
+    """Path 0-1-2-3-4-5 (symmetrized), seed 0, max_hops 3: hops are
+    exact shortest distances and the cutoff drops nodes 4,5."""
+    from enclaveid_data_pipeline_spark.operators.graph import bfs_levels
+
+    path = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.hop for r in bfs_levels(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_levels_multi_seed_early_exit(spark):
+    """Two seeds on a 4-cycle: everything is within 1 hop; the
+    frontier empties before max_hops and the loop exits early."""
+    from enclaveid_data_pipeline_spark.operators.graph import bfs_levels
+
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {
+        r.node: r.hop for r in bfs_levels(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_label_propagation_separate_cliques(spark):
+    """Two disconnected triangles: each converges to its min member
+    id — no cross-talk, deterministic."""
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    t1 = [(0, 1), (1, 2), (2, 0)]
+    t2 = [(10, 11), (11, 12), (12, 10)]
+    und = t1 + t2
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_label_propagation_bridge_fixpoint_traced(spark):
+    """Two triangles + one bridge (2–10): the min tie-break lets the
+    bridge leak clique A's small ids into clique B — the hand-traced
+    3-round fixpoint is clique A all 0 and clique B all 2. Pins the
+    exact synchronous-update semantics the SQL oracle replays (and
+    documents the known min-tie-break bleed on tiny graphs)."""
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    t1 = [(0, 1), (1, 2), (2, 0)]
+    t2 = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(2, 10)]
+    und = t1 + t2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {2}
+
+
+def test_label_propagation_round_count_changes_result(spark):
+    """On a path graph labels keep flowing inward round by round —
+    pins that rounds are synchronous (1 round != 2 rounds)."""
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    path = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    one = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    two = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    # after 1 round node 2 sees {1,3} -> min tie-break = 1;
+    # after 2 rounds its neighbors both voted 0 and 2 -> label 0 wins
+    assert one[2] == 1
+    assert two[2] != one[2]
