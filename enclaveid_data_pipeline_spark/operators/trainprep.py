@@ -350,3 +350,84 @@ def balance_classes(
         )
         .drop("__cnt", "__n")
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (the RefinedWeb / "Deduplicating
+    Training Data" exact-substring pass, word-granular): any n-gram
+    occurring in ≥ ``min_docs`` distinct documents marks its n token
+    positions as duplicated in every document containing it; the
+    cleaned text is the surviving tokens in original order. Where
+    ``duplicated_ngram_fraction`` only *measures* boilerplate, this
+    rewrites the corpus without it.
+
+    Returns ``(id, n_tokens, n_removed, clean_text)`` for every input
+    document (fully-removed docs yield ``clean_text = ''``).
+
+    Shape: gram generation is row-local (posexplode of the shingle
+    array); the only corpus-wide state is the shared-gram table
+    (grams with document frequency ≥ min_docs — Zipf-small next to
+    the token stream) consumed via a semi-join; coverage expansion is
+    a row-local sequence explode; reassembly is one per-doc aggregate
+    sorting (pos, token) structs. Every shuffle keys on uniform gram
+    strings or the doc id — no skew amplification.
+    """
+    from .dedup import tokenize, word_shingles
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t")
+    )
+    # pos is 0-based; gram at pos covers token positions pos..pos+n-1
+    grams = toks.select(
+        "id", F.posexplode(word_shingles(F.col("t"), n)).alias("pos", "gram")
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(shared, on="gram", how="leftsemi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = toks.select(
+        "id", F.posexplode(F.col("t")).alias("p", "tok")
+    )
+    kept = tokpos.join(covered, on=["id", "p"], how="left_anti")
+    cleaned = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("id", F.size("t").cast("long").alias("n_tokens"))
+        .join(cleaned, on="id", how="left")
+        .select(
+            "id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

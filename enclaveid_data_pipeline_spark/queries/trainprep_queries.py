@@ -677,3 +677,55 @@ def balanced_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+_SPAN_REMOVAL_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS MATERIALIZED (
+        SELECT toks.doc_id, g.i AS gpos,
+               t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS gram
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ), shared AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT DISTINCT gr.doc_id, gr.gpos + off.o AS p
+        FROM grams gr
+        JOIN shared s USING (gram),
+             unnest([0, 1, 2]) AS off(o)
+    ), tokpos AS (
+        SELECT toks.doc_id, u.p, t[u.p] AS tok
+        FROM toks, unnest(generate_series(1, len(t))) AS u(p)
+    ), kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tokpos tp
+        LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+        WHERE c.p IS NULL
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(len(d.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM toks d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_span_removal", oracle=_SPAN_REMOVAL_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal over the corpus: every 3-gram
+    shared by ≥2 documents is excised from ALL documents carrying it,
+    and the cleaned text is reassembled in token order
+    (operators.trainprep.remove_duplicated_spans) — the rewrite pass
+    behind the duplicated_ngram_fraction metric."""
+    from ..operators.trainprep import remove_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", n=3, min_docs=2
+    )

@@ -313,3 +313,57 @@ def test_with_global_ordinal_dense_and_shard_parallel(spark):
             sorted((r.shard, r.seq) for r in out)
         )
     )
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """'the quick brown' is shared by docs 1 and 2 → its three token
+    positions vanish from both; doc 3 shares nothing and survives
+    intact; doc 4 is a verbatim copy of doc 5 → both fully removed."""
+    from enclaveid_data_pipeline_spark.operators.trainprep import (
+        remove_duplicated_spans,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps high"),
+        (2, "see the quick brown dog"),
+        (3, "entirely unique words here"),
+        (4, "copy pasta text"),
+        (5, "copy pasta text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicated_spans(
+            docs, id_col="doc_id", text_col="text", n=3, min_docs=2
+        ).collect()
+    }
+    assert got[1] == (6, 3, "fox jumps high")
+    assert got[2] == (5, 3, "see dog")
+    assert got[3] == (4, 0, "entirely unique words here")
+    assert got[4] == (3, 3, "")
+    assert got[5] == (3, 3, "")
+
+
+def test_remove_duplicated_spans_overlapping_grams(spark):
+    """Two shared grams overlapping by two tokens cover the union of
+    their positions, not double-remove."""
+    from enclaveid_data_pipeline_spark.operators.trainprep import (
+        remove_duplicated_spans,
+    )
+
+    rows = [
+        (1, "a b c d x y"),
+        (2, "a b c q r s"),
+        (3, "p b c d e f"),
+    ]
+    # shared grams: 'a b c' (docs 1,2), 'b c d' (docs 1,3)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_removed"], r["clean_text"])
+        for r in remove_duplicated_spans(
+            docs, id_col="doc_id", text_col="text", n=3, min_docs=2
+        ).collect()
+    }
+    assert got[1] == (4, "x y")      # positions 0..3 covered once
+    assert got[2] == (3, "q r s")
+    assert got[3] == (3, "p e f")
