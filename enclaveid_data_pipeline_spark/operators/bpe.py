@@ -119,3 +119,32 @@ def train_bpe(
         merges.append((a, b))
         words = apply_merge(words, a, b)
     return words, merges
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a trained merge list: the inference
+    side of BPE. Returns one row per (doc, word position):
+    ``(id, p, word, sym)`` with ``sym`` the word's merged symbol
+    string.
+
+    The scale trick mirrors training: merges are applied to the
+    DISTINCT-WORD table (|vocab| rows) in order, once, and the
+    encoded vocabulary is broadcast-joined back to the exploded
+    corpus — the 100 TB token stream never sees a regex, only a
+    hash-probe against a small dictionary. Positions ride along so
+    callers can reassemble the exact encoded stream."""
+    words = word_freq_table(docs, text_col).select("word", "sym")
+    for a, b in merges:
+        words = apply_merge(words, a, b)
+    tokd = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "word"),
+    ).filter(F.length("word") > 0)
+    return tokd.join(F.broadcast(words), on="word").select(
+        "id", "p", "word", "sym"
+    )

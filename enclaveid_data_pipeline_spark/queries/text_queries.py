@@ -494,9 +494,10 @@ _DUCK_APPLY = (
 )
 
 
-@register(
-    "bpe_train_2merges",
-    oracle=f"""
+#: Shared two-round BPE training CTE chain (words -> w0 -> m1 -> w1
+#: -> m2 -> w2): both the training observable and corpus encoding
+#: read the trained state from ``w2``.
+_DUCK_BPE_W2_CTE = f"""
     WITH words AS (
         SELECT word, count(*) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -532,6 +533,13 @@ _DUCK_APPLY = (
                {_DUCK_APPLY.format(sym="w1.sym", a="m2.a", b="m2.b")} AS sym
         FROM w1, m2
     )
+"""
+
+
+@register(
+    "bpe_train_2merges",
+    oracle=_DUCK_BPE_W2_CTE
+    + """
     SELECT word, CAST(freq AS BIGINT) AS freq, sym
     FROM w2 ORDER BY freq DESC, word LIMIT 15
     """,
@@ -871,3 +879,53 @@ def hashed_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_features=_QCLS_FEATURES,
     )
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_DUCK_BPE_W2_CTE
+    + """
+    , vocab AS (SELECT word, sym FROM w2),
+    toks2 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tokd AS (
+        SELECT doc_id, u.p, t[u.p] AS word
+        FROM toks2, unnest(generate_series(1, len(t))) AS u(p)
+        WHERE length(t[u.p]) > 0
+    ), enc AS (
+        SELECT tokd.doc_id, tokd.p, v.sym
+        FROM tokd JOIN vocab v USING (word)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_symbols,
+           md5(string_agg(sym, ' ' ORDER BY p)) AS encoded_md5
+    FROM enc GROUP BY doc_id
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE INFERENCE: train 2 merges, then encode every document with
+    them (operators.bpe.encode_corpus). The merge regex runs only
+    over the distinct-word vocabulary; the corpus is encoded by a
+    broadcast dictionary probe — the shape that keeps tokenization a
+    map-only pass at 100 TB. The md5 of each document's exact encoded
+    symbol stream is the observable, so a single mis-merged or
+    mis-ordered symbol anywhere fails the gate."""
+    from ..operators.bpe import encode_corpus, train_bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    _words, merges = train_bpe(docs, n_merges=2)
+    enc = encode_corpus(docs, merges, id_col="doc_id", text_col="text")
+    return enc.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split("sym", " "))).cast("long").alias("n_symbols"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                " ",
+            )
+        ).alias("encoded_md5"),
+    )

@@ -78,3 +78,26 @@ def test_corpus_scanned_once_then_word_table_only(spark):
     # the word table is |distinct words|, not corpus-sized
     n_distinct = len({w for t in TEXTS for w in t.split()})
     assert words.count() == n_distinct
+
+
+def test_encode_corpus_applies_merges_in_order(spark):
+    """Train on a corpus where 'a'+'b' then 'ab'+'c' win; encoding
+    must reflect the ORDERED merge chain, and unmerged words pass
+    through as character symbols."""
+    from enclaveid_data_pipeline_spark.operators.bpe import (
+        encode_corpus,
+        train_bpe,
+    )
+
+    rows = [(1, "abc abc abc abd"), (2, "abc abd xy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _w, merges = train_bpe(docs, n_merges=2)
+    assert merges[0] == ("a", "b")          # 'a b' appears 6x
+    assert merges[1] == ("a++b", "c")       # then 'ab c' 4x
+    enc = encode_corpus(docs, merges, id_col="doc_id", text_col="text")
+    got = {
+        (r["id"], r["p"]): r["sym"] for r in enc.collect()
+    }
+    assert got[(1, 0)] == "a++b++c"
+    assert got[(1, 3)] == "a++b d"          # first merge only
+    assert got[(2, 2)] == "x y"             # untouched word
