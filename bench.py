@@ -67,6 +67,8 @@ HEADLINE = (
     "cdc_merge_upsert",
     "bloom_membership_probe",
     "token_pmi_top20",
+    "dedup_span_removal",
+    "bpe_encode_corpus",
 )
 
 

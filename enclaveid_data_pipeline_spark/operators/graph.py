@@ -135,7 +135,13 @@ def bfs_levels(
     iterative operators); the loop exits early on an empty frontier
     using the frontier's own count, which the next join needs anyway.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge table once: every round (and every
+    # frontier-count action) joins against it, and without a boundary
+    # the upstream edge construction re-executes per round per action
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        mode=materialize_mode,
+    )
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     visited = frontier.withColumn("hop", F.lit(0).cast("int"))
     visited = materialize(visited, mode=materialize_mode)
@@ -183,7 +189,12 @@ def label_propagation(
     friendly), one per-node top-1 window — all shuffles on node keys;
     hot nodes are the AQE skew-join case, same as PageRank.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # one boundary for the edge table all rounds re-join (see
+    # bfs_levels); labels are additionally materialized per round
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        mode=materialize_mode,
+    )
     from pyspark.sql import Window
 
     labels = (
