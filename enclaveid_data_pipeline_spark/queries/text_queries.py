@@ -929,3 +929,75 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("encoded_md5"),
     )
+
+
+_CMS_BUCKET = (
+    "('0x' || substr(md5({row}::VARCHAR || ':' || {item}), 1, 8))::BIGINT"
+    " % 1024"
+)
+
+_CMS_ORACLE = f"""
+    WITH t AS MATERIALIZED (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), tt AS MATERIALIZED (
+        SELECT item FROM t WHERE length(item) > 0
+    ), cms AS MATERIALIZED (
+        SELECT r.i AS row,
+               {_CMS_BUCKET.format(row="r.i", item="item")} AS bucket,
+               count(*) AS n
+        FROM tt, unnest(generate_series(0, 3)) AS r(i)
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT item, count(*) AS exact_n FROM tt
+        GROUP BY item ORDER BY exact_n DESC, item LIMIT 20
+    ), pb AS (
+        SELECT e.item, e.exact_n, r.i AS row,
+               {_CMS_BUCKET.format(row="r.i", item="e.item")} AS bucket
+        FROM exact e, unnest(generate_series(0, 3)) AS r(i)
+    ), est AS (
+        SELECT pb.item, pb.exact_n, min(coalesce(c.n, 0)) AS cms_est
+        FROM pb LEFT JOIN cms c
+          ON c.row = pb.row AND c.bucket = pb.bucket
+        GROUP BY pb.item, pb.exact_n
+    )
+    SELECT item AS token,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overestimate
+    FROM est
+"""
+
+
+@register("countmin_top20_tokens", oracle=_CMS_ORACLE)
+def countmin_top20_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4×1024, md5-rowed) built over the full token
+    stream, probed with the exact top-20 tokens: exact count, sketch
+    estimate, and the collision overestimate side by side
+    (operators.sketch). est ≥ exact always; the gap is the e·N/w
+    collision bound made visible on the real corpus. The sketch is
+    ≤ 4096 rows regardless of corpus size — the sublinear state that
+    replaces the exact frequency table when the domain is unbounded;
+    merging shards is counter addition."""
+    from ..operators.dedup import tokenize
+    from ..operators.sketch import count_min_estimate, count_min_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("item")
+    ).filter(F.length("item") > 0)
+    sketch = count_min_table(toks, item_col="item")
+    exact = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "item")
+        .limit(20)
+    )
+    est = count_min_estimate(exact, sketch, item_col="item")
+    return est.select(
+        F.col("item").alias("token"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias(
+            "overestimate"
+        ),
+    )

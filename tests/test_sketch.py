@@ -1,0 +1,67 @@
+"""Count-min sketch properties on controlled streams."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    count_min_estimate,
+    count_min_table,
+)
+
+
+def _stream(spark, items):
+    return spark.createDataFrame([(x,) for x in items], "item string")
+
+
+def test_sketch_size_bounded_and_mass_conserved(spark):
+    items = [f"tok{i % 50}" for i in range(1000)]
+    sk = count_min_table(_stream(spark, items))
+    rows = sk.collect()
+    assert len(rows) <= CMS_DEPTH * CMS_WIDTH
+    # every hash row carries the full stream mass
+    per_row = {}
+    for r in rows:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["n"]
+    assert per_row == {i: 1000 for i in range(CMS_DEPTH)}
+
+
+def test_estimate_never_underestimates(spark):
+    # skewed stream: token0 ×500, 200 singletons
+    items = ["hot"] * 500 + [f"cold{i}" for i in range(200)]
+    stream = _stream(spark, items)
+    sk = count_min_table(stream)
+    exact = stream.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = count_min_estimate(exact, sk)
+    bad = est.filter(F.col("cms_est") < F.col("exact_n")).count()
+    assert bad == 0
+    hot = est.filter(F.col("item") == "hot").collect()[0]
+    # width 1024 vs 700 occurrences: collisions add ≤ a few counts
+    assert hot["cms_est"] >= 500
+    assert hot["cms_est"] - 500 <= 700 * CMS_DEPTH / CMS_WIDTH * 4
+
+
+def test_absent_item_estimates_near_zero(spark):
+    stream = _stream(spark, [f"x{i}" for i in range(100)])
+    sk = count_min_table(stream)
+    probes = _stream(spark, ["never-seen"])
+    got = count_min_estimate(probes, sk).collect()[0]
+    # min over 4 rows of mostly-empty 1024-wide grid: ~always 0
+    assert got["cms_est"] <= 2
+
+
+def test_merge_is_counter_addition(spark):
+    a = ["a"] * 10 + ["b"] * 5
+    b = ["a"] * 7 + ["c"] * 3
+    sk_union = count_min_table(_stream(spark, a + b))
+    sk_sum = (
+        count_min_table(_stream(spark, a))
+        .unionByName(count_min_table(_stream(spark, b)))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, sk_union.collect())) == sorted(
+        map(tuple, sk_sum.collect())
+    )
