@@ -1,0 +1,214 @@
+"""PCA top principal component as exactly-replayable DataFrame algebra.
+
+The reference reduces embeddings with driver-side UMAP before
+clustering (reference: assets/old_history.py:154-176); the linear
+workhorse underneath any such reduction is the dominant principal
+component, computed here distributedly under the engine's
+determinism discipline (cf. operators.graph fixed-point PageRank):
+float matrix algebra sums in shuffle order and is NOT replayable —
+run-to-run, partitioning-to-partitioning, or engine-to-engine. So:
+
+1. per-dimension mean — the one corpus aggregate whose float sum is
+   rounded (6 decimals) before anything consumes it;
+2. centered values as DECIMAL(18,6): exact and commutative;
+3. covariance C_ij = (Σ c_i·c_j)/n — row-local (i,j) pair explode
+   (d² per row), one partial-agg sum with only d² distinct shuffle
+   keys, exact decimal; the /n (which cannot move the eigenvector)
+   bounds every C cell by max|c|², keeping the fixed-point range
+   corpus-size-independent;
+4. C is frozen to scaled integers (×10⁶), and power iteration
+   v ← normalize(S·v) runs in pure BIGINT: matvec products and sums
+   are exact; normalization divides by an IEEE sqrt of an
+   engine-identical integer and immediately re-quantizes to ×10⁸
+   integers. Every engine replays every round bit for bit.
+
+Scale shape: the corpus is touched exactly once (steps 1+3, both
+partial aggregations); each iteration is O(d²) on broadcast-sized
+state, independent of corpus size. Shuffle keys are dimension
+indices — skew-free by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: power-iteration rounds (fixed — replayability over adaptivity)
+PCA_ROUNDS = 3
+#: scatter-matrix fixed-point scale
+S_SCALE = 1_000_000
+#: eigenvector fixed-point scale
+V_SCALE = 100_000_000
+#: matvec downshift before squaring (keeps norm² inside BIGINT:
+#: |C_int| ≤ max|c|²·S_SCALE ≈ 2.5e5 for unit-ish vectors, so
+#: |mv_raw| ≤ d·2.5e5·V_SCALE ≈ 1.6e15 → mv_s ≤ 1.6e8 and the
+#: 64-term norm² ≤ 1.7e18 < 2⁶³)
+MV_SHIFT = 10_000_000
+
+
+def dim_means(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean ``(pos, mu)``, rounded to 6 decimals and
+    cast DECIMAL(18,6) — the only float rounding over corpus-sized
+    data."""
+    return (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("mu")
+        )
+    )
+
+
+def _means_as_array(df: DataFrame, vec_col: str) -> DataFrame:
+    """1-row frame carrying the mean vector as ``mu_arr``."""
+    return dim_means(df, vec_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mu")))),
+            lambda s: s["mu"],
+        ).alias("mu_arr")
+    )
+
+
+def scatter_matrix_int(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Centered covariance matrix as scaled integers ``(i, j, s_int)``
+    with ``s_int = round(C_ij × S_SCALE)`` and ``C_ij = Σc_i·c_j / n``.
+    Pair generation happens INSIDE each row (index-struct arrays), so
+    the only shuffle is the d²-key (i,j) groupBy; the decimal sum is
+    exact and the /n division happens once per cell on the exact sum,
+    making the final integer quantization engine-identical."""
+    # resolve the centered array in its own projection BEFORE pair
+    # generation: an element_at(i)/element_at(j) formulation would
+    # make Catalyst inline the centering expression d² times per row
+    # (the word_shingles lesson); index-lambdas reference the
+    # resolved array column once per nesting level instead
+    cent = (
+        df.select(
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.round(v.cast("double"), 6).cast(
+                    "decimal(18,6)"
+                ),
+            ).alias("x")
+        )
+        .crossJoin(F.broadcast(_means_as_array(df, vec_col)))
+        .select(
+            F.zip_with(
+                F.col("x"), F.col("mu_arr"), lambda a, b: a - b
+            ).alias("c")
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("c"),
+            lambda a, i: F.transform(
+                F.col("c"),
+                lambda b, j: F.struct(
+                    i.alias("i"), j.alias("j"), (a * b).alias("p")
+                ),
+            ),
+        )
+    )
+    return (
+        cent.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(
+            F.round(
+                F.sum("e.p").cast("double")
+                / F.count(F.lit(1))
+                * S_SCALE
+            )
+            .cast("long")
+            .alias("s_int")
+        )
+    )
+
+
+def power_iteration_top(
+    scatter_int: DataFrame, dims: int, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """Fixed integer power-iteration rounds over ``(i, j, s_int)``;
+    returns ``(pos, loading)`` — the dominant eigenvector, sign-fixed
+    (smallest-index nonzero loading positive), rounded to 6.
+
+    Per round: one broadcast equi-join matvec with exact BIGINT
+    products/sums, an integer downshift (``div MV_SHIFT``), an exact
+    integer norm², then one double division by its IEEE sqrt and
+    re-quantization to ×V_SCALE integers — doubles only ever touch
+    engine-identical integer state, so every round replays
+    identically anywhere."""
+    from ..materialize import materialize as _materialize
+
+    spark = scatter_int.sparkSession
+    # one boundary on the covariance table (every round joins it) and
+    # one per-round on mv (norm² AND the normalize both read it) —
+    # without them each round doubles the plan and the corpus-sized
+    # covariance subtree re-executes 2^rounds times
+    scatter_int = _materialize(scatter_int, None)
+    v0 = round(1.0 / dims**0.5 * V_SCALE)
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(v0).cast("long").alias("v_int"),
+    )
+    for _ in range(rounds):
+        mv = (
+            scatter_int.join(F.broadcast(v), on="j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("s_int") * F.col("v_int")).alias("mv_raw")
+            )
+        )
+        mv = _materialize(
+            mv.select(
+                "i", F.expr(f"mv_raw div {MV_SHIFT}").alias("mv_s")
+            ),
+            None,
+        )
+        norm2 = mv.agg(
+            F.sum(F.col("mv_s") * F.col("mv_s")).alias("n2")
+        )
+        v = (
+            mv.join(F.broadcast(norm2))
+            .select(
+                F.col("i").alias("j"),
+                F.round(
+                    F.col("mv_s").cast("double")
+                    / F.sqrt(F.col("n2").cast("double"))
+                    * V_SCALE
+                )
+                .cast("long")
+                .alias("v_int"),
+            )
+        )
+    first = (
+        v.filter(F.col("v_int") != 0)
+        .orderBy("j")
+        .limit(1)
+        .select(F.signum(F.col("v_int").cast("double")).alias("sgn"))
+    )
+    return (
+        v.join(F.broadcast(first))
+        .select(
+            F.col("j").alias("pos"),
+            F.round(
+                F.col("v_int").cast("double") * F.col("sgn") / V_SCALE, 6
+            ).alias("loading"),
+        )
+    )
+
+
+def pca_top_component(
+    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Dominant principal component of a vector column:
+    ``(pos, loading)``. ``dims`` defaults to the first row's vector
+    length (one tiny driver probe, same class as the thresholds
+    operator's scalar wiring)."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    return power_iteration_top(
+        scatter_matrix_int(df, vec_col), dims=dims
+    )

@@ -388,3 +388,73 @@ def normalized_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centered_norm"
         )
     )
+
+
+def _pca_round(cur: str, nxt: str) -> str:
+    """One integer power-iteration round in SQL (operators.pca)."""
+    return f"""
+    mv{nxt} AS (
+        SELECT c.i, CAST(sum(c.s_int * v.v_int) AS BIGINT) // 10000000
+                   AS mv_s
+        FROM cov c JOIN {cur} v ON v.j = c.j
+        GROUP BY c.i
+    ), n{nxt} AS (
+        SELECT CAST(sum(mv_s * mv_s) AS BIGINT) AS n2 FROM mv{nxt}
+    ), v{nxt} AS (
+        SELECT m.i AS j,
+               CAST(round(m.mv_s::DOUBLE / sqrt(n.n2::DOUBLE)
+                          * 100000000) AS BIGINT) AS v_int
+        FROM mv{nxt} m, n{nxt} n
+    )
+    """
+
+
+_PCA_ORACLE = (
+    """
+    WITH vals AS MATERIALIZED (
+        SELECT vec_id, u.p - 1 AS pos,
+               CAST(round(embedding[u.p]::DOUBLE, 6)
+                    AS DECIMAL(18,6)) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(p)
+    ), mu AS MATERIALIZED (
+        SELECT pos, CAST(round(avg(x::DOUBLE), 6) AS DECIMAL(18,6)) AS mu
+        FROM vals GROUP BY pos
+    ), cent AS MATERIALIZED (
+        SELECT v.vec_id, v.pos, v.x - m.mu AS c
+        FROM vals v JOIN mu m USING (pos)
+    ), cov AS MATERIALIZED (
+        SELECT a.pos AS i, b.pos AS j,
+               CAST(round(sum(a.c * b.c)::DOUBLE / count(*) * 1000000)
+                    AS BIGINT) AS s_int
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ), v0 AS (
+        SELECT pos AS j, CAST(12500000 AS BIGINT) AS v_int
+        FROM (SELECT DISTINCT pos FROM vals)
+    ), """
+    + ",".join(_pca_round(f"v{i}", f"{i + 1}") for i in range(3))
+    + """
+    , sgn AS (
+        SELECT CASE WHEN v_int > 0 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM v3 WHERE v_int != 0 ORDER BY j LIMIT 1
+    )
+    SELECT v3.j AS pos,
+           round(v3.v_int::DOUBLE * sgn.sgn / 100000000, 6) AS loading
+    FROM v3, sgn
+    """
+)
+
+
+@register("pca_top_component", oracle=_PCA_ORACLE)
+def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus
+    (operators.pca): exact-decimal covariance (one corpus pass, d²
+    shuffle keys) + three BIGINT fixed-point power-iteration rounds.
+    Float sums over corpus-sized data never feed comparisons — the
+    same replayability discipline as fixed-point PageRank, which is
+    why DuckDB can replay the whole eigensolve bit for bit. v₀ is
+    uniform; the mean vector is the only rounded float aggregate."""
+    from ..operators.pca import pca_top_component
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, vec_col="embedding", dims=64)
