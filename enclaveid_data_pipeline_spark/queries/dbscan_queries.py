@@ -120,3 +120,165 @@ def core_distance_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     on neighbor id so the answer is unique and cross-engine stable."""
     emb = read_table(spark, sf_dir, "embeddings")
     return core_distance(emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+def _duck_dbscan_chain(sfx: str, sym: str) -> str:
+    """The DBSCAN labeling pipeline (core → core-edges → recursive
+    components → min-id border → noise) from a symmetric eps-pair
+    table ``sym``, as suffix-namespaced CTEs ending in ``lab{sfx}``
+    with columns (id, cluster, role)."""
+    return f"""
+    core{sfx} AS (
+        SELECT id FROM {sym} GROUP BY id
+        HAVING count(*) + 1 >= {_MIN_PTS}
+    ), ce{sfx} AS (
+        SELECT s.id AS a, s.nbr AS b
+        FROM {sym} s
+        JOIN core{sfx} c1 ON c1.id = s.id
+        JOIN core{sfx} c2 ON c2.id = s.nbr
+    ), comp{sfx} AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT id, id FROM core{sfx}
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN ce{sfx} e ON e.a = r.node
+        )
+        SELECT node, min(root) AS cluster FROM reach GROUP BY node
+    ), border{sfx} AS (
+        SELECT s.id, min(c.cluster) AS cluster
+        FROM {sym} s
+        JOIN comp{sfx} c ON c.node = s.nbr
+        WHERE s.id NOT IN (SELECT id FROM core{sfx})
+        GROUP BY s.id
+    ), lab{sfx} AS (
+        SELECT e.vec_id AS id,
+               CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT)
+                   AS cluster,
+               CASE WHEN c.node IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM embeddings e
+        LEFT JOIN comp{sfx} c ON c.node = e.vec_id
+        LEFT JOIN border{sfx} b ON b.id = e.vec_id
+    )
+    """
+
+
+def _duck_lsh_bucket_pair(planes: int, tables: int) -> str:
+    """Bucket columns b0..b{tables-1} for the OR-amplified LSH join
+    (disjoint plane ranges per table, same derivation as
+    operators.knn.multitable_bucket_ids)."""
+    from .similarity_queries import _duck_bucket_planes
+
+    cols = ", ".join(
+        f"{_duck_bucket_planes('embedding', planes, offset=t * planes)}"
+        f" AS b{t}"
+        for t in range(tables)
+    )
+    cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(tables))
+    return cols, cond  # type: ignore[return-value]
+
+
+_LSH_TABLES = 2
+_LSH_PLANES = 3
+
+_lsh_cols, _lsh_cond = _duck_lsh_bucket_pair(_LSH_PLANES, _LSH_TABLES)
+
+_DBSCAN_LSH_AGREEMENT_ORACLE = (
+    _DIST_PAIRS_CTE
+    + f"""
+    , sym AS MATERIALIZED (
+        SELECT i AS id, j AS nbr, d FROM p WHERE d <= {_EPS}
+        UNION ALL
+        SELECT j, i, d FROM p WHERE d <= {_EPS}
+    ), """
+    + _duck_dbscan_chain("_x", "sym")
+    + f"""
+    , bt AS MATERIALIZED (
+        SELECT vec_id, embedding, {_lsh_cols} FROM embeddings
+    ), lp AS MATERIALIZED (
+        SELECT a.vec_id AS i, c.vec_id AS j,
+               round(1 - {_duck_cos('a.embedding', 'c.embedding')}, 6) AS d
+        FROM bt a
+        JOIN bt c ON a.vec_id < c.vec_id AND ({_lsh_cond})
+    ), lsym AS MATERIALIZED (
+        SELECT i AS id, j AS nbr, d FROM lp WHERE d <= {_EPS}
+        UNION ALL
+        SELECT j, i, d FROM lp WHERE d <= {_EPS}
+    ), """
+    + _duck_dbscan_chain("_l", "lsym")
+    + """
+    SELECT x.role AS exact_role, l.role AS lsh_role,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lab_x x JOIN lab_l l USING (id)
+    GROUP BY x.role, l.role
+    """
+)
+
+
+@register("dbscan_lsh_agreement", oracle=_DBSCAN_LSH_AGREEMENT_ORACLE)
+def dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBSCAN scale path, measured: candidate pairs restricted to
+    OR-amplified LSH buckets (2 tables × 3 disjoint hyperplanes —
+    operators.knn.multitable_bucket_ids) feed the identical
+    core/components/border pipeline via ``candidate_pairs``
+    injection, and the exact-vs-LSH role confusion matrix is the
+    observable. At 100 TB the all-pairs eps-graph is the one
+    O(n²) step DBSCAN has; this query IS the swap — candidate volume
+    drops ~2^planes/tables-fold per bucket join — with its clustering
+    cost made visible instead of asserted (missed eps-edges demote
+    cores and orphan borders to noise; they never invent clusters)."""
+    from ..operators.dbscan import eps_neighbor_pairs
+    from ..operators.knn import multitable_bucket_ids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = dbscan(
+        emb, id_col="vec_id", vec_col="embedding",
+        eps=_EPS, min_pts=_MIN_PTS,
+    ).select("id", F.col("role").alias("exact_role"))
+
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            multitable_bucket_ids(
+                F.col("embedding"), _LSH_TABLES, _LSH_PLANES, dims=64
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", "embedding",
+        F.col("tb.table").alias("t"), F.col("tb.bucket").alias("bucket"),
+    )
+    from ..operators.similarity import pairwise_similarity
+
+    cand = (
+        pairwise_similarity(
+            b, id_col="vec_id", vec_col="embedding",
+            group_cols=("t", "bucket"),
+        )
+        .withColumn(
+            "d", F.round(F.lit(1.0) - F.col("similarity"), 6)
+        )
+        .filter(F.col("d") <= _EPS)
+        .select("left_id", "right_id", "d")
+        .distinct()  # a pair may collide in both tables
+    )
+    sym = cand.select(
+        F.col("left_id").alias("id"),
+        F.col("right_id").alias("nbr"),
+        F.col("d").alias("dist"),
+    ).unionByName(
+        cand.select(
+            F.col("right_id").alias("id"),
+            F.col("left_id").alias("nbr"),
+            F.col("d").alias("dist"),
+        )
+    )
+    lsh = dbscan(
+        emb, id_col="vec_id", vec_col="embedding",
+        eps=_EPS, min_pts=_MIN_PTS, candidate_pairs=sym,
+    ).select("id", F.col("role").alias("lsh_role"))
+    return (
+        exact.join(lsh, on="id")
+        .groupBy("exact_role", "lsh_role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
