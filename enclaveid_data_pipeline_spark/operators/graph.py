@@ -329,3 +329,71 @@ def count_triangles(
             F.count(F.lit(1)).alias("n_triangles")
         )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def deterministic_random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_mode: str | None = None,
+) -> DataFrame:
+    """DeepWalk-style walk corpus, one walk per node, with
+    DETERMINISTIC "random" next-hops: at step s from node cur on the
+    walk started at ``start``, the next node is the sorted neighbor
+    list indexed by ``md5(start|s|cur) mod degree``. A resumed,
+    re-partitioned, or re-run job emits the identical corpus (and so
+    does the SQL oracle) — ``rand()`` walks can never be validated or
+    reproduced, which disqualifies them from a replayable pipeline;
+    md5 is as uniform as the PRNG for this purpose.
+
+    Returns ``(start, walk)`` with ``walk`` the space-joined node
+    path of ``walk_len + 1`` nodes.
+
+    Shape: the neighbor-list table (node → sorted neighbor array) is
+    built once (one groupBy) and materialized; each step is one
+    equi-join walks⋈neighbor-lists on the current node plus row-local
+    md5 indexing. Walk state is one row per walk regardless of
+    length; hot nodes are ordinary join skew (AQE case), and the
+    walk corpus for embedding training streams out without ever
+    existing driver-side."""
+    nbrs = materialize(
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .groupBy("node")
+        .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs")),
+        mode=materialize_mode,
+    )
+    walks = nbrs.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("walk"),
+    )
+    for step in range(walk_len):
+        joined = walks.join(
+            nbrs, walks["cur"] == nbrs["node"], "inner"
+        )
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("start").cast("string"),
+                            F.lit(f"|{step}|"),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.size("nbrs")
+        )
+        nxt = F.element_at(F.col("nbrs"), (idx + 1).cast("int"))
+        walks = joined.select(
+            "start",
+            nxt.alias("cur"),
+            F.concat(F.col("walk"), F.lit(" "), nxt).alias("walk"),
+        )
+    return walks.select("start", "walk")

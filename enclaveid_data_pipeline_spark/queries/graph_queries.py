@@ -225,3 +225,49 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=_ITER, damping_pct=_DAMP
     )
     return ranks.orderBy(F.col("rank_s").desc(), "node").limit(20)
+
+
+def _walk_step(step: int, cur_w: str, nxt_w: str) -> str:
+    """One deterministic walk step in SQL (md5-indexed sorted
+    neighbor list, operators.graph.deterministic_random_walks)."""
+    pick = (
+        f"nb.nbrs[CAST(('0x' || substr(md5(w.start || '|{step}|' || w.cur),"
+        f" 1, 8))::BIGINT % len(nb.nbrs) AS INT) + 1]"
+    )
+    return f"""
+    s{step} AS (
+        SELECT w.start, {pick} AS nxt, w.walk
+        FROM {cur_w} w JOIN nbrs nb ON nb.node = w.cur
+    ), {nxt_w} AS (
+        SELECT start, nxt AS cur, walk || ' ' || nxt AS walk FROM s{step}
+    )
+    """
+
+
+_WALKS_ORACLE = (
+    _GRAPH_CTE
+    + """
+    , nbrs AS MATERIALIZED (
+        SELECT src AS node, list_sort(list(DISTINCT dst)) AS nbrs
+        FROM e GROUP BY src
+    ), w0 AS (
+        SELECT node AS start, node AS cur, node AS walk FROM nbrs
+    ), """
+    + ",".join(_walk_step(i, f"w{i}", f"w{i + 1}") for i in range(3))
+    + " SELECT start, walk FROM w3"
+)
+
+
+@register("random_walks_len3", oracle=_WALKS_ORACLE)
+def random_walks_len3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus generation over the customer↔supplier graph:
+    one 3-step walk per node with md5-deterministic next-hops
+    (operators.graph.deterministic_random_walks) — the node-sequence
+    "sentences" that graph-embedding training consumes, reproducible
+    run-to-run and engine-to-engine where rand() walks are neither.
+    Per step: one walks⋈neighbor-lists equi-join + row-local md5
+    indexing; walk state is one row per walk at any length."""
+    from ..operators.graph import deterministic_random_walks
+
+    edges = _cust_supp_edges(spark, sf_dir)
+    return deterministic_random_walks(edges, walk_len=3)

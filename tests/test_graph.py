@@ -171,3 +171,34 @@ def test_label_propagation_round_count_changes_result(spark):
     # after 2 rounds its neighbors both voted 0 and 2 -> label 0 wins
     assert one[2] == 1
     assert two[2] != one[2]
+
+
+def test_deterministic_random_walks_tiny_graph(spark):
+    """Triangle a-b-c (symmetrized): every walk has walk_len+1 nodes,
+    each step moves along a real edge, and two runs are identical."""
+    import hashlib
+
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "a")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string"
+    )
+    out1 = {r.start: r.walk for r in
+            deterministic_random_walks(edges, walk_len=3).collect()}
+    out2 = {r.start: r.walk for r in
+            deterministic_random_walks(edges, walk_len=3).collect()}
+    assert out1 == out2
+    nbr = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b"]}
+    for start, walk in out1.items():
+        nodes = walk.split(" ")
+        assert len(nodes) == 4 and nodes[0] == start
+        cur = start
+        for step, nxt in enumerate(nodes[1:]):
+            assert nxt in nbr[cur]
+            # replay the md5 index choice
+            h = hashlib.md5(f"{start}|{step}|{cur}".encode()).hexdigest()
+            assert nxt == nbr[cur][int(h[:8], 16) % len(nbr[cur])]
+            cur = nxt
