@@ -975,3 +975,77 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
+
+
+def _ewma_weights() -> list[str]:
+    """0.5^k as exact decimal literals (5^k/10^k — decimal-exact, so
+    the weighted sum is exact in both engines' DECIMAL arithmetic)."""
+    return [f"{0.5 ** k:.10f}" for k in range(10)]
+
+
+def _ewma_den_case(rn: str) -> str:
+    """Denominator Σ_{j<min(rn,10)} 0.5^j as exact literals."""
+    parts = [
+        f"WHEN {rn} >= {k} THEN {sum(0.5 ** j for j in range(k)):.10f}"
+        for k in range(10, 0, -1)
+    ]
+    return "CASE " + " ".join(parts) + " END"
+
+
+_EWMA_W = _ewma_weights()
+
+_EWMA_ORACLE = f"""
+    WITH ord AS (
+        SELECT user_id, event_id,
+               CAST(round(value, 2) AS DECIMAL(10,2)) AS v,
+               row_number() OVER w AS rn,
+               {" + ".join(
+                   f"coalesce(lag(CAST(round(value, 2) AS DECIMAL(10,2)), {k})"
+                   f" OVER w, 0) * CAST({w} AS DECIMAL(12,10))"
+                   for k, w in enumerate(_EWMA_W)
+               )} AS num
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           round(num::DOUBLE / ({_ewma_den_case("rn")})::DOUBLE, 6)
+               AS ewma_value
+    FROM ord
+"""
+
+
+@register("ewma_user_values", oracle=_EWMA_ORACLE)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (decay ½, window 10) — the trailing ML feature that weights
+    recent behavior over old. Exactness trick: 0.5^k is DECIMAL-exact
+    (5^k/10^k), so numerator and the rank-dependent normalizer are
+    exact decimal sums of 10 lag terms in BOTH engines; the single
+    double division is over engine-identical inputs. Row-local after
+    one per-user window sort — no extra shuffle beyond the
+    partitioning every per-user feature shares."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.round(F.col("value"), 2).cast("decimal(10,2)")
+    num = None
+    for k, wt in enumerate(_EWMA_W):
+        term = F.coalesce(F.lag(v, k).over(w), F.lit(0).cast("decimal(10,2)")) \
+            * F.lit(wt).cast("decimal(12,10)")
+        num = term if num is None else num + term
+    rn = F.row_number().over(w)
+    den = F.expr(_ewma_den_case("rn"))
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            num.alias("num"),
+            rn.alias("rn"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.col("num").cast("double") / den.cast("double"), 6
+            ).alias("ewma_value"),
+        )
+    )
