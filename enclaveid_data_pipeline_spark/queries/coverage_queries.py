@@ -1049,3 +1049,111 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_value"),
         )
     )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, day, n,
+               CAST(round(avg(n::DOUBLE) OVER wt, 4) AS DECIMAL(14,4))
+                   AS mu,
+               CAST(round(stddev_samp(n::DOUBLE) OVER wt, 4)
+                    AS DECIMAL(14,4)) AS sd
+        FROM daily
+        WINDOW wt AS (PARTITION BY event_type)
+    ), dev AS (
+        SELECT event_type, day, n, sd,
+               n - mu - CAST(round(sd::DOUBLE / 2, 4) AS DECIMAL(14,4))
+                   AS y
+        FROM stats
+    ), cum AS (
+        SELECT event_type, day, n, sd,
+               sum(y) OVER wd AS c
+        FROM dev
+        WINDOW wd AS (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT event_type, day, n, sd,
+               c - least(min(c) OVER wd, 0) AS s_cusum
+        FROM cum
+        WINDOW wd AS (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s,
+           CAST(n AS BIGINT) AS n_events,
+           round(s_cusum::DOUBLE, 4) AS cusum,
+           s_cusum::DOUBLE > 4 * sd::DOUBLE AS drift_flag
+    FROM s
+"""
+
+
+@register("cusum_daily_drift", oracle=_CUSUM_ORACLE)
+def cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection (one-sided CUSUM) on daily
+    event rates per type: S_t = max(0, S_{t-1} + x_t − μ − k) via the
+    prefix identity S_t = C_t − min(0, min_{j≤t} C_j) — the recursive
+    definition rewritten as cumsum + running min, both plain window
+    frames (no UDF, no iteration). Slack k = σ/2, alarm at 4σ: CUSUM
+    accumulates persistent small drifts a per-day z-score
+    (daily_rate_anomalies) cannot see. Deviations are exact DECIMAL
+    after the one rounded μ/σ aggregate, so both engines walk the
+    identical path."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.avg(F.col("n").cast("double")).over(wt), 4)
+        .cast("decimal(14,4)")
+        .alias("mu"),
+        F.round(F.stddev_samp(F.col("n").cast("double")).over(wt), 4)
+        .cast("decimal(14,4)")
+        .alias("sd"),
+    )
+    dev = stats.select(
+        "event_type",
+        "day",
+        "n",
+        "sd",
+        (
+            F.col("n")
+            - F.col("mu")
+            - F.round(F.col("sd").cast("double") / 2, 4).cast(
+                "decimal(14,4)"
+            )
+        ).alias("y"),
+    )
+    cum = dev.select(
+        "event_type", "day", "n", "sd", F.sum("y").over(wd).alias("c")
+    )
+    s = cum.select(
+        "event_type",
+        "day",
+        "n",
+        "sd",
+        (F.col("c") - F.least(F.min("c").over(wd), F.lit(0))).alias(
+            "s_cusum"
+        ),
+    )
+    return s.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s_cusum").cast("double"), 4).alias("cusum"),
+        (
+            F.col("s_cusum").cast("double")
+            > 4 * F.col("sd").cast("double")
+        ).alias("drift_flag"),
+    )
