@@ -249,3 +249,54 @@ def read_cdc_snapshot(
     if op_col in df.columns:
         df = df.filter(~F.col(op_col).isin(list(delete_ops)))
     return df
+
+
+def cms_sink(
+    stream_df: DataFrame,
+    path: str,
+    item_col: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Continuously maintained count-min sketch (operators.sketch):
+    each micro-batch is reduced to its own ≤ depth·width counter grid
+    and folded into the persisted grid by COUNTER ADDITION — the
+    sketch monoid, same contract as the rollup sink's sum/hll kinds.
+    The persisted state is ≤ 4096 rows regardless of how much stream
+    has passed through it, so heavy-hitter queries over the entire
+    history stay a broadcast probe (count_min_estimate) while the raw
+    stream is never retained.
+
+    Replay safety mirrors rollup_sink: the grid embeds the last
+    folded ``_batch_id``; a redelivered batch (crash between fold and
+    checkpoint commit) is detected and skipped, keeping the
+    non-idempotent counter addition at-most-once per batch id.
+    """
+    from ..operators.sketch import count_min_table
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = count_min_table(
+            batch_df.select(F.col(item_col).alias("item")), "item"
+        )
+        existing = _read_existing(spark, path)
+        if existing is not None:
+            done = existing.agg(F.max("_batch_id")).collect()[0][0]
+            if done is not None and batch_id <= done:
+                return  # replayed batch: already folded
+            merged = (
+                existing.drop("_batch_id")
+                .unionByName(partial)
+                .groupBy("row", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = partial
+        out = _materialize(
+            merged.withColumn("_batch_id", F.lit(batch_id)), "local"
+        )
+        out.write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -349,3 +349,77 @@ def test_rollup_sink_maintains_kll_quantiles(spark, tmp_path):
     # exact median of 0..199 is 99.5; KLL at n=200 is exact (below
     # sketch compaction), but allow its documented rank slack anyway
     assert abs(row.med - 99.5) <= 4
+
+
+def test_cms_sink_maintains_sketch_across_batches(spark, tmp_path):
+    """The streamed sketch after two micro-batches equals the batch
+    sketch of all rows (counter addition == one-shot build), its
+    estimates bound the true counts from above, and a full
+    no-checkpoint replay folds nothing twice."""
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import cms_sink
+
+    stream_dir = tmp_path / "cms_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "cms_out")
+
+    def start():
+        return cms_sink(
+            read_event_stream(spark, str(stream_dir)).select("event_type"),
+            out,
+            item_col="event_type",
+        )
+
+    b1 = [(i, BASE + i, 1, "click") for i in range(6)] + [
+        (10, BASE, 2, "view")
+    ]
+    b2 = [(20 + i, BASE + i, 3, "click") for i in range(4)] + [
+        (30, BASE, 4, "purchase")
+    ]
+    q = start()
+    try:
+        _drop(spark, tmp_path, stream_dir, "c000", b1)
+        q.processAllAvailable()
+        _drop(spark, tmp_path, stream_dir, "c001", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def grid():
+        return {
+            (r.row, r.bucket): r.n
+            for r in spark.read.parquet(out).drop("_batch_id").collect()
+        }
+
+    got = grid()
+    all_items = spark.createDataFrame(
+        [("click",)] * 10 + [("view",)] * 1 + [("purchase",)] * 1,
+        "item string",
+    )
+    want = {
+        (r.row, r.bucket): r.n
+        for r in count_min_table(all_items).collect()
+    }
+    assert got == want
+
+    # estimates ≥ truth through the persisted grid
+    probes = spark.createDataFrame(
+        [("click", 10), ("view", 1), ("purchase", 1)], "item string, t long"
+    )
+    sketch = spark.read.parquet(out).drop("_batch_id")
+    est = {
+        r.item: r.cms_est
+        for r in count_min_estimate(probes, sketch).collect()
+    }
+    assert est["click"] >= 10 and est["view"] >= 1
+
+    # replay with no checkpoint: batch-id guard keeps counters exact
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert grid() == want
