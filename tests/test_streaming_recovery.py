@@ -90,10 +90,19 @@ def test_streaming_exact_dedup_across_batches(spark, sf_dir, tmp_path):
     tbl = pq.read_table(src)
     n = tbl.num_rows
     half = n // 2
+    # strictly increasing mtimes: the file source orders new files by
+    # modification time, and back-to-back writes can tie — the dedup
+    # assertions below depend on d0 processing before d1
+    import os
+    import time
+
+    mt = time.time() - 3600
     pq.write_table(tbl.slice(0, half), stream_dir / "d0.parquet")
+    os.utime(stream_dir / "d0.parquet", (mt, mt))
     # second drop re-delivers the last 100 rows of drop 1 + the rest
     dup = tbl.slice(half - 100, 100 + (n - half))
     pq.write_table(dup, stream_dir / "d1.parquet")
+    os.utime(stream_dir / "d1.parquet", (mt + 10, mt + 10))
 
     events = read_event_stream(
         spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
@@ -136,6 +145,12 @@ def test_streaming_near_dedup_flags_cross_batch_near_dups(spark, tmp_path):
     t0 = 1_700_000_000_000_000  # µs epoch
     mins = 60_000_000
 
+    import os
+    import time
+
+    mt0 = time.time() - 3600
+    seq = [0]
+
     def batch(path, rows):
         tbl = pa.table(
             {
@@ -147,6 +162,9 @@ def test_streaming_near_dedup_flags_cross_batch_near_dups(spark, tmp_path):
             }
         )
         pq.write_table(tbl, path)
+        # pin file-source pickup order (mtime ties are nondeterministic)
+        os.utime(path, (mt0 + 10 * seq[0], mt0 + 10 * seq[0]))
+        seq[0] += 1
 
     stream_dir = tmp_path / "in"
     stream_dir.mkdir()

@@ -29,9 +29,19 @@ _MAX_LEN = 7  # 3 fixed symbols + two gaps of <=2
 def _write_batches(tmp_path, batches):
     """Each batch is a list of (user_id, ts_us, event_type) rows →
     one parquet drop each (one micro-batch with
-    maxFilesPerTrigger=1)."""
+    maxFilesPerTrigger=1).
+
+    The file-stream source orders new files by MODIFICATION TIME;
+    files written back-to-back can tie (or even invert) and then the
+    micro-batch order — which these tests' cross-batch stitching
+    assertions depend on — is nondeterministic. Strictly increasing
+    mtimes pin it."""
+    import os
+    import time
+
     stream_dir = tmp_path / "stream_in"
     stream_dir.mkdir()
+    base = time.time() - 3600
     for i, rows in enumerate(batches):
         tbl = pa.table(
             {
@@ -42,7 +52,9 @@ def _write_batches(tmp_path, batches):
                 "event_type": pa.array([r[2] for r in rows], pa.string()),
             }
         )
-        pq.write_table(tbl, stream_dir / f"events-{i:03d}.parquet")
+        path = stream_dir / f"events-{i:03d}.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (base + 10 * i, base + 10 * i))
     return str(stream_dir)
 
 
