@@ -168,3 +168,44 @@ def test_ann_graph_twins_shuffle_on_bucket_keys(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_round3_queries_stay_jvm_side(spark, sf_dir):
+    """The round-3 operators (density clustering, graph walks/BFS/LPA,
+    span removal, BPE encode, sketch, PCA, EWMA, CUSUM) are all plain
+    DataFrame algebra: no Python UDF fallback, no cartesian product
+    (the DBSCAN truth baseline is an explicit broadcast nested-loop,
+    which is not the CartesianProduct node)."""
+    names = (
+        "dbscan_embeddings",
+        "core_distance_k5",
+        "dbscan_lsh_agreement",
+        "bfs_hops_4",
+        "label_propagation_3r",
+        "random_walks_len3",
+        "dedup_span_removal",
+        "bpe_encode_corpus",
+        "countmin_top20_tokens",
+        "pca_top_component",
+        "ewma_user_values",
+        "cusum_daily_drift",
+    )
+    for name in names:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_span_removal_semi_join_and_partial_agg(spark, sf_dir):
+    """The shared-gram table must be consumed by a semi-join (never a
+    full join that widens rows) and the gram DF aggregation must
+    partial-aggregate map-side."""
+    plan = _plan(REGISTRY["dedup_span_removal"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_countmin_sketch_side_is_broadcast(spark, sf_dir):
+    """The ≤4096-row sketch must reach the probe join as a broadcast."""
+    plan = _plan(REGISTRY["countmin_top20_tokens"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
