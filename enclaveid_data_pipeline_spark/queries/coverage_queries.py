@@ -1157,3 +1157,104 @@ def cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 4 * F.col("sd").cast("double")
         ).alias("drift_flag"),
     )
+
+
+_KS_ORACLE = """
+    WITH vals AS (
+        SELECT source, n_chars FROM documents
+    ), sizes AS (
+        SELECT source, count(*) AS n_s FROM vals GROUP BY source
+    ), total AS (
+        SELECT count(*) AS n_g FROM vals
+    ), thresholds AS (
+        SELECT DISTINCT n_chars AS v FROM vals
+    ), grid AS (
+        SELECT s.source, s.n_s, t.v FROM sizes s CROSS JOIN thresholds t
+    ), per_sv AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM vals GROUP BY source, n_chars
+    ), cum_s AS (
+        SELECT g.source, g.n_s, g.v,
+               sum(coalesce(p.c, 0)) OVER (
+                   PARTITION BY g.source ORDER BY g.v
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cnt_s
+        FROM grid g
+        LEFT JOIN per_sv p ON p.source = g.source AND p.v = g.v
+    ), cum_g AS (
+        SELECT t.v,
+               sum(coalesce(q.c, 0)) OVER (
+                   ORDER BY t.v ROWS UNBOUNDED PRECEDING
+               ) AS cnt_g
+        FROM thresholds t
+        LEFT JOIN (
+            SELECT n_chars AS v, count(*) AS c FROM vals GROUP BY n_chars
+        ) q ON q.v = t.v
+    )
+    SELECT cs.source,
+           CAST(cs.n_s AS BIGINT) AS n_source,
+           round(max(abs(cs.cnt_s * tt.n_g - cg.cnt_g * cs.n_s))::DOUBLE
+                 / (cs.n_s * tt.n_g), 6) AS ks_stat
+    FROM cum_s cs
+    JOIN cum_g cg ON cg.v = cs.v
+    CROSS JOIN total tt
+    GROUP BY cs.source, cs.n_s, tt.n_g
+"""
+
+
+@register("ks_drift_by_source", oracle=_KS_ORACLE)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of each source's
+    document-length distribution against the full corpus — the
+    distribution-free drift test completing the detection family
+    (per-day z-score, CUSUM, JS divergence). Exactness trick: the sup
+    over |F_s − F_g| is taken on INTEGER cross-multiplied counts
+    (|cnt_s·n_g − cnt_g·n_s|), so the argmax is engine-exact and only
+    the final ratio is floating. Grid = sources × distinct lengths —
+    tiny next to the corpus; both CDFs are one window cumsum."""
+    docs = read_table(spark, sf_dir, "documents")
+    vals = docs.select("source", "n_chars")
+    sizes = vals.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total = vals.agg(F.count(F.lit(1)).alias("n_g"))
+    thresholds = vals.select(F.col("n_chars").alias("v")).distinct()
+    per_sv = vals.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = sizes.crossJoin(F.broadcast(thresholds))
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_s = grid.join(per_sv, on=["source", "v"], how="left").select(
+        "source",
+        "n_s",
+        "v",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(ws).alias("cnt_s"),
+    )
+    per_v = vals.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wg = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_g = thresholds.join(per_v, on="v", how="left").select(
+        "v", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wg).alias("cnt_g")
+    )
+    joined = cum_s.join(cum_g, on="v").crossJoin(F.broadcast(total))
+    num = F.abs(
+        F.col("cnt_s") * F.col("n_g") - F.col("cnt_g") * F.col("n_s")
+    )
+    return (
+        joined.groupBy("source", "n_s", "n_g")
+        .agg(F.max(num).alias("max_num"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_source"),
+            F.round(
+                F.col("max_num").cast("double")
+                / (F.col("n_s") * F.col("n_g")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
