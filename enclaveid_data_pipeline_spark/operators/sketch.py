@@ -100,3 +100,98 @@ def count_min_estimate(
     return joined.groupBy(*probe_cols).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("cms_est")
     )
+
+
+#: HLL bucket count (first 2 md5 hex chars) and hash width in bits
+#: for the rank computation (next 13 hex chars = 52 bits).
+HLL_BUCKETS = 256
+_HLL_BITS = 52
+
+
+def _rho_case(x: str) -> str:
+    """Rank (position of the highest set bit from the top, 1-based)
+    of a 52-bit integer expression, as a generated CASE of integer
+    comparisons — exact in any engine; log2-based forms can misround
+    at power-of-two boundaries. x == 0 → 53 (all hash bits zero)."""
+    branches = " ".join(
+        f"WHEN {x} >= {1 << (_HLL_BITS - k)} THEN {k}"
+        for k in range(1, _HLL_BITS + 1)
+    )
+    return f"(CASE {branches} ELSE {_HLL_BITS + 1} END)"
+
+
+def hll_register_exprs(item_sql: str) -> tuple[str, str]:
+    """SQL expressions ``(bucket, rho)`` for one item — shared
+    verbatim by the Spark side (F.expr) and the DuckDB oracle, which
+    is the whole point: the register table is a pure md5 function of
+    the input set."""
+    bucket = f"(('0x' || substr(md5({item_sql}), 1, 2))::BIGINT)"
+    hashv = f"(('0x' || substr(md5({item_sql}), 3, 13))::BIGINT)"
+    return bucket, f"{_rho_case(hashv)}"
+
+
+def hll_registers(items: DataFrame, item_col: str = "item") -> DataFrame:
+    """Deterministic HLL register table ``(bucket, rho)``:
+    ≤ 256 rows from any input. Standard HLL with an md5 hash split:
+    first byte routes to a bucket, the next 52 bits' leading-zero
+    rank is max-aggregated per bucket. max() is the idempotent
+    commutative monoid, so registers merge across shards/batches by
+    another max — and a replayed row cannot change anything (the
+    multiset-insensitivity CMS counters don't have)."""
+    bucket, rho = hll_register_exprs(
+        f"CAST({item_col} AS STRING)"
+    )
+    # Spark's conv() for the hex→int; keep the DuckDB-shared shape by
+    # translating only the cast syntax
+    b = (
+        F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 3, 13), 16, 10
+    ).cast("long")
+    rho_col = F.expr(_rho_case("__h"))
+    return (
+        items.select(b, h.alias("__h"))
+        .select("bucket", rho_col.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+#: numerator α·m²·2^53 of the raw HLL estimate, computed once here so
+#: the Spark side and any SQL oracle embed the SAME python float
+#: (repr round-trips exactly into both engines' double literals)
+HLL_SCALE = 1 << (_HLL_BITS + 1)
+HLL_EST_NUM = (
+    0.7213 / (1 + 1.079 / HLL_BUCKETS) * HLL_BUCKETS * HLL_BUCKETS
+    * float(HLL_SCALE)
+)
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Distinct-count estimate from a register table, with the
+    harmonic sum taken over EXACT integers: Σ 2^(53−rho) as BIGINT
+    (≤ 256·2^53 < 2^63), empty buckets contributing 2^53 — float
+    summation order never appears, so the estimate is bit-identical
+    in any engine. Returns one row ``(estimate,)`` (raw HLL formula;
+    apply small/large-range corrections downstream if needed)."""
+    m = HLL_BUCKETS
+    scale = HLL_SCALE
+    present = registers.agg(
+        F.sum(
+            F.expr(f"CAST({scale} AS BIGINT) div CAST(pow(2, rho) AS BIGINT)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return present.select(
+        F.round(
+            F.lit(HLL_EST_NUM)
+            / (
+                F.col("s_present")
+                + (F.lit(m) - F.col("n_present")) * F.lit(scale)
+            ).cast("double"),
+            4,
+        ).alias("estimate")
+    )

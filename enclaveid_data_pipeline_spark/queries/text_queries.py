@@ -1001,3 +1001,72 @@ def countmin_top20_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketch import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_SCALE,
+        hll_register_exprs,
+    )
+
+    bucket, rho = hll_register_exprs("o_custkey::VARCHAR")
+    return f"""
+    WITH regs AS (
+        SELECT bucket, max(rho) AS rho FROM (
+            SELECT {bucket} AS bucket, {rho} AS rho FROM orders
+        ) GROUP BY bucket
+    ), agg AS (
+        SELECT CAST(sum(CAST({HLL_SCALE} AS BIGINT)
+                        // CAST(pow(2, rho) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS np
+        FROM regs
+    ), ex AS (
+        SELECT count(DISTINCT o_custkey) AS d FROM orders
+    )
+    , est AS (
+        SELECT round({HLL_EST_NUM!r}
+                     / (agg.s + ({HLL_BUCKETS} - agg.np)
+                        * CAST({HLL_SCALE} AS BIGINT))::DOUBLE, 4)
+                   AS estimate
+        FROM agg
+    )
+    SELECT CAST(ex.d AS BIGINT) AS exact_distinct,
+           est.estimate,
+           round(abs(est.estimate - ex.d) / ex.d, 4) AS rel_err
+    FROM est, ex
+    """
+
+
+@register("hll_distinct_custkeys", oracle=_hll_oracle())
+def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (md5-routed 256 registers,
+    operators.sketch) vs the exact distinct customer count, with the
+    measured relative error — the sketch-family member for unbounded
+    distinct counting, now oracle-CHECKED rather than rows-only: the
+    register table is a pure md5 function of the input set, the rank
+    is an integer CASE (log2 misrounds at power boundaries), and the
+    harmonic sum is Σ2^(53−ρ) in exact BIGINT, so both engines
+    produce the identical estimate to the last bit. Registers merge
+    across shards by max() — idempotent, so replays are harmless
+    (the property CMS counters lack)."""
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    orders = read_table(spark, sf_dir, "orders")
+    regs = hll_registers(
+        orders.select(F.col("o_custkey").alias("item")), "item"
+    )
+    est = hll_estimate(regs)
+    exact = orders.agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(est)).select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "estimate",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -65,3 +65,46 @@ def test_merge_is_counter_addition(spark):
     assert sorted(map(tuple, sk_union.collect())) == sorted(
         map(tuple, sk_sum.collect())
     )
+
+
+def test_hll_registers_merge_by_max_and_are_replay_proof(spark):
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    a = _stream(spark, [f"u{i}" for i in range(300)])
+    b = _stream(spark, [f"u{i}" for i in range(200, 500)])  # overlap
+    both = _stream(spark, [f"u{i}" for i in range(500)])
+    merged = (
+        hll_registers(a)
+        .unionByName(hll_registers(b))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    one_shot = hll_registers(both)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+    # replay: feeding the same items again changes nothing
+    replay = (
+        hll_registers(both)
+        .unionByName(hll_registers(both))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 2000
+    items = _stream(spark, [f"key-{i}" for i in range(n)] * 3)  # dups
+    est = hll_estimate(hll_registers(items)).collect()[0]["estimate"]
+    # 256 registers → ~1.04/sqrt(256) ≈ 6.5% standard error; allow 4σ
+    assert abs(est - n) / n < 0.26
