@@ -397,3 +397,96 @@ def deterministic_random_walks(
             F.concat(F.col("walk"), F.lit(" "), nxt).alias("walk"),
         )
     return walks.select("start", "walk")
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_mode: str | None = "none",
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns
+    ONLY to the seed set, so rank measures proximity to the seeds —
+    the "related items" primitive recommendations are built on.
+    Same fixed-point integer discipline as :func:`pagerank_fixed`
+    (bit-replayable, oracle-unrollable); identical per-round plan
+    shape plus one broadcast seed-membership join at setup.
+
+    ``seeds``: 1-column frame of seed node ids. Returns
+    ``(node, rank_s)`` in units of 1/SCALE.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct()
+    n_seeds = seed_nodes.agg(F.count(F.lit(1)).alias("ns"))
+    nd = (
+        nodes.join(deg.withColumnRenamed("src", "node"), on="node", how="left")
+        .join(
+            seed_nodes.withColumn("__is_seed", F.lit(1)),
+            on="node",
+            how="left",
+        )
+        .select(
+            "node",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("__is_seed", F.lit(0)).alias("is_seed"),
+        )
+        .join(F.broadcast(n_seeds))
+    )
+    teleport_num = (100 - damping_pct) * SCALE
+
+    # start as the teleport distribution (all mass on seeds)
+    ranks = nd.select(
+        "node",
+        "deg",
+        "is_seed",
+        "ns",
+        F.expr(
+            f"CASE WHEN is_seed = 1 THEN CAST({SCALE} AS BIGINT) div ns "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ).alias("rank_s"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_s div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank_s"), F.lit(0).cast("long")).alias("dm")
+        )
+        ranks = (
+            ranks.join(contrib, on="node", how="left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                "is_seed",
+                "ns",
+                F.expr(
+                    f"CASE WHEN is_seed = 1 "
+                    f"THEN CAST({teleport_num} AS BIGINT) div (100 * ns) "
+                    f"ELSE CAST(0 AS BIGINT) END "
+                    f"+ ({damping_pct} * (coalesce(in_sum, CAST(0 AS BIGINT))"
+                    f" + (CASE WHEN is_seed = 1 THEN dm div ns "
+                    f"ELSE CAST(0 AS BIGINT) END))) div 100"
+                ).alias("rank_s"),
+            )
+        )
+        ranks = materialize(ranks, mode=materialize_mode)
+    return ranks.select("node", "rank_s")

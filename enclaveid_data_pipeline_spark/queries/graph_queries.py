@@ -271,3 +271,87 @@ def random_walks_len3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _cust_supp_edges(spark, sf_dir)
     return deterministic_random_walks(edges, walk_len=3)
+
+
+_PPR_ROUND = """
+    {nxt} AS (
+        SELECT nd.node, nd.deg, nd.is_seed, nd.ns,
+               CASE WHEN nd.is_seed = 1
+                    THEN CAST({tele} AS BIGINT) // (100 * nd.ns)
+                    ELSE CAST(0 AS BIGINT) END
+               + ({damp} * (coalesce(c.in_sum, 0)
+                  + (CASE WHEN nd.is_seed = 1 THEN d.dm // nd.ns
+                          ELSE CAST(0 AS BIGINT) END))) // 100
+                   AS rank_s
+        FROM nd
+        CROSS JOIN (
+            SELECT coalesce(sum(r.rank_s), 0) AS dm
+            FROM {cur} r WHERE r.deg = 0
+        ) d
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank_s // r.deg) AS in_sum
+            FROM {cur} r JOIN e ON e.src = r.node
+            WHERE r.deg > 0 GROUP BY e.dst
+        ) c USING (node)
+    )
+"""
+
+
+def _ppr_oracle() -> str:
+    rounds = ",".join(
+        _PPR_ROUND.format(
+            cur=f"pr{i}", nxt=f"pr{i + 1}", tele=_TELEPORT_NUM, damp=_DAMP
+        )
+        for i in range(_ITER)
+    )
+    return (
+        _GRAPH_CTE
+        + f"""
+    , seedset AS (
+        SELECT 'c' || min(o_custkey)::VARCHAR AS node FROM orders
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM e
+    ), nd AS (
+        SELECT n0.node,
+               coalesce(dg.deg, 0) AS deg,
+               CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+               (SELECT count(*) FROM seedset) AS ns
+        FROM nodes n0
+        LEFT JOIN (SELECT src AS node, count(*) AS deg FROM e GROUP BY src)
+            dg USING (node)
+        LEFT JOIN seedset s ON s.node = n0.node
+    ), pr0 AS (
+        SELECT node, deg, is_seed, ns,
+               CASE WHEN is_seed = 1 THEN CAST({SCALE} AS BIGINT) // ns
+                    ELSE CAST(0 AS BIGINT) END AS rank_s
+        FROM nd
+    ), {rounds}
+    SELECT node, CAST(rank_s AS BIGINT) AS rank_s
+    FROM pr{_ITER}
+    WHERE rank_s > 0
+    ORDER BY rank_s DESC, node LIMIT 20
+    """
+    )
+
+
+@register("ppr_related_top20", oracle=_ppr_oracle())
+def ppr_related_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the minimum customer node over the
+    customer↔supplier graph: teleport and dangling mass return only
+    to the seed, so rank = proximity to that customer — the "related
+    items" recommendation primitive, in the same bit-replayable
+    fixed-point discipline as global PageRank (oracle unrolls the
+    identical rounds). Top-20 nonzero-rank nodes."""
+    from ..operators.graph import personalized_pagerank_fixed
+
+    edges = _cust_supp_edges(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    seeds = orders.agg(F.min("o_custkey").alias("k")).select(
+        F.concat(F.lit("c"), F.col("k")).alias("node")
+    )
+    ranks = personalized_pagerank_fixed(edges, seeds, iterations=_ITER)
+    return (
+        ranks.filter(F.col("rank_s") > 0)
+        .orderBy(F.col("rank_s").desc(), "node")
+        .limit(20)
+    )
