@@ -1258,3 +1258,114 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+_THEILSEN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), idxd AS (
+        SELECT event_type,
+               date_diff('day', min(day) OVER (PARTITION BY event_type),
+                         day) AS x,
+               n AS y
+        FROM daily
+    ), pairs AS (
+        SELECT a.event_type,
+               round((b.y - a.y)::DOUBLE / (b.x - a.x), 6) AS slope
+        FROM idxd a JOIN idxd b
+          ON a.event_type = b.event_type AND b.x > a.x
+    ), ts_med AS (
+        SELECT event_type,
+               round(quantile_cont(slope, 0.5), 6) AS theilsen_slope
+        FROM pairs GROUP BY event_type
+    ), sums AS (
+        SELECT event_type,
+               count(*) AS k,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM idxd GROUP BY event_type
+    ), ols AS (
+        SELECT event_type,
+               round((k * sxy - sx * sy)::DOUBLE
+                     / (k * sxx - sx * sx), 6) AS ols_slope,
+               CAST(k AS BIGINT) AS n_days
+        FROM sums
+    )
+    SELECT o.event_type, o.n_days, t.theilsen_slope, o.ols_slope
+    FROM ols o JOIN ts_med t USING (event_type)
+"""
+
+
+@register("theilsen_trend_by_type", oracle=_THEILSEN_ORACLE)
+def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-rate trend per event type: Theil–Sen (median of
+    all pairwise slopes — 29.3% breakdown point, one wild day cannot
+    move it) next to the OLS slope it robustifies. Slopes are double
+    divisions of exact integer (Δcount, Δday) pairs rounded to 6, so
+    both engines rank the same multiset; OLS comes from exact BIGINT
+    moment sums, not float accumulation. Pair generation is row-local
+    (per-type day arrays, ~O(days²) per type with days ≪ corpus);
+    the median is an in-row sorted-array pick, no percentile
+    shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    idxd = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(wt)).alias("x"),
+        F.col("n").alias("y"),
+    )
+    arr = idxd.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("x"), F.col("y")))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slopes = F.flatten(
+        F.transform(
+            F.col("a"),
+            lambda p, i: F.transform(
+                F.slice(
+                    F.col("a"), i + 2, F.greatest(F.size("a"), F.lit(1))
+                ),
+                lambda q: F.round(
+                    (q["y"] - p["y"]).cast("double") / (q["x"] - p["x"]),
+                    6,
+                ),
+            ),
+        )
+    )
+    sorted_s = F.array_sort(slopes)
+    m = F.size(sorted_s)
+    med = F.when(
+        m % 2 == 1,
+        F.element_at(sorted_s, ((m + 1) / 2).cast("int")),
+    ).otherwise(
+        F.round(
+            (
+                F.element_at(sorted_s, (m / 2).cast("int"))
+                + F.element_at(sorted_s, (m / 2 + 1).cast("int"))
+            )
+            / 2,
+            6,
+        )
+    )
+    return arr.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_days"),
+        F.round(med, 6).alias("theilsen_slope"),
+        F.round(
+            (
+                F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+            ).cast("double")
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("ols_slope"),
+    )
