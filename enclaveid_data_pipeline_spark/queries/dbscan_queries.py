@@ -282,3 +282,113 @@ def dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("exact_role", "lsh_role")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _duck_lsh_recall_cfg(tables: int) -> str:
+    """One OR-amplified config's candidate eps-pairs, as a SELECT
+    producing (n_tables, found pairs)."""
+    cols, cond = _duck_lsh_bucket_pair(_LSH_PLANES, tables)
+    return f"""
+        SELECT {tables} AS n_tables, x.i, x.j, x.d FROM (
+            SELECT a.vec_id AS i, c.vec_id AS j,
+                   round(1 - {_duck_cos('a.embedding', 'c.embedding')}, 6)
+                       AS d
+            FROM (SELECT vec_id, embedding, {cols} FROM embeddings) a
+            JOIN (SELECT vec_id, embedding, {cols} FROM embeddings) c
+              ON a.vec_id < c.vec_id AND ({cond})
+        ) x
+    """
+
+
+_LSH_RECALL_ORACLE = (
+    _DIST_PAIRS_CTE
+    + f"""
+    , truth AS (
+        SELECT count(*) AS n_true FROM p WHERE d <= {_EPS}
+    ), cand AS (
+        {_duck_lsh_recall_cfg(1)}
+        UNION ALL
+        {_duck_lsh_recall_cfg(2)}
+    ), stats AS (
+        SELECT n_tables,
+               count(*) AS n_candidates,
+               sum(CASE WHEN d <= {_EPS} THEN 1 ELSE 0 END) AS n_found
+        FROM cand GROUP BY n_tables
+    )
+    SELECT s.n_tables,
+           CAST(s.n_candidates AS BIGINT) AS n_candidates,
+           CAST(s.n_found AS BIGINT) AS n_found,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           round(s.n_found::DOUBLE / t.n_true, 6) AS recall
+    FROM stats s, truth t
+    """
+)
+
+
+@register("lsh_tables_recall_curve", oracle=_LSH_RECALL_ORACLE)
+def lsh_tables_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-amplification dial of the DBSCAN/near-dup LSH path,
+    measured: eps-pair recall and candidate volume at 1 vs 2 hash
+    tables (3 disjoint hyperplanes each) against the exact eps-graph
+    — the hyperplane analog of lsh_band_sensitivity's MinHash curve,
+    and the number to read before trusting ``dbscan_lsh_agreement``'s
+    configuration on a new corpus. Signatures are computed once per
+    config; recall is candidates ∩ truth over truth."""
+    from ..operators.dbscan import _all_pairs
+    from ..operators.knn import multitable_bucket_ids
+    from ..operators.similarity import pairwise_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    truth = (
+        _all_pairs(emb, "vec_id", "embedding")
+        .withColumn("d", F.round(F.lit(1.0) - F.col("similarity"), 6))
+        .filter(F.col("d") <= _EPS)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+
+    def cfg(tables: int) -> DataFrame:
+        b = emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                multitable_bucket_ids(
+                    F.col("embedding"), tables, _LSH_PLANES, dims=64
+                )
+            ).alias("tb"),
+        ).select(
+            "vec_id",
+            "embedding",
+            F.col("tb.table").alias("t"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+        pairs = (
+            pairwise_similarity(
+                b,
+                id_col="vec_id",
+                vec_col="embedding",
+                group_cols=("t", "bucket"),
+            )
+            .select(
+                "left_id",
+                "right_id",
+                F.round(F.lit(1.0) - F.col("similarity"), 6).alias("d"),
+            )
+            .distinct()
+        )
+        return pairs.agg(
+            F.lit(tables).alias("n_tables"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("d") <= _EPS).cast("long")).alias("n_found"),
+        )
+
+    stats = cfg(1).unionByName(cfg(2))
+    return stats.crossJoin(F.broadcast(truth)).select(
+        F.col("n_tables").cast("int").alias("n_tables"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_true"), 6
+        ).alias("recall"),
+    )
