@@ -1369,3 +1369,98 @@ def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ols_slope"),
     )
+
+
+_MWU_ORACLE = """
+    WITH s AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'error')
+    ), pv AS (
+        SELECT value,
+               sum(g) AS n1v,
+               count(*) - sum(g) AS n2v,
+               count(*) AS t
+        FROM s GROUP BY value
+    ), cum AS (
+        SELECT value, n1v, n2v, t,
+               coalesce(sum(t) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS c_less
+        FROM pv
+    ), agg AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(n2v) AS BIGINT) AS n2,
+               CAST(sum(n1v * (2 * c_less + t + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM cum
+    )
+    SELECT n1, n2,
+           round((r1x2 - n1 * (n1 + 1))::DOUBLE / 2, 1) AS u1,
+           round(((r1x2 - n1 * (n1 + 1))::DOUBLE / 2 - n1::DOUBLE * n2 / 2)
+                 / sqrt((n1::DOUBLE * n2 / 12)
+                        * ((n1 + n2 + 1)
+                           - tie3::DOUBLE / ((n1 + n2)
+                                             * (n1 + n2 - 1)))), 6) AS z
+    FROM agg
+"""
+
+
+@register("mannwhitney_click_vs_error", oracle=_MWU_ORACLE)
+def mannwhitney_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test of click vs error event values —
+    the nonparametric two-sample location test (no normality
+    assumption, unlike the t-statistics in numeric_profile_events).
+    Exactness: midranks stay integer as 2·rank (tie group at c_less
+    with t members contributes n1·(2·c_less + t + 1) to 2R₁), the
+    tie-correction Σ(t³−t) is an exact integer sum, and only the
+    final normal-approximation z divides in double. One distinct-
+    value aggregate + one window cumsum — no per-row ranking
+    shuffle."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g"),
+    )
+    pv = s.groupBy("value").agg(
+        F.sum("g").alias("n1v"),
+        (F.count(F.lit(1)) - F.sum("g")).alias("n2v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = pv.select(
+        "n1v",
+        "n2v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("c_less"),
+    )
+    agg = cum.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("c_less") + F.col("t") + 1)
+        ).cast("long").alias("r1x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = (
+        F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / 2
+    nn = F.col("n1") + F.col("n2")
+    var = (n1d * n2d / 12) * (
+        (nn + 1).cast("double")
+        - F.col("tie3").cast("double")
+        / (nn * (nn - 1)).cast("double")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6).alias("z"),
+    )
