@@ -604,3 +604,107 @@ def ltv_by_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority,
+               'totalprice' AS measure,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'n_customers',
+               CAST(count(DISTINCT o_custkey) AS DOUBLE)
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'n_orders',
+               CAST(count(*) AS DOUBLE)
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, round(total, 2) AS total FROM m
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of the pivot queries): per
+    priority, three measures melted into (measure, total) rows via
+    ``stack`` — one scan, row-local expansion; the oracle is the
+    UNION ALL it desugars to. Money stays DECIMAL until the final
+    projection."""
+    orders = read_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("totalprice"),
+        F.count_distinct(F.col("o_custkey"))
+        .cast("double")
+        .alias("n_customers"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'totalprice', totalprice, "
+        "'n_customers', n_customers, "
+        "'n_orders', n_orders) AS (measure, total)",
+    ).select(
+        "o_orderpriority", "measure", F.round("total", 2).alias("total")
+    )
+
+
+_BENFORD_ORACLE = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders
+        WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT d, count(*) AS n FROM digits GROUP BY d
+    ), tot AS (
+        SELECT sum(n) AS nt FROM obs
+    )
+    SELECT obs.d AS first_digit,
+           CAST(obs.n AS BIGINT) AS n,
+           round(obs.n::DOUBLE / tot.nt, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / obs.d), 6) AS benford_p,
+           round((obs.n::DOUBLE / tot.nt - log10(1.0 + 1.0 / obs.d))
+                 / log10(1.0 + 1.0 / obs.d), 4) AS rel_dev
+    FROM obs, tot
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    classic cheap screen for fabricated or truncated numeric data
+    (natural multi-scale amounts follow P(d) = log10(1 + 1/d);
+    uniform synthetic prices deviate in a characteristic way, which
+    this query makes visible instead of assuming). Digit extraction
+    is string-head on the DECIMAL rendering (no float log tricks);
+    only the final probabilities divide in double."""
+    orders = read_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias(
+            "observed_p"
+        ),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(
+            (F.col("n").cast("double") / F.col("nt") - benford) / benford,
+            4,
+        ).alias("rel_dev"),
+    )
