@@ -1464,3 +1464,108 @@ def mannwhitney_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 1).alias("u1"),
         F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6).alias("z"),
     )
+
+
+_NPERM = 40
+
+_PERM_ORACLE = f"""
+    WITH s AS (
+        SELECT event_id,
+               CAST(round(value, 2) AS DECIMAL(12,2)) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'error')
+    ), obs AS (
+        SELECT abs(sum(CASE WHEN g = 1 THEN v END)::DOUBLE
+                   / sum(CASE WHEN g = 1 THEN 1 END)
+                 - sum(CASE WHEN g = 0 THEN v END)::DOUBLE
+                   / sum(CASE WHEN g = 0 THEN 1 END)) AS d_obs
+        FROM s
+    ), perms AS (
+        SELECT k.k, s.v,
+               CASE WHEN substr(md5(k.k::VARCHAR || '|' || s.event_id::VARCHAR),
+                                1, 1) IN ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE 0 END AS pg
+        FROM s, unnest(generate_series(1, {_NPERM})) AS k(k)
+    ), pstat AS (
+        SELECT k,
+               abs(sum(CASE WHEN pg = 1 THEN v END)::DOUBLE
+                   / sum(CASE WHEN pg = 1 THEN 1 END)
+                 - sum(CASE WHEN pg = 0 THEN v END)::DOUBLE
+                   / sum(CASE WHEN pg = 0 THEN 1 END)) AS d
+        FROM perms GROUP BY k
+    )
+    SELECT CAST({_NPERM} AS BIGINT) AS n_perms,
+           round(obs.d_obs, 6) AS observed_diff,
+           round((sum(CASE WHEN pstat.d >= obs.d_obs THEN 1 ELSE 0 END)
+                  + 1)::DOUBLE / ({_NPERM} + 1), 6) AS p_value
+    FROM pstat, obs
+    GROUP BY obs.d_obs
+"""
+
+
+@register("permutation_test_value_diff", oracle=_PERM_ORACLE)
+def permutation_test_value_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the click-vs-error mean value difference
+    with DETERMINISTIC permutations: permutation k reassigns each row
+    by the md5(k|event_id) high bit, so the resampling distribution
+    is a pure function of the data — reviewable and replayable, where
+    RNG-shuffled permutation tests are neither. Group sums are exact
+    DECIMAL (order-free), so every permutation statistic is
+    bit-identical in both engines; p = (#{d_k ≥ d_obs}+1)/(K+1).
+    Shape: one fan-out to K×n rows (row-local md5), one (k, group)
+    partial-agg — embarrassingly parallel, K and n independent."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        "event_id",
+        F.round("value", 2).cast("decimal(12,2)").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g"),
+    )
+
+    def mean_diff(df, grp):
+        a = F.sum(F.when(F.col(grp) == 1, F.col("v"))).cast(
+            "double"
+        ) / F.sum(F.when(F.col(grp) == 1, 1))
+        b = F.sum(F.when(F.col(grp) == 0, F.col("v"))).cast(
+            "double"
+        ) / F.sum(F.when(F.col(grp) == 0, 1))
+        return F.abs(a - b)
+
+    obs = s.agg(mean_diff(s, "g").alias("d_obs"))
+    ks = spark.range(1, _NPERM + 1).select(F.col("id").alias("k"))
+    perms = s.crossJoin(ks).select(
+        "k",
+        "v",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            1,
+        )
+        .otherwise(0)
+        .alias("pg"),
+    )
+    pstat = perms.groupBy("k").agg(mean_diff(perms, "pg").alias("d"))
+    return (
+        pstat.crossJoin(F.broadcast(obs))
+        .agg(
+            F.lit(_NPERM).cast("long").alias("n_perms"),
+            F.round(F.first("d_obs"), 6).alias("observed_diff"),
+            F.round(
+                (
+                    F.sum((F.col("d") >= F.col("d_obs")).cast("long")) + 1
+                ).cast("double")
+                / (_NPERM + 1),
+                6,
+            ).alias("p_value"),
+        )
+    )
