@@ -127,12 +127,13 @@ def scatter_matrix_int(
     )
 
 
-def power_iteration_top(
+def _power_iteration_int(
     scatter_int: DataFrame, dims: int, rounds: int = PCA_ROUNDS
 ) -> DataFrame:
     """Fixed integer power-iteration rounds over ``(i, j, s_int)``;
-    returns ``(pos, loading)`` — the dominant eigenvector, sign-fixed
-    (smallest-index nonzero loading positive), rounded to 6.
+    returns the RAW fixed-point eigenvector table ``(j, v_int)``
+    (×V_SCALE, arbitrary sign — callers normalize for display;
+    deflation is sign-invariant).
 
     Per round: one broadcast equi-join matvec with exact BIGINT
     products/sums, an integer downshift (``div MV_SHIFT``), an exact
@@ -183,6 +184,12 @@ def power_iteration_top(
                 .alias("v_int"),
             )
         )
+    return v
+
+
+def _sign_fixed_loadings(v: DataFrame) -> DataFrame:
+    """(j, v_int) → (pos, loading): smallest-index nonzero loading
+    positive, rounded to 6."""
     first = (
         v.filter(F.col("v_int") != 0)
         .orderBy("j")
@@ -198,6 +205,172 @@ def power_iteration_top(
             ).alias("loading"),
         )
     )
+
+
+def power_iteration_top(
+    scatter_int: DataFrame, dims: int, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """Dominant eigenvector as display loadings ``(pos, loading)``
+    (see :func:`_power_iteration_int` for the round mechanics)."""
+    return _sign_fixed_loadings(
+        _power_iteration_int(scatter_int, dims, rounds)
+    )
+
+
+#: deflation fixed-point scales: λ is carried as lam6 = λ×10⁵ and the
+#: eigenvector as v4 = v_int div 10⁴ (×10⁴), so the rank-1 update
+#: lam6·v4_i·v4_j div 10⁷ lands back on the ×10⁶ covariance scale with
+#: every intermediate inside BIGINT.
+_V4_SHIFT = 10_000
+_LAM_SHIFT = 1_000_000_000
+_DEFLATE_DIV = 10_000_000
+
+
+def deflate_scatter_int(
+    scatter_int: DataFrame, v: DataFrame
+) -> DataFrame:
+    """Rank-1 deflation C₂ = C − λ·v·vᵀ in pure integers: λ comes
+    from the exact BIGINT quadratic form Σ s_int·v4_i·v4_j, and the
+    subtracted term is an integer product-shift — both engines
+    produce the identical deflated matrix, so the second component
+    is as replayable as the first. Precision is bounded by the ×10⁴
+    eigenvector quantization (~1e-4 relative on the update), which
+    perturbs the second eigenvector far below the ×10⁸ output
+    quantization for separated eigenvalues."""
+    v4 = v.select(
+        "j", F.expr(f"v_int div {_V4_SHIFT}").alias("v4")
+    )
+    vi = v4.select(F.col("j").alias("i"), F.col("v4").alias("v4_i"))
+    vj = v4.select("j", F.col("v4").alias("v4_j"))
+    joined = scatter_int.join(F.broadcast(vi), on="i").join(
+        F.broadcast(vj), on="j"
+    )
+    lam6 = joined.agg(
+        F.expr(
+            f"CAST(sum(s_int * v4_i * v4_j) AS BIGINT) div {_LAM_SHIFT}"
+        ).alias("lam6")
+    )
+    return (
+        joined.join(F.broadcast(lam6))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s_int")
+                - F.expr(f"(lam6 * v4_i * v4_j) div {_DEFLATE_DIV}")
+            ).alias("s_int"),
+        )
+    )
+
+
+def top2_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    rounds: int = PCA_ROUNDS,
+) -> DataFrame:
+    """2-D layout ``(id, px, py)``: every vector's centered
+    coordinates along the top two principal components — the
+    deterministic, distributed stand-in for the reference's
+    driver-side UMAP reduction step (assets/old_history.py:154-176;
+    UMAP is stochastic and single-process, this is a pure function
+    of the corpus that an independent engine replays exactly).
+
+    Projection is row-local integer arithmetic: centered values
+    ×10⁶ as BIGINT zipped against the broadcast ×10⁸ eigenvector,
+    summed exactly in-row (≤ d·10¹⁴ per term — no float order
+    anywhere), divided once at the end. Corpus cost: the one
+    covariance pass + one projection pass; everything between is
+    O(d²) broadcast state."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    scatter = scatter_matrix_int(df, vec_col)
+    from ..materialize import materialize as _materialize
+
+    scatter = _materialize(scatter, None)
+    v1 = _materialize(
+        _power_iteration_int(scatter, dims, rounds), None
+    )
+    v2 = _power_iteration_int(
+        deflate_scatter_int(scatter, v1), dims, rounds
+    )
+
+    def _as_array(v: DataFrame, name: str) -> DataFrame:
+        # canonical orientation (smallest-index nonzero loading
+        # positive), same convention as the loading output — the
+        # layout is then a unique function of the corpus
+        first = (
+            v.filter(F.col("v_int") != 0)
+            .orderBy("j")
+            .limit(1)
+            .select(
+                F.when(F.col("v_int") > 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                .alias("sgn")
+            )
+        )
+        return (
+            v.join(F.broadcast(first))
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("j"),
+                                (F.col("v_int") * F.col("sgn")).alias(
+                                    "v_int"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["v_int"],
+                ).alias(name)
+            )
+        )
+
+    cent6 = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), 6).cast(
+                    "decimal(18,6)"
+                ),
+            ).alias("x"),
+        )
+        .crossJoin(F.broadcast(_means_as_array(df, vec_col)))
+        .select(
+            "id",
+            F.zip_with(
+                F.col("x"),
+                F.col("mu_arr"),
+                lambda a, b: ((a - b) * S_SCALE).cast("long"),
+            ).alias("c6"),
+        )
+    )
+    proj_scale = float(S_SCALE) * float(V_SCALE)
+
+    def _dot(arr_col: str) -> "F.Column":
+        return F.aggregate(
+            F.zip_with(
+                F.col("c6"), F.col(arr_col), lambda a, b: a * b
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    out = (
+        cent6.crossJoin(F.broadcast(_as_array(v1, "v1")))
+        .crossJoin(F.broadcast(_as_array(v2, "v2")))
+        .select(
+            "id",
+            F.round(_dot("v1").cast("double") / proj_scale, 6).alias("px"),
+            F.round(_dot("v2").cast("double") / proj_scale, 6).alias("py"),
+        )
+    )
+    return out
 
 
 def pca_top_component(

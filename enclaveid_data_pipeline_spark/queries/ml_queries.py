@@ -390,21 +390,23 @@ def normalized_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_round(cur: str, nxt: str) -> str:
-    """One integer power-iteration round in SQL (operators.pca)."""
+def _pca_round(cur: str, nxt: str, cov: str = "cov", pfx: str = "v") -> str:
+    """One integer power-iteration round in SQL (operators.pca);
+    ``cov`` selects the (possibly deflated) matrix, ``pfx`` names the
+    produced vector CTE family."""
     return f"""
-    mv{nxt} AS (
+    mv{pfx}{nxt} AS (
         SELECT c.i, CAST(sum(c.s_int * v.v_int) AS BIGINT) // 10000000
                    AS mv_s
-        FROM cov c JOIN {cur} v ON v.j = c.j
+        FROM {cov} c JOIN {cur} v ON v.j = c.j
         GROUP BY c.i
-    ), n{nxt} AS (
-        SELECT CAST(sum(mv_s * mv_s) AS BIGINT) AS n2 FROM mv{nxt}
-    ), v{nxt} AS (
+    ), n{pfx}{nxt} AS (
+        SELECT CAST(sum(mv_s * mv_s) AS BIGINT) AS n2 FROM mv{pfx}{nxt}
+    ), {pfx}{nxt} AS (
         SELECT m.i AS j,
                CAST(round(m.mv_s::DOUBLE / sqrt(n.n2::DOUBLE)
                           * 100000000) AS BIGINT) AS v_int
-        FROM mv{nxt} m, n{nxt} n
+        FROM mv{pfx}{nxt} m, n{pfx}{nxt} n
     )
     """
 
@@ -458,3 +460,76 @@ def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, vec_col="embedding", dims=64)
+
+
+def _pca2_oracle() -> str:
+    base = _PCA_ORACLE.split("    , sgn AS (")[0]  # vals..v3 chain
+    rounds2 = ",".join(
+        _pca_round(f"u{i}", f"{i + 1}", cov="cov2", pfx="u")
+        for i in range(3)
+    )
+    return (
+        base
+        + f"""
+    , lamj AS MATERIALIZED (
+        SELECT c.i, c.j, c.s_int,
+               (a.v_int // 10000) AS v4_i,
+               (b.v_int // 10000) AS v4_j
+        FROM cov c JOIN v3 a ON a.j = c.i JOIN v3 b ON b.j = c.j
+    ), lam AS (
+        SELECT CAST(sum(s_int * v4_i * v4_j) AS BIGINT) // 1000000000
+                   AS lam6
+        FROM lamj
+    ), cov2 AS MATERIALIZED (
+        SELECT i, j,
+               s_int - (lam.lam6 * v4_i * v4_j) // 10000000 AS s_int
+        FROM lamj, lam
+    ), u0 AS (
+        SELECT pos AS j, CAST(12500000 AS BIGINT) AS v_int
+        FROM (SELECT DISTINCT pos FROM vals)
+    ), {rounds2}
+    , sgn1 AS (
+        SELECT CASE WHEN v_int > 0 THEN 1 ELSE -1 END AS sgn
+        FROM v3 WHERE v_int != 0 ORDER BY j LIMIT 1
+    ), w1 AS (
+        SELECT j, v_int * sgn AS v_int FROM v3, sgn1
+    ), sgn2 AS (
+        SELECT CASE WHEN v_int > 0 THEN 1 ELSE -1 END AS sgn
+        FROM u3 WHERE v_int != 0 ORDER BY j LIMIT 1
+    ), w2 AS (
+        SELECT j, v_int * sgn AS v_int FROM u3, sgn2
+    ), c6 AS MATERIALIZED (
+        SELECT v.vec_id, v.pos,
+               CAST((v.x - m.mu) * 1000000 AS BIGINT) AS c6
+        FROM vals v JOIN mu m USING (pos)
+    )
+    SELECT c.vec_id AS id,
+           round(sum(c.c6 * w1.v_int)::DOUBLE / 100000000000000.0, 6)
+               AS px,
+           round(sum(c.c6 * w2.v_int)::DOUBLE / 100000000000000.0, 6)
+               AS py
+    FROM c6 c
+    JOIN w1 ON w1.j = c.pos
+    JOIN w2 ON w2.j = c.pos
+    GROUP BY c.vec_id
+    """
+    )
+
+
+@register("pca_top2_projection", oracle=_pca2_oracle())
+def pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D layout of the embedding corpus on its top two principal
+    components (operators.pca.top2_projection): the second component
+    comes from integer rank-1 deflation C − λ·v·vᵀ (λ = exact BIGINT
+    quadratic form), projections are row-local exact-integer dot
+    products, and both axes are sign-canonicalized — a deterministic,
+    distributed, engine-replayable stand-in for the reference's
+    stochastic driver-side UMAP reduction (assets/old_history.py:
+    154-176). Corpus cost: one covariance pass + one projection
+    pass."""
+    from ..operators.pca import top2_projection
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return top2_projection(
+        emb, id_col="vec_id", vec_col="embedding", dims=64
+    )

@@ -36,3 +36,53 @@ def test_pca_dims_probe_default(spark):
     df = spark.createDataFrame(rows, "id long, embedding array<double>")
     out = pca_top_component(df, vec_col="embedding")
     assert out.count() == 3
+
+
+def test_top2_projection_recovers_plane(spark):
+    """3-D points spread in the xy-ish plane spanned by two known
+    orthogonal directions with tiny z noise: the 2-D projection must
+    preserve pairwise distances of the planar coordinates (rotation/
+    reflection-invariant check), and the z noise must not leak."""
+    import math
+
+    from enclaveid_data_pipeline_spark.operators.pca import (
+        top2_projection,
+    )
+
+    u = (0.6, 0.8, 0.0)
+    w = (-0.8, 0.6, 0.0)
+    rows = []
+    coords = {}
+    for k in range(30):
+        a = (k - 15) / 3.0
+        b = ((k * 7) % 11 - 5) / 4.0
+        z = ((k * 3) % 5 - 2) / 100.0
+        rows.append(
+            (
+                k,
+                [
+                    u[0] * a + w[0] * b,
+                    u[1] * a + w[1] * b,
+                    z,
+                ],
+            )
+        )
+        coords[k] = (a, b)
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = {
+        r["id"]: (r["px"], r["py"])
+        for r in top2_projection(
+            df, id_col="id", vec_col="embedding", dims=3
+        ).collect()
+    }
+    assert len(got) == 30
+
+    def d2(p, q):
+        return math.hypot(p[0] - q[0], p[1] - q[1])
+
+    # distances in the recovered layout match planar distances
+    # (centering shifts coords but preserves differences)
+    for a, b in [(0, 29), (5, 20), (3, 17)]:
+        want = d2(coords[a], coords[b])
+        have = d2(got[a], got[b])
+        assert abs(want - have) < 0.05, (a, b, want, have)
