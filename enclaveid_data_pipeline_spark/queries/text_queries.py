@@ -1070,3 +1070,56 @@ def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_DUCK_BPE_W2_CTE
+    + """
+    , vocab AS (
+        SELECT word, len(string_split(sym, ' ')) AS n_sym FROM w2
+    ), tokd AS (
+        SELECT d.lang, t.word
+        FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents) d,
+             unnest(d.ws) AS t(word)
+        WHERE length(t.word) > 0
+    )
+    SELECT tokd.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.n_sym) AS BIGINT) AS n_symbols,
+           round(sum(v.n_sym)::DOUBLE / count(*), 6) AS fertility
+    FROM tokd JOIN vocab v USING (word)
+    GROUP BY tokd.lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (symbols emitted per word) per language
+    after the 2-merge BPE — THE standard tokenizer-quality metric:
+    a vocabulary trained on one language's statistics fragments the
+    others, and this query measures that skew on the actual corpus.
+    Same broadcast-dictionary shape as bpe_encode_corpus: the merge
+    regex touches only |vocab| rows, the corpus pass is a probe +
+    one (lang) aggregate."""
+    from ..operators.bpe import encode_corpus, train_bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    _w, merges = train_bpe(docs, n_merges=2)
+    enc = encode_corpus(docs, merges, id_col="doc_id", text_col="text")
+    lang = docs.select(F.col("doc_id").alias("id"), "lang")
+    return (
+        enc.join(lang, on="id")
+        .select("lang", F.size(F.split("sym", " ")).alias("n_sym"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+        )
+        .select(
+            "lang",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_symbols",
+            F.round(
+                F.col("n_symbols").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
