@@ -392,3 +392,100 @@ def lsh_tables_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_true"), 6
         ).alias("recall"),
     )
+
+
+_CORE_IVF_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1
+    ), sims AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), ranked_assign AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM sims
+    ), cells AS (
+        SELECT vec_id, embedding, cent_id FROM ranked_assign WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cent_id
+        FROM ranked_assign WHERE rn <= 2
+    ), pairs AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(1 - {_duck_cos('p.qe', 'c.embedding')}, 6) AS d
+        FROM probes p JOIN cells c
+          ON c.cent_id = p.cent_id AND c.vec_id != p.query_id
+    ), ivf5 AS (
+        SELECT query_id AS id, d AS ivf_core_dist FROM (
+            SELECT query_id, d,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY d, neighbor_id
+                   ) AS rk
+            FROM (SELECT DISTINCT query_id, neighbor_id, d FROM pairs) u
+        ) r WHERE rk = 5
+    ), ap AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(1 - {_duck_cos('a.embedding', 'b.embedding')}, 6) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), sym AS (
+        SELECT i AS id, j AS nbr, d FROM ap
+        UNION ALL SELECT j, i, d FROM ap
+    ), exact5 AS (
+        SELECT id, d AS core_dist FROM (
+            SELECT id, d, nbr,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY d, nbr
+                   ) AS rk
+            FROM sym
+        ) r WHERE rk = 5
+    )
+    SELECT e.id, e.core_dist,
+           i.ivf_core_dist,
+           i.ivf_core_dist IS NULL OR i.ivf_core_dist >= e.core_dist
+               AS never_underestimates
+    FROM exact5 e LEFT JOIN ivf5 i USING (id)
+"""
+
+
+@register("core_distance_ivf_agreement", oracle=_CORE_IVF_ORACLE)
+def core_distance_ivf_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF swap for the HDBSCAN core-distance estimate, measured
+    per vector: exact 5-NN distance beside the nprobe-2 IVF value
+    (every vector probes its 2 nearest cells only). The structural
+    invariant rides along: searching a subset can only push the 5th
+    neighbor FARTHER, so IVF core distance never underestimates —
+    density is under-, never over-stated, the safe direction for
+    noise detection. Probed pairs are deduped across the 2 cells
+    before ranking (a neighbor seen via both probes must count
+    once)."""
+    from ..operators.knn import ivf_topk
+    from ..operators.dbscan import core_distance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 40 == 1)
+    exact = core_distance(
+        emb, id_col="vec_id", vec_col="embedding", k=5
+    ).withColumnRenamed("core_dist", "core_dist")
+    hits = ivf_topk(
+        emb, emb, centroids, id_col="vec_id", vec_col="embedding",
+        k=5, nprobe=2,
+    )
+    ivf5 = (
+        hits.filter(F.col("rank") == 5)
+        .select(
+            F.col("query_id").alias("id"),
+            F.round(F.lit(1.0) - F.col("sim"), 6).alias("ivf_core_dist"),
+        )
+    )
+    return exact.join(ivf5, on="id", how="left").select(
+        "id",
+        "core_dist",
+        "ivf_core_dist",
+        (
+            F.col("ivf_core_dist").isNull()
+            | (F.col("ivf_core_dist") >= F.col("core_dist"))
+        ).alias("never_underestimates"),
+    )
