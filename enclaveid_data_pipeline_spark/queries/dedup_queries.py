@@ -2495,3 +2495,127 @@ def snm_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+    WITH lbuckets AS (
+        SELECT vec_id, embedding,
+               {_duck_bucket('embedding')} AS bucket
+        FROM embeddings
+    ), lq AS (
+        SELECT vec_id AS query_id, embedding AS qe, bucket
+        FROM lbuckets WHERE vec_id % 50 = 0
+    ), lpairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM lq q JOIN lbuckets c
+          ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    ), lranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rnk
+        FROM lpairs
+    ), lhits AS (
+        SELECT query_id, neighbor_id, rnk FROM lranked WHERE rnk <= 5
+    ), cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 40 = 1
+    ), csims AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               round({_duck_cos('e.embedding', 'c.ce')}, 6) AS csim
+        FROM embeddings e, cent c
+    ), cassign AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cent_id
+               ) AS rn
+        FROM csims
+    ), ccells AS (
+        SELECT vec_id, embedding, cent_id FROM cassign WHERE rn = 1
+    ), iprobes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cent_id
+        FROM cassign WHERE rn <= 2 AND vec_id % 50 = 0
+    ), ipairs AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('p.qe', 'c.embedding')}, 6) AS sim
+        FROM iprobes p JOIN ccells c
+          ON c.cent_id = p.cent_id AND c.vec_id != p.query_id
+    ), iranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rnk
+        FROM ipairs
+    ), ihits AS (
+        SELECT query_id, neighbor_id, rnk FROM iranked WHERE rnk <= 5
+    ), fused AS (
+        SELECT coalesce(l.query_id, i.query_id) AS query_id,
+               coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+               round(coalesce(1.0 / ({_RRF_K} + l.rnk), 0)
+                     + coalesce(1.0 / ({_RRF_K} + i.rnk), 0), 6)
+                   AS rrf_score
+        FROM lhits l
+        FULL OUTER JOIN ihits i
+          ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT query_id, neighbor_id, rrf_score,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id
+               ) AS fused_rank
+        FROM fused
+    ) z WHERE fused_rank <= 5
+"""
+
+
+@register("rrf_fused_top5", oracle=_RRF_ORACLE)
+def rrf_fused_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two approximate retrievers
+    (LSH sign-buckets and IVF nprobe-2) — the standard hybrid-search
+    combiner: score = Σ 1/(60+rank) over the lists that returned the
+    candidate, which needs no score calibration between retrievers
+    (ranks are comparable where cosines from different candidate
+    pools are not). Exact rationals rounded at 6; ties on neighbor
+    id. Each retriever runs exactly as its standalone query; fusion
+    is one full-outer join + one per-query top-5 window."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 40 == 1)
+    l = lsh_bucketed_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5,
+        planes=4, dims=64,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("l_rank"))
+    i = ivf_topk(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding",
+        k=5, nprobe=2,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("i_rank"))
+    fused = l.join(
+        i, on=["query_id", "neighbor_id"], how="full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("l_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("i_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
