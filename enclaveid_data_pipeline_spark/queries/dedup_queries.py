@@ -2619,3 +2619,206 @@ def rrf_fused_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+_HYBRID_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfx AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), nn AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), wt AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(round(tf.tf * ln(nn.n_docs::DOUBLE / dfx.df), 6)
+                    AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN nn
+    ), nrm AS (
+        SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id
+    ), tq AS (
+        SELECT * FROM wt WHERE doc_id % 50 = 0
+    ), tdot AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+               sum(q.w * d.w) AS dot
+        FROM tq q JOIN wt d
+          ON d.token = q.token AND d.doc_id != q.doc_id
+        GROUP BY 1, 2
+    ), tsim AS (
+        SELECT t.query_id, t.neighbor_id,
+               round(t.dot::DOUBLE
+                     / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6)
+                   AS sim
+        FROM tdot t
+        JOIN nrm a ON a.doc_id = t.query_id
+        JOIN nrm b ON b.doc_id = t.neighbor_id
+    ), thits AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS rnk
+            FROM tsim
+        ) r WHERE rnk <= 5
+    ), vq AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 50 = 0
+    ), vpairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM vq q JOIN embeddings c ON c.vec_id != q.query_id
+    ), vhits AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS rnk
+            FROM vpairs
+        ) r WHERE rnk <= 5
+    ), fused AS (
+        SELECT coalesce(t.query_id, v.query_id) AS query_id,
+               coalesce(t.neighbor_id, v.neighbor_id) AS neighbor_id,
+               round(coalesce(1.0 / ({_RRF_K} + t.rnk), 0)
+                     + coalesce(1.0 / ({_RRF_K} + v.rnk), 0), 6)
+                   AS rrf_score,
+               t.rnk IS NOT NULL AS in_text,
+               v.rnk IS NOT NULL AS in_vector
+        FROM thits t
+        FULL OUTER JOIN vhits v
+          ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_score, in_text, in_vector,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id
+               ) AS fused_rank
+        FROM fused
+    ) z WHERE fused_rank <= 5
+"""
+
+
+@register("hybrid_search_top5", oracle=_HYBRID_ORACLE)
+def hybrid_search_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the production search shape: a LEXICAL
+    retriever (TF-IDF cosine over the shared-token inverted join —
+    exact-decimal dot products, so no float-sum ordering) and a
+    DENSE retriever (brute-force embedding cosine; doc_id ≡ vec_id
+    in this corpus) each return top-5, fused by reciprocal rank with
+    per-source provenance flags. Documents only one retriever finds
+    survive with half-scores — exactly the complementarity hybrid
+    search exists to exploit. Lexical side cost: inverted-index join
+    on tokens (df table broadcast); dense side: the standalone ANN
+    path (swap in LSH/IVF at corpus scale)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfx = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    wt = tf.join(F.broadcast(dfx), on="token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    tq = wt.filter(F.col("doc_id") % 50 == 0)
+    tdot = (
+        tq.alias("q")
+        .join(
+            wt.alias("d"),
+            (F.col("d.token") == F.col("q.token"))
+            & (F.col("d.doc_id") != F.col("q.doc_id")),
+        )
+        .groupBy(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("d.doc_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("q.w") * F.col("d.w")).alias("dot"))
+    )
+    tsim = (
+        tdot.join(
+            nrm.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("n2").alias("n2q"),
+            ),
+            on="query_id",
+        )
+        .join(
+            nrm.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("n2").alias("n2d"),
+            ),
+            on="neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2q").cast("double"))
+                    * F.sqrt(F.col("n2d").cast("double"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wt_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    thits = (
+        tsim.withColumn("rnk", F.row_number().over(wt_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("t_rank"))
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    vhits = brute_force_topk(
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("v_rank"))
+    fused = thits.join(
+        vhits, on=["query_id", "neighbor_id"], how="full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("t_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("v_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("t_rank").isNotNull().alias("in_text"),
+        F.col("v_rank").isNotNull().alias("in_vector"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            "in_text",
+            "in_vector",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
