@@ -86,3 +86,27 @@ def test_top2_projection_recovers_plane(spark):
         want = d2(coords[a], coords[b])
         have = d2(got[a], got[b])
         assert abs(want - have) < 0.05, (a, b, want, have)
+
+
+def test_pca_agrees_with_numpy_eig(spark):
+    """Random-ish 6-D data with a planted dominant direction: the
+    fixed-point 3-round loading vector must align (|cos| > 0.995)
+    with numpy's exact top eigenvector of the same covariance."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(6)
+    u /= np.linalg.norm(u)
+    data = rng.randn(80, 6) * 0.3 + np.outer(rng.randn(80) * 3.0, u)
+    rows = [(i, [float(x) for x in data[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = {
+        r["pos"]: r["loading"]
+        for r in pca_top_component(df, vec_col="embedding", dims=6).collect()
+    }
+    v = np.array([got[i] for i in range(6)])
+    c = np.cov(np.round(data, 6).T, bias=True)
+    w, vecs = np.linalg.eigh(c)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.995, cos
