@@ -1123,3 +1123,173 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+_SCORED_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('qcls|' || tok), 1, 7))::BIGINT
+                   % {_QCLS_FEATURES} AS feature_id
+        FROM toks
+    ), w AS (
+        SELECT f AS feature_id,
+               ('0x' || substr(md5('w|' || f), 1, 7))::BIGINT
+                   / {float(16**7)} * 2.0 - 1.0 AS weight
+        FROM generate_series(0, {_QCLS_FEATURES - 1}) z(f)
+    ), means AS (
+        SELECT t.doc_id, avg(w.weight) AS mw
+        FROM feats t JOIN w USING (feature_id)
+        GROUP BY t.doc_id
+    ), scored AS (
+        SELECT d.doc_id,
+               CAST(round(1.0 / (1.0 + exp(-m.mw)), 4) AS DECIMAL(8,4))
+                   AS score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents d LEFT JOIN means m ON m.doc_id = d.doc_id
+    ),
+"""
+
+_AUC_ORACLE = (
+    _SCORED_CTE
+    + """
+    pv AS (
+        SELECT score, sum(y) AS n1v, count(*) - sum(y) AS n0v,
+               count(*) AS t
+        FROM scored GROUP BY score
+    ), cum AS (
+        SELECT score, n1v, n0v, t,
+               coalesce(sum(t) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS c_less
+        FROM pv
+    ), agg AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(n0v) AS BIGINT) AS n0,
+               CAST(sum(n1v * (2 * c_less + t + 1)) AS BIGINT) AS r1x2
+        FROM cum
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round((r1x2 - n1 * (n1 + 1))::DOUBLE / (2.0 * n1 * n0), 6)
+               AS auc
+    FROM agg
+    """
+)
+
+
+@register("auc_quality_vs_lang", oracle=_AUC_ORACLE)
+def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the hashed-linear quality score against the
+    lang=='en' label — AUC computed as the rank-sum identity
+    U/(n₁n₀) with integer midranks (the same exact machinery as the
+    Mann-Whitney query; AUC IS a scaled U statistic), so heavy
+    score ties from 4-digit rounding are handled exactly rather
+    than by tie-breaking luck. One distinct-score aggregate + one
+    window cumsum — no per-row global sort."""
+    from ..operators.classifier import demo_weight_table, hashed_linear_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = demo_weight_table(spark, _QCLS_FEATURES)
+    scored = hashed_linear_scores(
+        docs, w, id_col="doc_id", text_col="text",
+        n_features=_QCLS_FEATURES,
+    ).join(docs.select("doc_id", "lang"), on="doc_id")
+    s = scored.select(
+        F.round("score", 4).cast("decimal(8,4)").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("score").agg(
+        F.sum("y").alias("n1v"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n0v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    wnd = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = pv.select(
+        "n1v", "n0v", "t",
+        F.coalesce(F.sum("t").over(wnd), F.lit(0)).alias("c_less"),
+    )
+    agg = cum.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n0v").cast("long").alias("n0"),
+        F.sum(F.col("n1v") * (2 * F.col("c_less") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+                "double"
+            )
+            / (2.0 * F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_CALIB_ORACLE = (
+    _SCORED_CTE
+    + """
+    binned AS (
+        SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+               score, y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(score)::DOUBLE / count(*), 6) AS mean_pred,
+           round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+           round(abs(sum(score)::DOUBLE / count(*)
+                     - sum(y)::DOUBLE / count(*)), 6) AS gap
+    FROM binned GROUP BY bin
+    """
+)
+
+
+@register("calibration_curve_10bin", oracle=_CALIB_ORACLE)
+def calibration_curve_10bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality score against lang=='en':
+    10 fixed score deciles, each with mean predicted probability,
+    observed positive rate, and the calibration gap — the table
+    behind expected-calibration-error, computed with exact DECIMAL
+    score sums so both engines bin and average identically."""
+    from ..operators.classifier import demo_weight_table, hashed_linear_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = demo_weight_table(spark, _QCLS_FEATURES)
+    scored = hashed_linear_scores(
+        docs, w, id_col="doc_id", text_col="text",
+        n_features=_QCLS_FEATURES,
+    ).join(docs.select("doc_id", "lang"), on="doc_id")
+    s = scored.select(
+        F.round("score", 4).cast("decimal(8,4)").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = s.select(
+        F.least(
+            F.floor(F.col("score") * 10).cast("long"), F.lit(9)
+        ).alias("bin"),
+        "score",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("score").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_pred"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pos_rate"),
+        F.round(
+            F.abs(
+                F.sum("score").cast("double") / F.count(F.lit(1))
+                - F.sum("y").cast("double") / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("gap"),
+    )
