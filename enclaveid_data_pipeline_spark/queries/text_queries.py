@@ -1293,3 +1293,91 @@ def calibration_curve_10bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gap"),
     )
+
+
+_AUC_SLICE_ORACLE = (
+    _SCORED_CTE
+    + """
+    sl AS (
+        SELECT s.score, s.y, d.source
+        FROM scored s JOIN documents d USING (doc_id)
+    ), pv AS (
+        SELECT source, score, sum(y) AS n1v,
+               count(*) - sum(y) AS n0v, count(*) AS t
+        FROM sl GROUP BY source, score
+    ), cum AS (
+        SELECT source, n1v, n0v, t,
+               coalesce(sum(t) OVER (PARTITION BY source ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS c_less
+        FROM pv
+    ), agg AS (
+        SELECT source,
+               CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(n0v) AS BIGINT) AS n0,
+               CAST(sum(n1v * (2 * c_less + t + 1)) AS BIGINT) AS r1x2
+        FROM cum GROUP BY source
+    )
+    SELECT source, n1 AS n_pos, n0 AS n_neg,
+           round((r1x2 - n1 * (n1 + 1))::DOUBLE / (2.0 * n1 * n0), 6)
+               AS auc
+    FROM agg WHERE n1 > 0 AND n0 > 0
+    """
+)
+
+
+@register("auc_by_source", oracle=_AUC_SLICE_ORACLE)
+def auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced model evaluation: the quality-score AUC recomputed per
+    source — the robustness table that catches a classifier whose
+    global AUC hides a slice it fails on (the per-slice discipline
+    behind fairness and domain-shift audits). Same exact-midrank
+    machinery as the global AUC with the slice riding every window
+    and aggregate key; degenerate slices (single-class) are excluded
+    on both sides."""
+    from ..operators.classifier import demo_weight_table, hashed_linear_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = demo_weight_table(spark, _QCLS_FEATURES)
+    scored = hashed_linear_scores(
+        docs, w, id_col="doc_id", text_col="text",
+        n_features=_QCLS_FEATURES,
+    ).join(docs.select("doc_id", "lang", "source"), on="doc_id")
+    s = scored.select(
+        "source",
+        F.round("score", 4).cast("decimal(8,4)").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("source", "score").agg(
+        F.sum("y").alias("n1v"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n0v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    wnd = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.select(
+        "source", "n1v", "n0v", "t",
+        F.coalesce(F.sum("t").over(wnd), F.lit(0)).alias("c_less"),
+    )
+    agg = cum.groupBy("source").agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n0v").cast("long").alias("n0"),
+        F.sum(F.col("n1v") * (2 * F.col("c_less") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    return agg.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "source",
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+                "double"
+            )
+            / (2.0 * F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
