@@ -2822,3 +2822,175 @@ def hybrid_search_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+_LEAKFREE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    ), edges AS MATERIALIZED (
+        SELECT c.left_id AS src, c.right_id AS dst
+        FROM cand c
+        JOIN dsh la ON la.doc_id = c.left_id
+        JOIN dsh lb ON lb.doc_id = c.right_id
+        WHERE round(len(list_intersect(la.s, lb.s))::DOUBLE
+                    / (len(la.s) + len(lb.s)
+                       - len(list_intersect(la.s, lb.s))), 6) >= 0.8
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), comp AS (
+        WITH RECURSIVE reach(node, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT node, min(root) AS component FROM reach GROUP BY node
+    ), keyed AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), assigned AS MATERIALIZED (
+        SELECT doc_id, group_key,
+               CASE WHEN ('0x' || substr(md5(group_key::VARCHAR), 1, 7))
+                         ::BIGINT % 256 < 240 THEN 'train'
+                    WHEN ('0x' || substr(md5(group_key::VARCHAR), 1, 7))
+                         ::BIGINT % 256 < 248 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    ), cross_pairs AS (
+        SELECT count(*) AS n_cross
+        FROM edges e
+        JOIN assigned a ON a.doc_id = e.src
+        JOIN assigned b ON b.doc_id = e.dst
+        WHERE a.split != b.split
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN a.group_key != a.doc_id
+                         OR a.doc_id IN (SELECT src FROM sym)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(min(a.doc_id) AS BIGINT) AS min_doc_id,
+           CAST(cp.n_cross AS BIGINT) AS n_cross_split_dup_pairs
+    FROM assigned a, cross_pairs cp
+    GROUP BY a.split, cp.n_cross
+"""
+
+
+@register("leakage_free_split", oracle=_LEAKFREE_ORACLE)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: verified duplicate
+    CLUSTERS (MinHash→LSH→exact-Jaccard→connected components) are
+    assigned atomically by hashing the component id, so two
+    near-copies can never straddle train and test — the assignment
+    that CLOSES the leak ``cross_split_leakage`` merely measures.
+    The structural guarantee rides along as a column:
+    n_cross_split_dup_pairs is zero BY CONSTRUCTION (same key →
+    same bucket), not by luck, and the oracle recomputes it."""
+    from ..operators.merge import connected_components
+    from ..operators.trainprep import with_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    cand = minhash_lsh_pairs(
+        toks,
+        id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    sh = _materialize(
+        toks.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+        )
+    )
+    la = sh.select(F.col("doc_id").alias("left_id"), F.col("s").alias("__sa"))
+    lb = sh.select(F.col("doc_id").alias("right_id"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter.cast("double") / (
+        F.size("__sa") + F.size("__sb") - inter
+    )
+    edges = _materialize(
+        cand.join(la, on="left_id")
+        .join(lb, on="right_id")
+        .filter(F.round(jac, 6) >= 0.8)
+        .select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+    )
+    comp = connected_components(edges)
+    keyed = docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("group_key"),
+    )
+    assigned = _materialize(
+        with_split(keyed, key=F.col("group_key"))
+    )
+    dup_docs = edges.select(F.col("src").alias("doc_id")).unionByName(
+        edges.select(F.col("dst").alias("doc_id"))
+    ).distinct()
+    cross = (
+        edges.join(
+            assigned.select(
+                F.col("doc_id").alias("src"),
+                F.col("split").alias("s_split"),
+            ),
+            on="src",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("dst"),
+                F.col("split").alias("d_split"),
+            ),
+            on="dst",
+        )
+        .agg(
+            F.sum(
+                (F.col("s_split") != F.col("d_split")).cast("long")
+            ).alias("n_cross")
+        )
+        .select(F.coalesce("n_cross", F.lit(0)).alias("n_cross"))
+    )
+    return (
+        assigned.join(
+            dup_docs.withColumn("__dup", F.lit(1)), on="doc_id", how="left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("long").alias(
+                "n_dup_docs"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_dup_docs",
+            F.col("min_doc_id").cast("long").alias("min_doc_id"),
+            F.col("n_cross").cast("long").alias(
+                "n_cross_split_dup_pairs"
+            ),
+        )
+    )
