@@ -729,3 +729,72 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(
         docs, id_col="doc_id", text_col="text", n=3, min_docs=2
     )
+
+
+_BUDGET_TOKENS = 20_000
+
+_BUDGET_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(round(
+                   len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')), 6)
+                   AS DECIMAL(8,6)) AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens, quality,
+               sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality::DOUBLE AS quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+@register("token_budget_selection", oracle=_BUDGET_ORACLE)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained curation: greedily admit the
+    highest-quality documents (distinct-token ratio, the scale-free
+    signal; id tie-break) until the token budget is spent — the
+    deterministic greedy that a fixed training-token budget actually
+    runs, as one global sort + one prefix sum + one filter. At corpus
+    scale the global quality sort becomes the
+    thresholds-then-CASE banding already used by curriculum_phases
+    (find the admitting quality cutoff from a quantile sketch, then
+    one filter pass — no total order needed); the exact form here is
+    the oracle-checkable semantics."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(tokenize(F.col("text")))).cast(
+                "double"
+            )
+            / F.size(tokenize(F.col("text"))),
+            6,
+        )
+        .cast("decimal(8,6)")
+        .alias("quality"),
+    )
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("quality").cast("double").alias("quality"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
