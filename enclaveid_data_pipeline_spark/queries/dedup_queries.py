@@ -2994,3 +2994,208 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CONSENSUS_ORACLE = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), csh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), chsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM csh WHERE len(s) > 0
+    ), csigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM chsig
+    ), cbands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM csigs
+    ), ccand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM cbands a JOIN cbands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), cdsh AS MATERIALIZED (
+        SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    ), m_minhash AS MATERIALIZED (
+        SELECT c.left_id, c.right_id
+        FROM ccand c
+        JOIN cdsh la ON la.doc_id = c.left_id
+        JOIN cdsh lb ON lb.doc_id = c.right_id
+        WHERE round(len(list_intersect(la.s, lb.s))::DOUBLE
+                    / (len(la.s) + len(lb.s)
+                       - len(list_intersect(la.s, lb.s))), 6) >= 0.8
+    ), ssigs AS (
+        SELECT doc_id, {_duck_simhash_bits()} AS sig FROM toks
+    ), m_simhash AS MATERIALIZED (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM ssigs a JOIN ssigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    ), skeyed AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 20) AS snm_key
+        FROM documents
+    ), sordered AS (
+        SELECT k.doc_id, k.snm_key,
+               row_number() OVER (ORDER BY k.snm_key, k.doc_id) AS rn
+        FROM skeyed k
+    ), spairs AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM sordered a JOIN sordered b
+          ON b.rn > a.rn AND b.rn <= a.rn + 3
+    ), m_snm AS MATERIALIZED (
+        SELECT least(p.left_id, p.right_id) AS left_id,
+               greatest(p.left_id, p.right_id) AS right_id
+        FROM spairs p
+        JOIN toks l ON l.doc_id = p.left_id
+        JOIN toks r ON r.doc_id = p.right_id
+        WHERE round(len(list_intersect(l.t, r.t))::DOUBLE
+                    / len(list_distinct(l.t || r.t)), 6) >= 0.5
+    ), unioned AS (
+        SELECT left_id, right_id FROM m_minhash
+        UNION
+        SELECT left_id, right_id FROM m_simhash
+        UNION
+        SELECT left_id, right_id FROM m_snm
+    )
+    SELECT u.left_id, u.right_id,
+           mm.left_id IS NOT NULL AS in_minhash,
+           ms.left_id IS NOT NULL AS in_simhash,
+           sn.left_id IS NOT NULL AS in_snm,
+           CAST((CASE WHEN mm.left_id IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN ms.left_id IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN sn.left_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_methods
+    FROM unioned u
+    LEFT JOIN m_minhash mm
+      ON mm.left_id = u.left_id AND mm.right_id = u.right_id
+    LEFT JOIN m_simhash ms
+      ON ms.left_id = u.left_id AND ms.right_id = u.right_id
+    LEFT JOIN m_snm sn
+      ON sn.left_id = u.left_id AND sn.right_id = u.right_id
+"""
+
+
+@register("dedup_method_consensus", oracle=_CONSENSUS_ORACLE)
+def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup audit: every pair flagged by ANY of three
+    blocking families — MinHash-verified Jaccard (hash-bucket
+    blocking), SimHash Hamming≤2 (bit-signature blocking), and
+    sorted-neighborhood window Jaccard (sort-key blocking) — with
+    per-method provenance and the agreement count. Methods with
+    different blind spots rarely agree by accident, so
+    ``n_methods ≥ 2`` is the high-precision consensus set and the
+    single-method rows are exactly where each family's recall/
+    precision knobs need tuning. Each method runs in its standalone
+    query's shape; the consensus is three semi-indexed left joins
+    over the unioned pair set."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+
+    # minhash-verified
+    cand = minhash_lsh_pairs(
+        toks, id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    sh = _materialize(
+        toks.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+        )
+    )
+    la = sh.select(F.col("doc_id").alias("left_id"), F.col("s").alias("__sa"))
+    lb = sh.select(F.col("doc_id").alias("right_id"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac3 = inter.cast("double") / (
+        F.size("__sa") + F.size("__sb") - inter
+    )
+    m_minhash = (
+        cand.join(la, on="left_id").join(lb, on="right_id")
+        .filter(F.round(jac3, 6) >= 0.8)
+        .select("left_id", "right_id")
+    )
+
+    # simhash radius 2
+    signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
+    m_simhash = simhash_hamming_pairs(
+        signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
+    ).select("left_id", "right_id")
+
+    # sorted-neighborhood window (w=4), token-Jaccard >= 0.5
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
+        ).alias("snm_key"),
+    )
+    wko = Window.orderBy("snm_key", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(wko).alias(f"__r{k}")
+            for k in range(1, 4)
+        ],
+    )
+    spairs = (
+        leads.select(
+            F.col("doc_id").alias("a"),
+            F.explode(
+                F.array(*[F.col(f"__r{k}") for k in range(1, 4)])
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select(
+            F.least("a", "b").alias("left_id"),
+            F.greatest("a", "b").alias("right_id"),
+        )
+    )
+    tl = toks.select(F.col("doc_id").alias("left_id"), F.col("t").alias("__tl"))
+    tr = toks.select(F.col("doc_id").alias("right_id"), F.col("t").alias("__tr"))
+    jt = F.size(F.array_intersect("__tl", "__tr")).cast("double") / F.size(
+        F.array_distinct(F.concat("__tl", "__tr"))
+    )
+    m_snm = (
+        spairs.join(tl, on="left_id").join(tr, on="right_id")
+        .filter(F.round(jt, 6) >= 0.5)
+        .select("left_id", "right_id")
+    )
+
+    mm = _materialize(m_minhash)
+    ms = _materialize(m_simhash)
+    sn = _materialize(m_snm)
+    unioned = (
+        mm.unionByName(ms).unionByName(sn).distinct()
+    )
+    return (
+        unioned.join(
+            mm.withColumn("__mm", F.lit(1)),
+            on=["left_id", "right_id"], how="left",
+        )
+        .join(
+            ms.withColumn("__ms", F.lit(1)),
+            on=["left_id", "right_id"], how="left",
+        )
+        .join(
+            sn.withColumn("__sn", F.lit(1)),
+            on=["left_id", "right_id"], how="left",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.col("__mm").isNotNull().alias("in_minhash"),
+            F.col("__ms").isNotNull().alias("in_simhash"),
+            F.col("__sn").isNotNull().alias("in_snm"),
+            (
+                F.coalesce("__mm", F.lit(0))
+                + F.coalesce("__ms", F.lit(0))
+                + F.coalesce("__sn", F.lit(0))
+            ).cast("long").alias("n_methods"),
+        )
+    )
