@@ -92,6 +92,17 @@ SCALE_TWINS = (
     # sf0.1, so the decade ratio (~1.4×) is the honest scale signal
     # while the headline total stays comparable round-over-round
     "pagerank_top20",
+    # round-3 operator families, decade-measured (not headline —
+    # keeps the headline total comparable round-over-round)
+    "countmin_top20_tokens",
+    "hll_distinct_custkeys",
+    "ewma_user_values",
+    "cusum_daily_drift",
+    "ks_drift_by_source",
+    "theilsen_trend_by_type",
+    "token_budget_selection",
+    "random_walks_len3",
+    "pca_top_component",
 )
 
 #: Headline queries whose workload couples to corpus size (their

@@ -85,6 +85,13 @@ def scatter_matrix_int(
     # make Catalyst inline the centering expression d² times per row
     # (the word_shingles lesson); index-lambdas reference the
     # resolved array column once per nesting level instead
+    # centered values quantized to ×10⁶ BIGINT before pair
+    # generation: integer multiply-accumulate is several times
+    # faster than decimal in codegen (measured 87s → see commit) and
+    # stays exact — |c6| ≤ ~2·10⁶, products ≤ 4·10¹², and the (i,j)
+    # cell sum stays under 2⁶³ beyond 10⁶ rows per cell. The exact
+    # integer sum casts to double identically in every engine, so
+    # the final quantization cannot diverge.
     cent = (
         df.select(
             F.transform(
@@ -97,7 +104,9 @@ def scatter_matrix_int(
         .crossJoin(F.broadcast(_means_as_array(df, vec_col)))
         .select(
             F.zip_with(
-                F.col("x"), F.col("mu_arr"), lambda a, b: a - b
+                F.col("x"),
+                F.col("mu_arr"),
+                lambda a, b: ((a - b) * S_SCALE).cast("long"),
             ).alias("c")
         )
     )
@@ -118,8 +127,7 @@ def scatter_matrix_int(
         .agg(
             F.round(
                 F.sum("e.p").cast("double")
-                / F.count(F.lit(1))
-                * S_SCALE
+                / (F.count(F.lit(1)).cast("double") * S_SCALE)
             )
             .cast("long")
             .alias("s_int")

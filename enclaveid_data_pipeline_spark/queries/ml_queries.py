@@ -422,11 +422,13 @@ _PCA_ORACLE = (
         SELECT pos, CAST(round(avg(x::DOUBLE), 6) AS DECIMAL(18,6)) AS mu
         FROM vals GROUP BY pos
     ), cent AS MATERIALIZED (
-        SELECT v.vec_id, v.pos, v.x - m.mu AS c
+        SELECT v.vec_id, v.pos,
+               CAST((v.x - m.mu) * 1000000 AS BIGINT) AS c6
         FROM vals v JOIN mu m USING (pos)
     ), cov AS MATERIALIZED (
         SELECT a.pos AS i, b.pos AS j,
-               CAST(round(sum(a.c * b.c)::DOUBLE / count(*) * 1000000)
+               CAST(round(sum(a.c6 * b.c6)::DOUBLE
+                          / (count(*)::DOUBLE * 1000000))
                     AS BIGINT) AS s_int
         FROM cent a JOIN cent b ON a.vec_id = b.vec_id
         GROUP BY 1, 2
