@@ -3199,3 +3199,203 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_methods"),
         )
     )
+
+
+_BLOCKING_ORACLE = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), ntot AS (
+        SELECT count(*) AS n FROM documents
+    ), dsh AS MATERIALIZED (
+        SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    ), truth AS MATERIALIZED (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s))), 6) >= 0.8
+    ), bsh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), bhsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM bsh WHERE len(s) > 0
+    ), bsigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM bhsig
+    ), bbands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM bsigs
+    ), c_lsh AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bbands a JOIN bbands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), ssigs AS (
+        SELECT doc_id, {_duck_simhash_bits()} AS sig FROM toks
+    ), c_sim AS MATERIALIZED (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM ssigs a JOIN ssigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    ), skeyed AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 20) AS snm_key
+        FROM documents
+    ), sordered AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY snm_key, doc_id) AS rn
+        FROM skeyed
+    ), c_snm AS MATERIALIZED (
+        SELECT least(a.doc_id, b.doc_id) AS left_id,
+               greatest(a.doc_id, b.doc_id) AS right_id
+        FROM sordered a JOIN sordered b
+          ON b.rn > a.rn AND b.rn <= a.rn + 3
+    ), m AS (
+        SELECT 'lsh_bands' AS method,
+               (SELECT count(*) FROM c_lsh) AS n_candidates,
+               (SELECT count(*) FROM c_lsh c
+                JOIN truth t ON t.left_id = c.left_id
+                           AND t.right_id = c.right_id) AS n_hit
+        UNION ALL
+        SELECT 'simhash_r2',
+               (SELECT count(*) FROM c_sim),
+               (SELECT count(*) FROM c_sim c
+                JOIN truth t ON t.left_id = c.left_id
+                           AND t.right_id = c.right_id)
+        UNION ALL
+        SELECT 'snm_w4',
+               (SELECT count(*) FROM c_snm),
+               (SELECT count(*) FROM c_snm c
+                JOIN truth t ON t.left_id = c.left_id
+                           AND t.right_id = c.right_id)
+    )
+    SELECT m.method,
+           CAST(m.n_candidates AS BIGINT) AS n_candidates,
+           CAST(m.n_hit AS BIGINT) AS n_hit,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           round(m.n_hit::DOUBLE
+                 / nullif((SELECT count(*) FROM truth), 0), 6)
+               AS pairs_completeness,
+           round(m.n_hit::DOUBLE / nullif(m.n_candidates, 0), 6)
+               AS pairs_quality,
+           round(1.0 - m.n_candidates::DOUBLE
+                 / (ntot.n * (ntot.n - 1) / 2), 6) AS reduction_ratio
+    FROM m, ntot
+"""
+
+
+@register("blocking_quality_metrics", oracle=_BLOCKING_ORACLE)
+def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical blocking-evaluation table (record-linkage
+    literature: pairs completeness / pairs quality / reduction
+    ratio) for all three candidate-generation families against the
+    exact 3-gram-Jaccard≥0.8 truth: LSH band collisions, SimHash
+    Hamming≤2, and the SNM w=4 sort window. Completeness is the
+    recall a two-stage dedup can never exceed; quality is how much
+    of the verify budget is wasted; reduction ratio is what blocking
+    buys over all-pairs — the three numbers that choose a blocking
+    strategy on a new corpus, measured instead of assumed."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    n_tot = docs.count()
+    dsh = _materialize(
+        toks.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("t"), 3)).alias("s"),
+        )
+    )
+    la = dsh.select(F.col("doc_id").alias("left_id"), F.col("s").alias("__sa"))
+    lb = dsh.select(F.col("doc_id").alias("right_id"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter.cast("double") / (
+        F.size("__sa") + F.size("__sb") - inter
+    )
+    truth = _materialize(
+        la.join(lb, F.col("left_id") < F.col("right_id"))
+        .filter(F.round(jac, 6) >= 0.8)
+        .select("left_id", "right_id")
+    )
+
+    c_lsh = minhash_lsh_pairs(
+        toks, id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    ).select("left_id", "right_id")
+    signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
+    c_sim = simhash_hamming_pairs(
+        signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
+    ).select("left_id", "right_id")
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
+        ).alias("snm_key"),
+    )
+    wko = Window.orderBy("snm_key", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(wko).alias(f"__r{k}")
+            for k in range(1, 4)
+        ],
+    )
+    c_snm = (
+        leads.select(
+            F.col("doc_id").alias("a"),
+            F.explode(
+                F.array(*[F.col(f"__r{k}") for k in range(1, 4)])
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select(
+            F.least("a", "b").alias("left_id"),
+            F.greatest("a", "b").alias("right_id"),
+        )
+    )
+
+    def metrics(name: str, cand):
+        cand = _materialize(cand)
+        stats = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        hits = cand.join(
+            truth, on=["left_id", "right_id"], how="leftsemi"
+        ).agg(F.count(F.lit(1)).alias("n_hit"))
+        return (
+            stats.crossJoin(hits)
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_hit").cast("long"),
+            )
+        )
+
+    m = (
+        metrics("lsh_bands", c_lsh)
+        .unionByName(metrics("simhash_r2", c_sim))
+        .unionByName(metrics("snm_w4", c_snm))
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    total_pairs = n_tot * (n_tot - 1) / 2
+    return m.crossJoin(F.broadcast(n_true)).select(
+        "method",
+        "n_candidates",
+        "n_hit",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.when(F.col("n_true") > 0, F.col("n_true")),
+            6,
+        ).alias("pairs_completeness"),
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.when(F.col("n_candidates") > 0, F.col("n_candidates")),
+            6,
+        ).alias("pairs_quality"),
+        F.round(
+            1.0 - F.col("n_candidates").cast("double") / total_pairs, 6
+        ).alias("reduction_ratio"),
+    )
