@@ -348,30 +348,42 @@ def deterministic_random_walks(
     md5 is as uniform as the PRNG for this purpose.
 
     Returns ``(start, walk)`` with ``walk`` the space-joined node
-    path of ``walk_len + 1`` nodes.
+    path — ``walk_len + 1`` nodes when every visited node has
+    out-neighbors. ONE walk per node of the graph (src ∪ dst): a
+    walk that reaches a sink node (out-degree 0) is emitted
+    TRUNCATED at that node rather than dropped — a sink-only start
+    yields the single-node walk. (Pre-fix behavior silently dropped
+    any walk touching a sink; only symmetrized call sites masked it.)
 
     Shape: the neighbor-list table (node → sorted neighbor array) is
     built once (one groupBy) and materialized; each step is one
-    equi-join walks⋈neighbor-lists on the current node plus row-local
-    md5 indexing. Walk state is one row per walk regardless of
-    length; hot nodes are ordinary join skew (AQE case), and the
-    walk corpus for embedding training streams out without ever
-    existing driver-side."""
+    left equi-join walks⋈neighbor-lists on the current node plus
+    row-local md5 indexing (finished walks carry a NULL cursor that
+    matches nothing and costs nothing). Walk state is one row per
+    walk regardless of length; hot nodes are ordinary join skew (AQE
+    case), and the walk corpus for embedding training streams out
+    without ever existing driver-side."""
     nbrs = materialize(
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .groupBy("node")
         .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs")),
         mode=materialize_mode,
     )
-    walks = nbrs.select(
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    walks = all_nodes.select(
         F.col("node").alias("start"),
         F.col("node").alias("cur"),
         F.col("node").cast("string").alias("walk"),
     )
     for step in range(walk_len):
         joined = walks.join(
-            nbrs, walks["cur"] == nbrs["node"], "inner"
+            nbrs, walks["cur"] == nbrs["node"], "left"
         )
+        alive = F.col("nbrs").isNotNull() & (F.size("nbrs") > 0)
         idx = (
             F.conv(
                 F.substring(
@@ -390,11 +402,16 @@ def deterministic_random_walks(
             ).cast("long")
             % F.size("nbrs")
         )
-        nxt = F.element_at(F.col("nbrs"), (idx + 1).cast("int"))
+        nxt = F.when(alive, F.element_at(F.col("nbrs"), (idx + 1).cast("int")))
         walks = joined.select(
             "start",
             nxt.alias("cur"),
-            F.concat(F.col("walk"), F.lit(" "), nxt).alias("walk"),
+            F.when(
+                nxt.isNotNull(),
+                F.concat(F.col("walk"), F.lit(" "), nxt),
+            )
+            .otherwise(F.col("walk"))
+            .alias("walk"),
         )
     return walks.select("start", "walk")
 

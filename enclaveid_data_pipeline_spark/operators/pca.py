@@ -39,11 +39,33 @@ PCA_ROUNDS = 3
 S_SCALE = 1_000_000
 #: eigenvector fixed-point scale
 V_SCALE = 100_000_000
-#: matvec downshift before squaring (keeps norm² inside BIGINT:
-#: |C_int| ≤ max|c|²·S_SCALE ≈ 2.5e5 for unit-ish vectors, so
-#: |mv_raw| ≤ d·2.5e5·V_SCALE ≈ 1.6e15 → mv_s ≤ 1.6e8 and the
-#: 64-term norm² ≤ 1.7e18 < 2⁶³)
+#: matvec downshift before squaring for dims ≤ 64 (keeps norm²
+#: inside BIGINT: |C_int| ≤ max|c|²·S_SCALE ≈ 2.5e5 for unit-ish
+#: vectors, so |mv_raw| ≤ d·2.5e5·V_SCALE ≈ 1.6e15 → mv_s ≤ 1.6e8
+#: and the 64-term norm² ≤ 1.7e18 < 2⁶³). Wider vectors get a
+#: dims-derived shift — see :func:`_mv_shift`.
 MV_SHIFT = 10_000_000
+
+
+def _mv_shift(dims: int) -> int:
+    """Downshift scale for the matvec, derived from the dimension
+    count (ADVICE r3): the norm² term Σ mv_s² must stay inside
+    BIGINT, and mv_s grows linearly with dims, so the safe shift
+    grows ~ dims^1.5. dims ≤ 64 keeps the historical 10⁷ (pinned by
+    the oracle suites); wider vectors (384/768-dim sentence
+    embeddings) step up in powers of 10:
+
+        mv_s ≤ dims·2.5e5·V_SCALE/shift, need dims·mv_s² < 2⁶²
+        → shift ≥ dims^1.5 · 1.2e4   (unit-ish inputs, |c| ≤ ~0.5)
+
+    e.g. dims=768 → 10⁹: mv_s ≤ 1.9e7, norm² ≤ 2.8e17 ≪ 2⁶³.
+    Precision: the downshift feeds only the float normalize; the
+    ×V_SCALE re-quantization still dominates the rounding error."""
+    import math
+
+    if dims <= 64:
+        return MV_SHIFT
+    return 10 ** (7 + math.ceil(1.5 * math.log10(dims / 64.0)))
 
 
 def dim_means(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -88,10 +110,14 @@ def scatter_matrix_int(
     # centered values quantized to ×10⁶ BIGINT before pair
     # generation: integer multiply-accumulate is several times
     # faster than decimal in codegen (measured 87s → see commit) and
-    # stays exact — |c6| ≤ ~2·10⁶, products ≤ 4·10¹², and the (i,j)
-    # cell sum stays under 2⁶³ beyond 10⁶ rows per cell. The exact
-    # integer sum casts to double identically in every engine, so
-    # the final quantization cannot diverge.
+    # PRODUCTS stay exact in BIGINT (|c6| ≤ ~2·10⁶, products
+    # ≤ 4·10¹² — requires |x−μ| ≤ ~2 per dimension, i.e. unit-ish
+    # inputs). The cell SUM accumulates in DECIMAL(38,0) (ADVICE
+    # r3): a BIGINT accumulator silently wraps past ~2.3e6 rows per
+    # cell under Spark's non-ANSI arithmetic, while the decimal sum
+    # is exact to 10³⁸ (≈10²⁵ rows) and only the hot multiply stays
+    # integer. The exact sum casts to double identically in every
+    # engine, so the final quantization cannot diverge.
     cent = (
         df.select(
             F.transform(
@@ -126,7 +152,7 @@ def scatter_matrix_int(
         .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
         .agg(
             F.round(
-                F.sum("e.p").cast("double")
+                F.sum(F.col("e.p").cast("decimal(38,0)")).cast("double")
                 / (F.count(F.lit(1)).cast("double") * S_SCALE)
             )
             .cast("long")
@@ -144,13 +170,15 @@ def _power_iteration_int(
     deflation is sign-invariant).
 
     Per round: one broadcast equi-join matvec with exact BIGINT
-    products/sums, an integer downshift (``div MV_SHIFT``), an exact
-    integer norm², then one double division by its IEEE sqrt and
-    re-quantization to ×V_SCALE integers — doubles only ever touch
-    engine-identical integer state, so every round replays
-    identically anywhere."""
+    products/sums, an integer downshift (``div _mv_shift(dims)`` —
+    dims-derived so norm² can't wrap for wide vectors, ADVICE r3),
+    an exact integer norm², then one double division by its IEEE
+    sqrt and re-quantization to ×V_SCALE integers — doubles only
+    ever touch engine-identical integer state, so every round
+    replays identically anywhere."""
     from ..materialize import materialize as _materialize
 
+    mv_shift = _mv_shift(dims)
     spark = scatter_int.sparkSession
     # one boundary on the covariance table (every round joins it) and
     # one per-round on mv (norm² AND the normalize both read it) —
@@ -172,7 +200,7 @@ def _power_iteration_int(
         )
         mv = _materialize(
             mv.select(
-                "i", F.expr(f"mv_raw div {MV_SHIFT}").alias("mv_s")
+                "i", F.expr(f"mv_raw div {mv_shift}").alias("mv_s")
             ),
             None,
         )

@@ -82,8 +82,26 @@ def count_min_estimate(
     ``cms_est = min over rows of counter[row, bucket]`` (0 when every
     row's bucket is empty — only possible for items absent from the
     build input). The sketch side is broadcast: ≤ d·w rows by
-    construction."""
-    keyed = probes.select(
+    construction.
+
+    Row identity is preserved: each probe ROW is tagged with a
+    surrogate id before the d-way hash explode and regrouped on it,
+    so duplicate probe rows stay duplicate in the output (output
+    cardinality == input cardinality). The surrogate id is partition-
+    dependent but never escapes — it exists only to keep replicas of
+    the same physical row together, and output VALUES are a pure
+    function of the row's columns. All internal columns are
+    ``__cms_``-prefixed so probe frames that already carry columns
+    named ``row``/``bucket``/``n`` pass through untouched."""
+    probe_cols = list(probes.columns)
+    sk = sketch.select(
+        F.col("row").alias("__cms_row"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("n").alias("__cms_n"),
+    )
+    keyed = probes.withColumn(
+        "__cms_id", F.monotonically_increasing_id()
+    ).select(
         "*",
         F.explode(
             F.transform(
@@ -93,13 +111,20 @@ def count_min_estimate(
                     _bucket(F.col(item_col), i).alias("bucket"),
                 ),
             )
-        ).alias("h"),
-    ).select("*", F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
-    joined = keyed.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
-    probe_cols = [c for c in probes.columns]
-    return joined.groupBy(*probe_cols).agg(
-        F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("cms_est")
+        ).alias("__cms_h"),
+    ).select(
+        "*",
+        F.col("__cms_h.row").alias("__cms_row"),
+        F.col("__cms_h.bucket").alias("__cms_bucket"),
     )
+    joined = keyed.join(
+        F.broadcast(sk), on=["__cms_row", "__cms_bucket"], how="left"
+    )
+    return joined.groupBy(*probe_cols, "__cms_id").agg(
+        F.min(
+            F.coalesce(F.col("__cms_n"), F.lit(0).cast("long"))
+        ).alias("cms_est")
+    ).drop("__cms_id")
 
 
 #: HLL bucket count (first 2 md5 hex chars) and hash width in bits

@@ -204,6 +204,26 @@ def test_deterministic_random_walks_tiny_graph(spark):
             cur = nxt
 
 
+def test_deterministic_random_walks_sink_truncation(spark):
+    """Directed chain a→b→c with sink c (ADVICE r3): every node of
+    src ∪ dst gets exactly one walk, and a walk reaching the sink is
+    emitted TRUNCATED (not dropped) — pre-fix the inner join dropped
+    any walk touching an out-degree-0 node and sink-only nodes never
+    started one."""
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    out = {r.start: r.walk for r in
+           deterministic_random_walks(edges, walk_len=3).collect()}
+    # single out-neighbors make every hop deterministic regardless
+    # of the md5 index (mod 1)
+    assert out == {"a": "a b c", "b": "b c", "c": "c"}
+
+
 def test_personalized_pagerank_proximity_ordering(spark):
     """Triangle a-b-c with pendant chain c-d-e (symmetrized), seed a.
     The odd cycle mixes (a pure path/bipartite graph oscillates by

@@ -110,3 +110,46 @@ def test_pca_agrees_with_numpy_eig(spark):
     top = vecs[:, np.argmax(w)]
     cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
     assert cos > 0.995, cos
+
+
+def test_mv_shift_dims_derivation():
+    """ADVICE r3: the matvec downshift is dims-derived — historical
+    10^7 for dims <= 64 (oracle-pinned), stepping up ~dims^1.5 in
+    powers of 10 so the integer norm-squared cannot wrap for wide
+    sentence-embedding dims (384/768)."""
+    from enclaveid_data_pipeline_spark.operators.pca import _mv_shift
+
+    assert _mv_shift(8) == 10_000_000
+    assert _mv_shift(64) == 10_000_000
+    assert _mv_shift(128) == 10 ** 8
+    assert _mv_shift(384) == 10 ** 9
+    assert _mv_shift(768) == 10 ** 9
+    for d in (128, 384, 768, 2048):
+        shift = _mv_shift(d)
+        mv_s = d * 250_000 * 100_000_000 // shift
+        assert d * mv_s * mv_s < 2 ** 62
+
+
+def test_wide_vectors_power_iteration_no_wrap(spark):
+    """384-dim planted-direction corpus: the dims-derived shift keeps
+    every intermediate inside BIGINT and the dominant component is
+    still recovered (pre-fix the norm-squared wrapped silently)."""
+    import numpy as np
+
+    from enclaveid_data_pipeline_spark.operators.pca import (
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 384
+    direction = np.zeros(d)
+    direction[5] = 1.0
+    rows = []
+    for i in range(60):
+        v = 0.9 * ((-1) ** i) * direction + 0.02 * rng.standard_normal(d)
+        rows.append(([float(x) for x in v],))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = {r["pos"]: r["loading"] for r in pca_top_component(df).collect()}
+    top = max(out, key=lambda p: abs(out[p]))
+    assert top == 5
+    assert abs(out[5]) > 0.95

@@ -52,6 +52,28 @@ def test_absent_item_estimates_near_zero(spark):
     assert got["cms_est"] <= 2
 
 
+def test_estimate_preserves_probe_multiplicity_and_names(spark):
+    """ADVICE r3: duplicate probe ROWS must stay duplicate in the
+    output (cardinality in == cardinality out), and a probe frame
+    already carrying columns named row/bucket/n must pass through
+    untouched (internals are __cms_-prefixed)."""
+    stream = _stream(spark, ["a"] * 5 + ["b"] * 3)
+    sk = count_min_table(stream)
+    probes = spark.createDataFrame(
+        [("a", 1, 9, 7), ("a", 2, 9, 7), ("a", 2, 9, 7), ("b", 3, 9, 7)],
+        "item string, row int, bucket int, n int",
+    )
+    got = count_min_estimate(probes, sk).collect()
+    assert len(got) == 4
+    assert sorted(r["row"] for r in got) == [1, 2, 2, 3]
+    assert all(r["bucket"] == 9 and r["n"] == 7 for r in got)
+    by_item = {}
+    for r in got:
+        by_item.setdefault(r["item"], set()).add(r["cms_est"])
+    # same item → same estimate on every replica
+    assert by_item["a"] == {5} and by_item["b"] == {3}
+
+
 def test_merge_is_counter_addition(spark):
     a = ["a"] * 10 + ["b"] * 5
     b = ["a"] * 7 + ["c"] * 3
