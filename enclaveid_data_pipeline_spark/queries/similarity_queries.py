@@ -151,7 +151,8 @@ def top1_neighbor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
     ).withColumn("sim", F.round("similarity", 6))
     top1 = top_k_neighbors(
         pairs,
@@ -184,7 +185,8 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunctive predicate P8)."""
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
     ).withColumn("sim", F.round("similarity", 6))
     return pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         "label", "left_id", "right_id", "sim"
@@ -225,7 +227,8 @@ def near_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
     ).withColumn("sim", F.round("similarity", 6))
     edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -273,7 +276,8 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     component table."""
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
     ).withColumn("sim", F.round("similarity", 6))
     edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -683,7 +687,8 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",)
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
     ).withColumn("sim", F.round("similarity", 6))
     edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         "label", F.col("left_id").alias("src"), F.col("right_id").alias("dst")

@@ -86,3 +86,47 @@ def test_observe_validity_piggybacks_on_action(spark):
     # the named-observation wrapper drives the same machinery
     out = observe_validity(df, F.coalesce(valid, F.lit(False)), name="q2")
     assert out.count() == 4
+
+
+def test_flatten_json_objects_reference_semantics(spark):
+    """Reference flatten (recent_history_utils.py:125-137): dict
+    spans append themselves, LIST spans extend element-wise, falsy
+    ({}/[]) and unparseable spans contribute nothing; non-dict list
+    elements are kept (they count as invalid_types downstream)."""
+    from enclaveid_data_pipeline_spark.functions.jsonextract import (
+        flatten_json_objects,
+        object_is_dict,
+        object_keys_valid,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ('pre {"a": 1} mid [{"b": 2}, 3, "x"] post {} [] {bad} tail',),
+        ("no json here",),
+        ('[{"time_start":"01:02","time_end":"03:04",'
+         '"description":"d","interests":["k"]}]',),
+    ]
+    df = spark.createDataFrame(rows, "response string")
+    got = df.select(
+        flatten_json_objects(F.col("response")).alias("objs")
+    ).collect()
+    # list elements are re-serialized by the JSON parser (whitespace
+    # normalized); top-level dict spans keep their original text
+    assert got[0]["objs"] == ['{"a": 1}', '{"b":2}', "3", "x"]
+    assert got[1]["objs"] == []
+    assert len(got[2]["objs"]) == 1
+
+    objs = df.select(
+        F.explode(flatten_json_objects(F.col("response"))).alias("o")
+    ).select(
+        "o",
+        object_is_dict(F.col("o")).alias("d"),
+        object_keys_valid(F.col("o")).alias("k"),
+    ).collect()
+    flags = {r["o"]: (r["d"], r["k"]) for r in objs}
+    assert flags['{"a": 1}'] == (True, False)
+    assert flags["3"] == (False, False)
+    assert flags["x"] == (False, False)
+    # the full 4-key session object passes the strict key check
+    sess = [o for o in flags if "time_start" in o][0]
+    assert flags[sess] == (True, True)
