@@ -70,6 +70,7 @@ def cluster_embeddings(
     similarity_threshold: float = 0.3,
     min_cluster_size: int = 2,
     label_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+    resources=None,
 ) -> DataFrame:
     """M5-M7: per-group clustering via applyInPandas.
 
@@ -81,8 +82,18 @@ def cluster_embeddings(
 
     ``label_fn`` swaps in a real clusterer (e.g. hdbscan.fit_predict
     on the worker); it must be a pure function of the vector array.
+
+    ``resources`` (ml.resources.ModelResources): validates the
+    session's GPU confs for accelerated ``label_fn``s (cuML UMAP/
+    HDBSCAN — the reference's GPU clustering stack,
+    utils/old_history_utils.py:137-165) and caps concurrent tasks by
+    repartitioning on the group keys.
     """
     keys = list(group_cols)
+    if resources is not None:
+        resources.validate_session(df.sparkSession)
+        if resources.max_concurrent_tasks:
+            df = df.repartition(resources.max_concurrent_tasks, *keys)
     schema = T.StructType(
         [df.schema[k] for k in keys]
         + [

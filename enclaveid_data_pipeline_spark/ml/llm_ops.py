@@ -83,6 +83,7 @@ def embed_text(
     dim: int,
     out_col: str = "embedding",
     cache_key: str | None = None,
+    resources=None,
 ) -> DataFrame:
     """M2/M4: embedding operator.
 
@@ -90,7 +91,16 @@ def embed_text(
     column attach across a shuffle (the reference aligns an external
     array by position, assets/recent_history.py:235-238; SURVEY §7.3
     hard part 7 forbids that shape).
+
+    ``resources`` (ml.resources.ModelResources) declares the stage's
+    accelerator needs: the session is validated against its GPU
+    confs (fail at plan time, not CUDA-OOM mid-job) and the stage's
+    task fan-out is capped at ``max_concurrent_tasks`` (GPU memory
+    and HTTP rate both scale with concurrent tasks).
     """
+    if resources is not None:
+        resources.validate_session(df.sparkSession)
+        df = resources.apply_cap(df)
     schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
@@ -118,6 +128,7 @@ def summarize_chunks(
     hour_col: str = "hour_s",
     title_col: str = "title",
     cache_key: str | None = None,
+    resources=None,
 ) -> DataFrame:
     """M1: chunk → prompt → completion → raw response, one row per
     chunk (UDTF-shaped downstream: response parses into N sessions).
@@ -128,8 +139,20 @@ def summarize_chunks(
     The response stays RAW here; json extraction + strict-schema
     parse + validity counters are downstream relational stages
     (functions.jsonextract, operators.quality).
+
+    ``resources``: see :func:`embed_text` — for a grouped stage the
+    concurrency cap repartitions ON the group keys to
+    ``max_concurrent_tasks`` partitions; ``applyInPandas`` then
+    reuses that hash layout, so the model stage runs exactly that
+    many tasks.
     """
     keys = list(group_cols)
+    if resources is not None:
+        resources.validate_session(chunked.sparkSession)
+        if resources.max_concurrent_tasks:
+            chunked = chunked.repartition(
+                resources.max_concurrent_tasks, *keys
+            )
     schema = T.StructType(
         [chunked.schema[k] for k in keys]
         + [

@@ -22,6 +22,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    model_resources=None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -31,6 +32,13 @@ def get_spark(
     idempotent per-user rewrites (reference deletes-then-inserts per
     user_id, assets/recent_history.py:130-138), Arrow enabled for the
     pandas-operator boundary.
+
+    ``model_resources`` (ml.resources.ModelResources) installs the
+    GPU scheduling confs (``spark.task.resource.gpu.amount`` etc.)
+    the model stages will later validate against — resource confs
+    are immutable after session build, so they must enter here
+    (reference's GPU-bound vLLM/cuML stages,
+    utils/old_history_utils.py:137-165).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -53,6 +61,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if model_resources is not None:
+        for k, v in model_resources.spark_confs().items():
+            builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
