@@ -175,12 +175,18 @@ def bfs_levels(
     iterative operators); the loop exits early on an empty frontier
     using the frontier's own count, which the next join needs anyway.
     """
-    # materialize the edge table once: every round (and every
-    # frontier-count action) joins against it, and without a boundary
-    # the upstream edge construction re-executes per round per action
-    e = materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-        mode=materialize_mode,
+    # cache the edge table hash-partitioned on the join key once:
+    # every round (and every frontier-count action) joins against
+    # it. persist() keeps the repartition in the plan (rounds never
+    # re-exchange the edges) AND keeps lineage for executor-loss
+    # recovery — a localCheckpoint here erased the layout and every
+    # round re-shuffled the whole edge table (r4 pagerank lesson).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+        .persist()
     )
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     visited = frontier.withColumn("hop", F.lit(0).cast("int"))
@@ -202,6 +208,11 @@ def bfs_levels(
             visited.unionByName(nxt), mode=materialize_mode
         )
         frontier = nxt.select("node")
+    from ..materialize import resolve_mode
+
+    if resolve_mode(materialize_mode) != "none":
+        # per-round boundaries were eager — visited no longer reads e
+        e.unpersist()
     return visited
 
 
@@ -229,11 +240,14 @@ def label_propagation(
     friendly), one per-node top-1 window — all shuffles on node keys;
     hot nodes are the AQE skew-join case, same as PageRank.
     """
-    # one boundary for the edge table all rounds re-join (see
-    # bfs_levels); labels are additionally materialized per round
-    e = materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-        mode=materialize_mode,
+    # cached hash-partitioned edge table, reused by every round's
+    # vote join with no re-exchange (see bfs_levels / pagerank_fixed)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+        .persist()
     )
     from pyspark.sql import Window
 
@@ -263,6 +277,10 @@ def label_propagation(
         labels = materialize(
             new_labels.unionByName(keep), mode=materialize_mode
         )
+    from ..materialize import resolve_mode
+
+    if resolve_mode(materialize_mode) != "none":
+        e.unpersist()
     return labels
 
 
