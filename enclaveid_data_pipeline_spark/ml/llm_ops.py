@@ -140,40 +140,78 @@ def summarize_chunks(
     parse + validity counters are downstream relational stages
     (functions.jsonextract, operators.quality).
 
-    ``resources``: see :func:`embed_text` — for a grouped stage the
-    concurrency cap repartitions ON the group keys to
-    ``max_concurrent_tasks`` partitions; ``applyInPandas`` then
-    reuses that hash layout, so the model stage runs exactly that
-    many tasks.
+    Execution shape (r4 rewrite): prompt ASSEMBLY is pure JVM SQL —
+    one groupBy folding each chunk's (hour, title)-sorted lines into
+    its prompt string (sort_array over structs; no pandas, no
+    per-group Python call) — and the model stage is ``mapInPandas``
+    over the |chunks|-row prompt table, so ``backend.complete``
+    receives a WHOLE ARROW BATCH of prompts per call (the reference
+    fans out per-chunk requests with asyncio,
+    utils/recent_history_utils.py:101-124; a batched backend call is
+    the engine's equivalent, and HTTP/vLLM backends amortize per-call
+    overhead across the batch). The previous applyInPandas form
+    called the backend once per chunk — batch size 1, thousands of
+    Python round trips.
+
+    Key columns render into the header via CAST AS STRING — integer
+    and string keys are byte-identical to the old Python ``str()``
+    rendering; NULL hours/titles would drop their line (the old form
+    printed ``None``) — keep them non-null upstream.
+
+    ``resources``: see :func:`embed_text` — the concurrency cap
+    coalesces the prompt table to ``max_concurrent_tasks`` before
+    the model stage.
     """
     keys = list(group_cols)
     if resources is not None:
         resources.validate_session(chunked.sparkSession)
-        if resources.max_concurrent_tasks:
-            chunked = chunked.repartition(
-                resources.max_concurrent_tasks, *keys
+    header = F.concat_ws(
+        ";",
+        *[
+            F.concat(F.lit(f"{k}="), F.col(k).cast("string"))
+            for k in keys
+        ],
+    )
+    line_structs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(hour_col).alias("h"), F.col(title_col).alias("t")
             )
+        )
+    )
+    body = F.array_join(
+        F.transform(
+            line_structs, lambda s: F.concat(s["h"], F.lit(" "), s["t"])
+        ),
+        "\n",
+    )
+    prompts = (
+        chunked.groupBy(*keys)
+        .agg(body.alias("__body"))
+        .select(
+            *keys,
+            F.concat(header, F.lit("\n---\n"), F.col("__body")).alias(
+                "prompt"
+            ),
+        )
+    )
+    if resources is not None and resources.max_concurrent_tasks:
+        prompts = prompts.coalesce(resources.max_concurrent_tasks)
     schema = T.StructType(
-        [chunked.schema[k] for k in keys]
+        [prompts.schema[k] for k in keys]
         + [
             T.StructField("prompt", T.StringType()),
             T.StructField("response", T.StringType()),
         ]
     )
     cache_key = cache_key or f"complete-{uuid.uuid4().hex}"
+    cols = keys + ["prompt"]
 
-    def op(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = _cached(cache_key, build_backend)
-        pdf = pdf.sort_values([hour_col, title_col], kind="mergesort")
-        header = ";".join(f"{k}={v}" for k, v in zip(keys, key))
-        body = "\n".join(
-            f"{h} {t}" for h, t in zip(pdf[hour_col], pdf[title_col])
-        )
-        prompt = f"{header}\n---\n{body}"
-        response = backend.complete([prompt])[0]
-        return pd.DataFrame(
-            [list(key) + [prompt, response]],
-            columns=keys + ["prompt", "response"],
-        )
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["response"] = backend.complete(pdf["prompt"].tolist())
+            yield out
 
-    return chunked.groupBy(*keys).applyInPandas(op, schema=schema)
+    return prompts.mapInPandas(op, schema=schema)

@@ -309,8 +309,8 @@ def test_model_resources_conf_rendering_and_validation(spark):
 
 def test_model_resources_caps_stage_concurrency(spark):
     """max_concurrent_tasks bounds the model stage's task fan-out:
-    embed_text coalesces (no shuffle), summarize_chunks repartitions
-    on the group keys so applyInPandas reuses the layout."""
+    embed_text coalesces (no shuffle), summarize_chunks coalesces
+    the assembled prompt table before the batched model stage."""
     from enclaveid_data_pipeline_spark.ml.backends import (
         MockCompletionBackend,
         MockEmbeddingBackend,
@@ -348,5 +348,38 @@ def test_model_resources_caps_stage_concurrency(spark):
         resources=res,
     )
     assert raw.count() == 2
-    plan = raw._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(user_id" in plan and ", 2)" in plan
+    assert raw.rdd.getNumPartitions() <= 2
+
+
+def test_summarize_chunks_batches_model_calls(spark):
+    """r4 M1 rewrite: prompt assembly is JVM SQL and the model stage
+    is mapInPandas over the prompt table, so backend.complete sees a
+    whole Arrow batch of prompts per call (the old applyInPandas
+    shape called it once per chunk — batch size 1). The fake backend
+    stamps each response with its call's batch size."""
+    from enclaveid_data_pipeline_spark.ml.llm_ops import (
+        summarize_chunks,
+    )
+
+    class BatchStampBackend:
+        def complete(self, prompts):
+            return [f"bs={len(prompts)}"] * len(prompts)
+
+    rows = [
+        ("u%02d" % (i // 10), "d1", 0, "09:%02d" % (i % 10), "k")
+        for i in range(200)
+    ]
+    chunked = spark.createDataFrame(
+        rows,
+        "user_id string, date_s string, chunk_id long, "
+        "hour_s string, title string",
+    ).coalesce(2)
+    raw = summarize_chunks(
+        chunked, build_backend=BatchStampBackend
+    ).collect()
+    assert len(raw) == 20
+    sizes = {int(r["response"].split("=")[1]) for r in raw}
+    assert max(sizes) > 1, f"model calls were not batched: {sizes}"
+    # prompt rendering stays the documented shape
+    assert raw[0]["prompt"].startswith("user_id=")
+    assert "\n---\n" in raw[0]["prompt"]
