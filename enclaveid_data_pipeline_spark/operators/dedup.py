@@ -167,7 +167,16 @@ def minhash_bands(
     partially aggregated map-side, so the shuffle carries one k-slot
     row per (partition, doc). Band keys fold the k columns.
     """
-    ex = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
+    # parallelism floor BEFORE the shingle explode: sf1 documents is
+    # one unsplittable row group, so the explode + per-shingle md5
+    # (the dominant compute) otherwise runs on ONE task; shuffling
+    # the raw text rows is trivially cheaper. A well-split corpus
+    # passes through untouched.
+    from ..functions.partitioning import ensure_parallelism
+
+    ex = ensure_parallelism(df.select(F.col(id_col), shingles.alias("__sh"))).select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    )
     hashed = ex.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("__s"), 1, 7), 16, 10)
@@ -359,7 +368,11 @@ def simhash16_grouped(
     the key (e.g. a carried ``lang``) are legal because grouping
     columns ride the same shuffle row.
     """
-    ex = df.select(*id_cols, F.explode_outer(tokens).alias("__t"))
+    from ..functions.partitioning import ensure_parallelism
+
+    ex = ensure_parallelism(
+        df.select(*id_cols, tokens.alias("__tk"))
+    ).select(*id_cols, F.explode_outer("__tk").alias("__t"))
     hashed = ex.select(*id_cols, F.md5("__t").alias("__h"))
     votes = [
         F.count(

@@ -24,15 +24,13 @@ from ..functions.vectors import as_double, cosine_similarity, l2_norm
 
 
 def _fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Round-robin repartition of a compute-dense broadcast-probe
-    side to cluster parallelism (judge r3 defect class: a 1-2-split
-    parquet scan caps every downstream ×|broadcast| compute at 1-2
-    tasks, and AQE cannot help — it coalesces by shuffle bytes,
-    blind to probe-side compute). ``None`` → defaultParallelism;
-    ``0`` → keep the scan partitioning."""
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parallelism) if parallelism else df
+    """Parallelism floor for the compute-dense broadcast-probe side
+    (functions.partitioning.ensure_parallelism): spreads a narrow
+    scan across the cluster, leaves a well-split 100 TB input
+    untouched."""
+    from ..functions.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df, parallelism)
 
 
 def brute_force_topk(

@@ -148,10 +148,9 @@ def scatter_matrix_int(
             ).alias("c")
         )
     )
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if parallelism:
-        cent = cent.repartition(parallelism)
+    from ..functions.partitioning import ensure_parallelism
+
+    cent = ensure_parallelism(cent, parallelism)
     pairs = F.flatten(
         F.transform(
             F.col("c"),

@@ -107,7 +107,9 @@ def pairwise_similarity(
         assume_double=True,
     )
     if parallelism:
-        a = a.repartition(parallelism)
+        from ..functions.partitioning import ensure_parallelism
+
+        a = ensure_parallelism(a, parallelism)
         joined = a.join(F.broadcast(b), on=list(group_cols), how="inner")
     else:
         joined = a.join(b, on=list(group_cols), how="inner")
