@@ -130,3 +130,69 @@ def test_flatten_json_objects_reference_semantics(spark):
     # the full 4-key session object passes the strict key check
     sess = [o for o in flags if "time_start" in o][0]
     assert flags[sess] == (True, True)
+
+
+def test_flatten_matches_reference_loop_on_random_responses(spark):
+    """Seeded-random parity sweep: Spark's flatten_json_objects must
+    agree with a pure-Python replay of the reference's extract loop
+    (scan spans; dict appends, list EXTENDS, falsy/unparseable spans
+    skipped) on responses mixing every envelope and garbage shape."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.functions.jsonextract import (
+        extract_json_candidates,
+        flatten_json_objects,
+    )
+
+    def reference_flatten(text):
+        out = []
+        for span in extract_json_candidates(text):
+            try:
+                parsed = json.loads(span)
+            except Exception:
+                continue
+            if not parsed:
+                continue  # falsy: {}, []
+            if isinstance(parsed, dict):
+                out.append(parsed)
+            elif isinstance(parsed, list):
+                out.extend(parsed)
+        return out
+
+    rng = random.Random(42)
+    frags = [
+        '{"a": 1}', '{"t": "x{y}"}', "{bad json}", "{}", "[]",
+        '[1, "two", {"k": [1,2]}]', "plain text", '[{"a":1},{"b":2}]',
+        '{"s": "quote \\" and [bracket]"}', "[[1],[2]]", '"str"',
+        '{"n": null}', "[null]", "] stray [", "{unclosed",
+    ]
+    responses = []
+    for _ in range(60):
+        n = rng.randint(0, 6)
+        responses.append(" ".join(rng.choice(frags) for _ in range(n)))
+    df = spark.createDataFrame([(r,) for r in responses], "response string")
+    got = (
+        df.select("response",
+                  flatten_json_objects(F.col("response")).alias("objs"))
+        .collect()
+    )
+    def norm_ref(x):
+        # scalar list elements surface as their token text on the
+        # Spark side (Jackson string-capture); all the downstream
+        # semantics need is dict-vs-not plus dict contents
+        if x is None or isinstance(x, (dict, list, str)):
+            return x
+        return str(x)
+
+    def norm_have(o):
+        if o is None:
+            return None
+        return json.loads(o) if o.lstrip()[:1] in "{[" else o
+
+    for row in got:
+        want = [norm_ref(x) for x in reference_flatten(row["response"])]
+        have = [norm_have(o) for o in row["objs"]]
+        assert have == want, (row["response"], have, want)
