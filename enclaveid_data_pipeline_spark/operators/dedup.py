@@ -169,13 +169,16 @@ def minhash_bands(
     """
     # parallelism floor BEFORE the shingle explode: sf1 documents is
     # one unsplittable row group, so the explode + per-shingle md5
-    # (the dominant compute) otherwise runs on ONE task; shuffling
-    # the raw text rows is trivially cheaper. A well-split corpus
-    # passes through untouched.
+    # (the dominant compute) otherwise runs on ONE task. The floor
+    # goes on the RAW frame — repartitioning after computing the
+    # shingle expression would serialize ~3× the corpus text into
+    # the shuffle (measured 9s → 42s at sf1); raw rows are cheap and
+    # the expression resolves identically on the repartitioned
+    # frame. A well-split corpus passes through untouched.
     from ..functions.partitioning import ensure_parallelism
 
-    ex = ensure_parallelism(df.select(F.col(id_col), shingles.alias("__sh"))).select(
-        F.col(id_col), F.explode("__sh").alias("__s")
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles).alias("__s")
     )
     hashed = ex.select(
         F.col(id_col),
@@ -370,9 +373,11 @@ def simhash16_grouped(
     """
     from ..functions.partitioning import ensure_parallelism
 
-    ex = ensure_parallelism(
-        df.select(*id_cols, tokens.alias("__tk"))
-    ).select(*id_cols, F.explode_outer("__tk").alias("__t"))
+    # floor on the RAW frame — see minhash_bands: repartitioning a
+    # computed token array would shuffle the tokenized corpus
+    ex = ensure_parallelism(df).select(
+        *id_cols, F.explode_outer(tokens).alias("__t")
+    )
     hashed = ex.select(*id_cols, F.md5("__t").alias("__h"))
     votes = [
         F.count(
