@@ -383,3 +383,30 @@ def test_summarize_chunks_batches_model_calls(spark):
     # prompt rendering stays the documented shape
     assert raw[0]["prompt"].startswith("user_id=")
     assert "\n---\n" in raw[0]["prompt"]
+
+
+def test_cluster_embeddings_resources_cap_and_validation(spark):
+    """The clustering stage honors ModelResources like the other
+    model operators: group-key repartition to the concurrency cap,
+    fail-fast validation of missing GPU confs."""
+    import pytest
+
+    from enclaveid_data_pipeline_spark.ml.resources import ModelResources
+
+    df = spark.createDataFrame(
+        [(g, g * 10 + i, [float(g), float(i)]) for g in range(6)
+         for i in range(3)],
+        "g int, vec_id long, embedding array<double>",
+    ).repartition(8)
+    out = cluster_embeddings(
+        df, group_cols=("g",),
+        resources=ModelResources(max_concurrent_tasks=2),
+    )
+    assert out.count() == 18
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(g" in plan and ", 2)" in plan
+    with pytest.raises(ValueError, match="gpu.amount"):
+        cluster_embeddings(
+            df, group_cols=("g",),
+            resources=ModelResources(gpus_per_task=1.0),
+        )
