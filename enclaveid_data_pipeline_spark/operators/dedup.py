@@ -411,9 +411,13 @@ def jaccard_similarity_pairs(
     semi-join to bound it further at scale.
     """
     # the exploded shingle frame feeds both join sides + the size agg:
-    # materialize it once (in-session analog of a stored shingle table)
+    # materialize it once (in-session analog of a stored shingle
+    # table), floored to cluster parallelism first — the explode and
+    # the materialization otherwise run on the scan's 1-2 splits
+    from ..functions.partitioning import ensure_parallelism
+
     sh = _materialize(
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles)).alias("s"),
         ),
@@ -497,8 +501,11 @@ def prefix_filtered_jaccard_pairs(
     scale with true near-dup density instead of shared-shingle pair
     count, which is what matters at 100 TB.
     """
+    from ..functions.partitioning import ensure_parallelism
+
     base = _materialize(
-        df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), shingles.alias("__sh"))
         .select(
             "id",
             F.expr(
