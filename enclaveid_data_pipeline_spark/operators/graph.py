@@ -421,11 +421,18 @@ def deterministic_random_walks(
     walk regardless of length; hot nodes are ordinary join skew (AQE
     case), and the walk corpus for embedding training streams out
     without ever existing driver-side."""
-    nbrs = materialize(
+    # neighbor lists cached hash-partitioned on the join key (same
+    # treatment as the pagerank edge table: persist keeps the layout
+    # in-plan, so no step re-exchanges the neighbor arrays — only
+    # the one-row-per-walk state moves)
+    nbrs = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .groupBy("node")
-        .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs")),
-        mode=materialize_mode,
+        .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "node"
+        )
+        .persist()
     )
     all_nodes = (
         edges.select(F.col(src).alias("node"))

@@ -1299,7 +1299,9 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew); the DF table is corpus-wide but Zipf-small relative to the
     token stream. ``n_docs >= 2 ⇔ shared``, computed identically in
     DuckDB."""
-    docs = read_table(spark, sf_dir, "documents")
+    from ..functions.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     sh = toks.select(
         "doc_id",

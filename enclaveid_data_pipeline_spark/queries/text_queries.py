@@ -314,7 +314,9 @@ def token_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 MB doc from emitting 10^14 pairs; doc counts N and marginals
     are partial-aggregated as usual. Deterministic tie-broken top-20
     on the rounded PMI.""".format(cap=_PMI_CAP)
-    docs = read_table(spark, sf_dir, "documents")
+    from ..functions.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     arrs = docs.select(
         "doc_id",
         F.slice(

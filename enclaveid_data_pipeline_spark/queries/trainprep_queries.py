@@ -131,7 +131,9 @@ def benchmark_contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame
     benchmark n-gram set broadcasts (real suites are ~10^5 n-grams vs
     a 100 TB corpus), so the corpus side is a map-side hash probe —
     the only shuffle is the final per-doc count."""
-    docs = read_table(spark, sf_dir, "documents")
+    from ..functions.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     # Two-step projection: tokenize ONCE, then shingle the resolved
     # column. Inlining tokenize() inside the shingle lambda makes
     # Catalyst re-evaluate split() at every element reference
