@@ -1463,6 +1463,141 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc(queries, codes, cb, k=5)
 
 
+_DUCK_PQ_TOP5_CTES = f"""
+    WITH seeds AS (
+        SELECT embedding,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM embeddings WHERE vec_id < 16
+    ), cb AS (
+        SELECT CAST(j.j AS INT) AS subspace, s.code,
+               s.embedding[j.j*8+1 : j.j*8+8] AS subvec
+        FROM seeds s, (SELECT unnest(generate_series(0, 7)) AS j) j
+    ), enc_pairs AS (
+        SELECT e.vec_id, c.subspace, c.code,
+               round({_DUCK_L2SQ_SLICE.format(a='e.embedding', j='c.subspace', b='c.subvec')}, 6) AS dist
+        FROM embeddings e, cb c
+    ), enc AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, subspace ORDER BY dist, code
+                   ) AS rn
+            FROM enc_pairs) WHERE rn = 1
+    ), qtab AS (
+        SELECT q.vec_id AS query_id, c.subspace, c.code,
+               round({_DUCK_L2SQ_SLICE.format(a='q.embedding', j='c.subspace', b='c.subvec')}, 6) AS pdist
+        FROM embeddings q, cb c WHERE q.vec_id % 50 = 0
+    ), adc AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               round(sum(t.pdist), 6) AS adc_dist
+        FROM enc e
+        JOIN qtab t ON t.subspace = e.subspace AND t.code = e.code
+        WHERE e.vec_id != t.query_id
+        GROUP BY t.query_id, e.vec_id
+    ), pq5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+            ) AS rank FROM adc)
+        WHERE rank <= 5
+    ), exactd AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round((SELECT sum((x-y)*(x-y)) FROM (SELECT
+                   unnest(q.embedding)::DOUBLE AS x,
+                   unnest(e.embedding)::DOUBLE AS y) z), 6) AS d
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id % 50 = 0 AND e.vec_id != q.vec_id
+    ), exact5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d, neighbor_id
+            ) AS rank FROM exactd)
+        WHERE rank <= 5
+    )
+"""
+
+
+@register(
+    "pq_adc_recall_at5",
+    oracle=_DUCK_PQ_TOP5_CTES
+    + """
+    SELECT e.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(p.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM exact5 e
+    LEFT JOIN pq5 p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def pq_adc_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ's accuracy MEASURED, completing the ANN evaluation family
+    (brute/IVF/LSH already have recall queries): per query, how many
+    of the exact squared-L2 top-5 survive in the PQ/ADC top-5. The
+    32× compression is only worth its recall cost if that cost is
+    known — same discipline as ivf_nprobe_recall_tradeoff. Exact
+    truth is one broadcast-query × fanned-out corpus pass; both
+    rankings and the hit-join replay fully in the oracle."""
+    from ..operators.knn import (
+        _fan_out,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc as _adc,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=8)
+    codes = pq_encode(emb, cb, m=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    pq5 = _adc(queries, codes, cb, k=5).select("query_id", "neighbor_id")
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q"),
+    )
+    c = _fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "__c"
+            ),
+        )
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__q"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact5 = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d", d)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = pq5.withColumn("__hit", F.lit(1))
+    return (
+        exact5.join(hits, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit")
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+
+
 @register(
     "fuzzy_blocked_linkage",
     oracle="""
