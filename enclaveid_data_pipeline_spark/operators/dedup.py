@@ -628,6 +628,59 @@ def simhash_hamming_pairs(
     )
 
 
+def snm_neighbor_pairs(
+    keyed: DataFrame,
+    window_size: int,
+    key_col: str = "snm_key",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995):
+    each record paired with its next ``window_size − 1`` neighbors in
+    global (key, id) order — exactly n·(w−1) candidates whatever the
+    key distribution.
+
+    Scale shape: the naïve form is w−1 LEADs over an UNPARTITIONED
+    window, which plans as one task holding the totally-ordered
+    corpus. Here the global order is materialized as a dense ordinal
+    via the bucketed two-pass rank (operators/rank.py — key-prefix
+    buckets + broadcast offsets, every stage parallel), and the
+    neighbor pairing becomes an equi-join on ``ordinal + k``
+    (k ∈ 1..w−1) — a uniform dense-long join key, skew-free by
+    construction. Output rows are identical to the LEAD form's:
+    ``left_*`` is the earlier row in key order.
+    """
+    from .rank import global_row_number, string_prefix_bucket
+
+    ordd = global_row_number(
+        keyed,
+        [F.asc(key_col), F.asc(id_col)],
+        string_prefix_bucket(F.col(key_col)),
+        out="__ord",
+    )
+    left = (
+        ordd.select(
+            F.col(id_col).alias("left_id"),
+            *[F.col(c).alias(f"left_{c}") for c in carry_cols],
+            "__ord",
+        )
+        .withColumn(
+            "__k", F.explode(F.sequence(F.lit(1), F.lit(window_size - 1)))
+        )
+        .select(
+            "left_id",
+            *[f"left_{c}" for c in carry_cols],
+            (F.col("__ord") + F.col("__k")).alias("__rord"),
+        )
+    )
+    right = ordd.select(
+        F.col("__ord").alias("__rord"),
+        F.col(id_col).alias("right_id"),
+        *[F.col(c).alias(f"right_{c}") for c in carry_cols],
+    )
+    return left.join(right, on="__rord").drop("__rord")
+
+
 def blocked_edit_linkage(
     probes: DataFrame,
     catalog: DataFrame,

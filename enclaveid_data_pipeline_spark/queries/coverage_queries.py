@@ -1236,12 +1236,17 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = vals.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    wg = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum_g = thresholds.join(per_v, on="v", how="left").select(
-        "v", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wg).alias("cnt_g")
-    )
+    # global CDF runs bucketed (operators/rank.py) — the distinct
+    # length grid grows with the corpus, so no single-task window
+    from ..operators.rank import global_cumsum, monotone_bucket
+
+    cum_g = global_cumsum(
+        thresholds.join(per_v, on="v", how="left"),
+        F.coalesce(F.col("c"), F.lit(0)),
+        [F.asc("v")],
+        monotone_bucket(F.col("v"), 0.0, 1000.0, 64),
+        out="cnt_g",
+    ).select("v", "cnt_g")
     joined = cum_s.join(cum_g, on="v").crossJoin(F.broadcast(total))
     num = F.abs(
         F.col("cnt_s") * F.col("n_g") - F.col("cnt_g") * F.col("n_s")
@@ -1429,15 +1434,18 @@ def mannwhitney_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("g")).alias("n2v"),
         F.count(F.lit(1)).alias("t"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = pv.select(
-        "n1v",
-        "n2v",
-        "t",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("c_less"),
-    )
+    # rank-sum CDF over the distinct-value table, bucketed — the
+    # value grid grows with the corpus (operators/rank.py)
+    from ..operators.rank import global_cumsum, monotone_bucket
+
+    cum = global_cumsum(
+        pv,
+        F.col("t"),
+        [F.asc("value")],
+        monotone_bucket(F.col("value"), 0.0, 500.0, 64),
+        out="c_less",
+        inclusive=False,
+    ).select("n1v", "n2v", "t", "c_less")
     agg = cum.agg(
         F.sum("n1v").cast("long").alias("n1"),
         F.sum("n2v").cast("long").alias("n2"),

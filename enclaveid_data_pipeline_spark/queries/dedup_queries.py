@@ -2569,12 +2569,12 @@ def snm_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     advantage over hashing under adversarial key skew); its blind
     spot is duplicates whose keys diverge in the first characters.
 
-    Shape: one global sort by the 20-char key (range partition at
-    scale — same cost class as any ORDER BY export), then the window
-    pairs are w−1 LEADs — row-local, no self-join; verification
-    joins text back only for candidates."""
-    from ..operators.dedup import tokenize
-    from pyspark.sql import Window
+    Shape: the global key order is a bucketed dense ordinal
+    (operators/rank.py — no unpartitioned window anywhere), the w−1
+    neighbor pairs an equi-join on ordinal+k (uniform dense-long
+    key, skew-free); verification joins text back only for
+    candidates."""
+    from ..operators.dedup import snm_neighbor_pairs, tokenize
 
     docs = read_table(spark, sf_dir, "documents")
     keyed = docs.select(
@@ -2584,42 +2584,7 @@ def snm_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
         ).alias("snm_key"),
     )
-    w = Window.orderBy("snm_key", "doc_id")
-    leads = keyed.select(
-        "doc_id",
-        "text",
-        *[
-            F.lead("doc_id", k).over(w).alias(f"__r{k}")
-            for k in range(1, _SNM_W)
-        ],
-        *[
-            F.lead("text", k).over(w).alias(f"__rt{k}")
-            for k in range(1, _SNM_W)
-        ],
-    )
-    pair_structs = F.array(
-        *[
-            F.struct(
-                F.col(f"__r{k}").alias("right_id"),
-                F.col(f"__rt{k}").alias("right_text"),
-            )
-            for k in range(1, _SNM_W)
-        ]
-    )
-    pairs = (
-        leads.select(
-            F.col("doc_id").alias("left_id"),
-            F.col("text").alias("left_text"),
-            F.explode(pair_structs).alias("p"),
-        )
-        .filter(F.col("p.right_id").isNotNull())
-        .select(
-            "left_id",
-            "left_text",
-            F.col("p.right_id").alias("right_id"),
-            F.col("p.right_text").alias("right_text"),
-        )
-    )
+    pairs = snm_neighbor_pairs(keyed, _SNM_W, carry_cols=("text",))
     lt = tokenize(F.col("left_text"))
     rt = tokenize(F.col("right_text"))
     jac = F.round(
@@ -3263,8 +3228,9 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
     ).select("left_id", "right_id")
 
-    # sorted-neighborhood window (w=4), token-Jaccard >= 0.5
-    from pyspark.sql import Window
+    # sorted-neighborhood (w=4) via the bucketed-ordinal pair
+    # generator (no unpartitioned window), token-Jaccard >= 0.5
+    from ..operators.dedup import snm_neighbor_pairs
 
     keyed = docs.select(
         "doc_id",
@@ -3272,26 +3238,9 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
         ).alias("snm_key"),
     )
-    wko = Window.orderBy("snm_key", "doc_id")
-    leads = keyed.select(
-        "doc_id",
-        *[
-            F.lead("doc_id", k).over(wko).alias(f"__r{k}")
-            for k in range(1, 4)
-        ],
-    )
-    spairs = (
-        leads.select(
-            F.col("doc_id").alias("a"),
-            F.explode(
-                F.array(*[F.col(f"__r{k}") for k in range(1, 4)])
-            ).alias("b"),
-        )
-        .filter(F.col("b").isNotNull())
-        .select(
-            F.least("a", "b").alias("left_id"),
-            F.greatest("a", "b").alias("right_id"),
-        )
+    spairs = snm_neighbor_pairs(keyed, 4).select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
     )
     tl = toks.select(F.col("doc_id").alias("left_id"), F.col("t").alias("__tl"))
     tr = toks.select(F.col("doc_id").alias("right_id"), F.col("t").alias("__tr"))
@@ -3465,7 +3414,7 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_sim = simhash_hamming_pairs(
         signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
     ).select("left_id", "right_id")
-    from pyspark.sql import Window
+    from ..operators.dedup import snm_neighbor_pairs
 
     keyed = docs.select(
         "doc_id",
@@ -3473,26 +3422,9 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
         ).alias("snm_key"),
     )
-    wko = Window.orderBy("snm_key", "doc_id")
-    leads = keyed.select(
-        "doc_id",
-        *[
-            F.lead("doc_id", k).over(wko).alias(f"__r{k}")
-            for k in range(1, 4)
-        ],
-    )
-    c_snm = (
-        leads.select(
-            F.col("doc_id").alias("a"),
-            F.explode(
-                F.array(*[F.col(f"__r{k}") for k in range(1, 4)])
-            ).alias("b"),
-        )
-        .filter(F.col("b").isNotNull())
-        .select(
-            F.least("a", "b").alias("left_id"),
-            F.greatest("a", "b").alias("right_id"),
-        )
+    c_snm = snm_neighbor_pairs(keyed, 4).select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
     )
 
     def metrics(name: str, cand):

@@ -502,11 +502,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile codes (1–5 each, 5 best) and the population of every
     segment cell: the marketing-analytics workhorse, here with the
     recency axis ranked DESCENDING so recent buyers score high.
-    One aggregate to per-customer RFM, three rank windows over the
-    |customers|-row result (tie-broken on custkey for determinism),
-    one segment rollup. DECIMAL money; at corpus scale the quintile
-    cut points come from learned thresholds instead of global ranks
-    (the curriculum_phases swap)."""
+    One aggregate to per-customer RFM, three bucketed global ranks
+    over the |customers|-row result (operators/rank.py: range
+    buckets + broadcast prefix offsets — exact, tie-broken on
+    custkey, parallel at any customer count), one segment rollup.
+    DECIMAL money throughout."""
     orders = read_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("max_d"))
     base = (
@@ -526,22 +526,41 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _quintile(order_cols):
+    from ..operators.rank import global_percent_rank, monotone_bucket
+
+    # each axis ranks through the bucketed two-pass form — range
+    # buckets keep every quintile rank parallel at any |customers|
+    # (clamping makes out-of-range values edge-bucket, never wrong)
+    d = base
+    for out, order, bucket in (
+        (
+            "r",
+            [F.col("recency_d").desc(), F.col("custkey")],
+            monotone_bucket(-F.col("recency_d"), -2600.0, 0.0, 64),
+        ),
+        (
+            "f",
+            [F.col("frequency"), F.col("custkey")],
+            monotone_bucket(F.col("frequency"), 0.0, 64.0, 64),
+        ),
+        (
+            "m",
+            [F.col("monetary"), F.col("custkey")],
+            monotone_bucket(F.col("monetary"), 0.0, 2.0e6, 64),
+        ),
+    ):
+        d = global_percent_rank(d, order, bucket, out=f"__pr_{out}")
+
+    def _quintile(pr_col):
         return (
-            F.least(
-                F.floor(
-                    F.percent_rank().over(Window.orderBy(*order_cols)) * 5
-                ),
-                F.lit(4),
-            )
-            + 1
+            F.least(F.floor(F.col(pr_col) * 5), F.lit(4)) + 1
         ).cast("int")
 
-    scored = base.select(
+    scored = d.select(
         "custkey",
-        _quintile([F.col("recency_d").desc(), F.col("custkey")]).alias("r"),
-        _quintile([F.col("frequency"), F.col("custkey")]).alias("f"),
-        _quintile([F.col("monetary"), F.col("custkey")]).alias("m"),
+        _quintile("__pr_r").alias("r"),
+        _quintile("__pr_f").alias("f"),
+        _quintile("__pr_m").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),

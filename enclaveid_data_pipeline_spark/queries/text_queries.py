@@ -817,12 +817,12 @@ def blended_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-prob, token entropy, distinct-token ratio) — rank blending
     because the raw signals live on incomparable scales, and an
     average of percent-ranks is scale-free. Each signal is a
-    partial-aggregated pass; the global percent_rank windows are
-    fine at eval scale and the documented 100 TB swap is
-    threshold-based banding (the curriculum_phases form: learn the
-    decile cut points from a sample, assign row-locally — no global
-    sort). Deterministic throughout: every rank orders by (signal,
-    doc_id)."""
+    partial-aggregated pass; every global rank runs through the
+    bucketed two-pass form (operators/rank.py) — value-range buckets
+    + broadcast prefix offsets — so no stage funnels the corpus into
+    one task, and the values are bit-identical to the unpartitioned
+    window's. Deterministic throughout: every rank orders by
+    (signal, doc_id)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     tok = toks.select("doc_id", F.explode("t").alias("tok"))
@@ -851,20 +851,33 @@ def blended_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
         ).alias("uf"),
     )
+    from ..operators.rank import global_percent_rank, monotone_bucket
+
     j = lm.join(ent, "doc_id").join(dr, "doc_id")
-    r_lm = F.percent_rank().over(Window.orderBy("lp", "doc_id"))
-    r_ent = F.percent_rank().over(Window.orderBy("h", "doc_id"))
-    r_uf = F.percent_rank().over(Window.orderBy("uf", "doc_id"))
+    for sig, lo, hi, out in (
+        ("lp", -20.0, 0.0, "r_lm"),
+        ("h", 0.0, 16.0, "r_ent"),
+        ("uf", 0.0, 1.0, "r_uf"),
+    ):
+        j = global_percent_rank(
+            j,
+            [F.asc(sig), F.asc("doc_id")],
+            monotone_bucket(F.col(sig), lo, hi, 64),
+            out=out,
+        )
     blended = j.select(
         "doc_id",
-        F.round((r_lm + r_ent + r_uf) / 3, 6).alias("blend"),
+        F.round(
+            (F.col("r_lm") + F.col("r_ent") + F.col("r_uf")) / 3, 6
+        ).alias("blend"),
     )
-    dec = F.least(
-        F.floor(
-            F.percent_rank().over(Window.orderBy("blend", "doc_id")) * 10
-        ),
-        F.lit(9),
-    ).cast("long")
+    blended = global_percent_rank(
+        blended,
+        [F.asc("blend"), F.asc("doc_id")],
+        monotone_bucket(F.col("blend"), 0.0, 1.0, 64),
+        out="__prb",
+    )
+    dec = F.least(F.floor(F.col("__prb") * 10), F.lit(9)).cast("long")
     return blended.select("doc_id", "blend", dec.alias("decile"))
 
 
@@ -1278,13 +1291,18 @@ def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("y")).alias("n0v"),
         F.count(F.lit(1)).alias("t"),
     )
-    wnd = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = pv.select(
-        "n1v", "n0v", "t",
-        F.coalesce(F.sum("t").over(wnd), F.lit(0)).alias("c_less"),
-    )
+    # rank-sum CDF over the distinct-score table, bucketed — the
+    # score grid grows with the corpus (operators/rank.py)
+    from ..operators.rank import global_cumsum, monotone_bucket
+
+    cum = global_cumsum(
+        pv,
+        F.col("t"),
+        [F.asc("score")],
+        monotone_bucket(F.col("score"), -5.0, 5.0, 64),
+        out="c_less",
+        inclusive=False,
+    ).select("n1v", "n0v", "t", "c_less")
     agg = cum.agg(
         F.sum("n1v").cast("long").alias("n1"),
         F.sum("n0v").cast("long").alias("n0"),

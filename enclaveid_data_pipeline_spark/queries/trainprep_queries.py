@@ -787,11 +787,21 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(8,6)")
         .alias("quality"),
     )
-    w = Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from ..operators.rank import global_cumsum, monotone_bucket
+
+    # descending quality order => bucket must descend with quality;
+    # quality is a [0,1] distinct-token ratio, so 64 range buckets of
+    # (1 - quality) keep the admission scan parallel at any corpus
+    # size instead of funnelling it into one WindowExec task.
+    ranked = global_cumsum(
+        scored,
+        F.col("n_tokens"),
+        [F.desc("quality"), F.asc("doc_id")],
+        monotone_bucket(-F.col("quality"), -1.0, 0.0, 64),
+        out="cum_tokens",
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        ranked
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select(
             "doc_id",

@@ -251,3 +251,27 @@ def test_pair_explode_stages_saturate_cluster(spark, sf_dir):
         pagerank_fixed(edges, iterations=1, materialize_mode="none")
     )
     assert "hashpartitioning(src" in plan and f", {n})" in plan
+
+
+def test_no_unpartitioned_windows_in_global_rank_queries(spark, sf_dir):
+    """The bucketed global-rank rewrite (operators/rank.py): none of
+    the corpus-wide rank/cumsum queries may plan an unpartitioned
+    WindowExec (one task holding the total order). A partitioned
+    Window renders three bracket groups ([exprs], [partition],
+    [order]); unpartitioned renders two."""
+    names = [
+        "blended_quality_deciles",
+        "token_budget_selection",
+        "rfm_segments",
+        "snm_window_dups",
+        "dedup_method_consensus",
+        "blocking_quality_metrics",
+        "ks_drift_by_source",
+        "mannwhitney_click_vs_error",
+        "auc_quality_vs_lang",
+    ]
+    for name in names:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert line.count("], [") == 2, f"{name}: {line.strip()}"
