@@ -233,6 +233,76 @@ def pack_sequences(
     )
 
 
+def dsir_log_weights(
+    docs: DataFrame,
+    is_target: Column,
+    tokens: Column,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    estimate two add-one-smoothed unigram distributions over HASHED
+    token buckets — the target slice vs the whole corpus — and score
+    every document by sum_b c_b · (ln p_target(b) − ln p_raw(b)).
+    Documents that look like the target get positive weights;
+    resampling ∝ exp(weight) (see the Gumbel top-k at the query
+    layer) tilts the corpus toward the target distribution without a
+    trained classifier.
+
+    Engine-portability and exactness: buckets come from
+    :func:`hash_bucket` (md5 — replayable by the oracle), and the
+    per-bucket log-ratio is quantized to integer micro-units BEFORE
+    the per-doc sum, so the aggregation is exact BIGINT arithmetic —
+    no float-summation order sensitivity between engines or
+    partitionings.
+
+    Scale shape: one token-stream pass for the two bucket counts
+    (n_buckets reduce keys), one for the per-doc bucket counts; the
+    n_buckets-row ratio table broadcasts. Everything else is
+    row-local. Returns (id_col, logw_micro BIGINT).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        is_target.cast("int").alias("__t"),
+        F.explode(tokens).alias("__tok"),
+    ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
+    buckets = tok.groupBy("__b").agg(
+        F.sum("__t").alias("__nt"), F.count(F.lit(1)).alias("__nr")
+    )
+    # rename before the totals agg: joining an aggregate back onto
+    # its own parent leaves `__nt` resolvable to both lineages
+    totals = buckets.select(
+        F.col("__nt").alias("__tnt"), F.col("__nr").alias("__tnr")
+    ).agg(F.sum("__tnt").alias("__Nt"), F.sum("__tnr").alias("__Nr"))
+    ratio = buckets.alias("b").join(F.broadcast(totals.alias("t"))).select(
+        F.col("b.__b").alias("__b"),
+        F.round(
+            (
+                F.log(
+                    (F.col("b.__nt") + 1) / (F.col("t.__Nt") + n_buckets)
+                )
+                - F.log(
+                    (F.col("b.__nr") + 1) / (F.col("t.__Nr") + n_buckets)
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("__ratio_micro"),
+    )
+    per_doc = tok.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), on="__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c") * F.col("__ratio_micro")).alias("logw_micro")
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key: Column,

@@ -17,6 +17,7 @@ from ..operators.knn import brute_force_topk, lsh_bucketed_topk
 from ..operators.trainprep import (
     chunk_tokens,
     contaminated_docs,
+    dsir_log_weights,
     mixture_sample,
     with_split,
 )
@@ -808,5 +809,100 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("quality").cast("double").alias("quality"),
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+_DSIR_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS b
+        FROM tok
+    ), bc AS (
+        SELECT b,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+               count(*) AS nr
+        FROM tb GROUP BY b
+    ), tot AS (
+        SELECT sum(nt) AS tot_nt, sum(nr) AS tot_nr FROM bc
+    ), ratio AS (
+        SELECT b,
+               CAST(round((ln((nt + 1) / (tot_nt + 1024.0))
+                         - ln((nr + 1) / (tot_nr + 1024.0))) * 1000000)
+                    AS BIGINT) AS rm
+        FROM bc, tot
+    ), pd AS (
+        SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b
+    ), wts AS (
+        SELECT doc_id, sum(c * rm) AS logw_micro
+        FROM pd JOIN ratio USING (b) GROUP BY doc_id
+    ), keyed AS (
+        SELECT doc_id, logw_micro,
+               logw_micro + CAST(round(-ln(-ln(
+                   (('0x' || substr(md5(doc_id::VARCHAR || '|dsir'),
+                     1, 7))::BIGINT + 1) / 268435457.0
+               )) * 1000000) AS BIGINT) AS key_micro
+        FROM wts
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(logw_micro AS BIGINT) AS logw_micro,
+           CAST(key_micro AS BIGINT) AS key_micro,
+           CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+                AS BIGINT) AS sample_rank
+    FROM keyed
+    QUALIFY sample_rank <= 100
+"""
+
+
+@register("dsir_resample_top100", oracle=_DSIR_ORACLE)
+def dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): tilt the corpus
+    toward a target distribution — here lang='en' — without training
+    a classifier. Hashed-unigram bucket LMs for target and raw
+    corpus give every document an importance log-weight
+    (operators.trainprep.dsir_log_weights, exact BIGINT micro-units);
+    sampling ∝ exp(weight) without replacement is the Gumbel top-k:
+    key = logw + Gumbel(md5-derived u), take the top 100.
+
+    Scale: two token-stream passes with n_buckets reduce keys, a
+    broadcast 1024-row ratio table, then TakeOrderedAndProject for
+    the top-k (per-partition heads, never a global sort). Everything
+    md5-deterministic: retries, repartitioning, and the oracle
+    replay the identical sample."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs,
+        F.col("lang") == "en",
+        tokenize(F.col("text")),
+        n_buckets=1024,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(268435457.0)  # 2^28 + 1 -> u in (0, 1)
+    g_micro = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+    keyed = w.withColumn("key_micro", F.col("logw_micro") + g_micro)
+    wnd = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 100)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("logw_micro").cast("long").alias("logw_micro"),
+            F.col("key_micro").cast("long").alias("key_micro"),
+            F.col("rn").cast("long").alias("sample_rank"),
         )
     )

@@ -367,3 +367,33 @@ def test_remove_duplicated_spans_overlapping_grams(spark):
     assert got[1] == (4, "x y")      # positions 0..3 covered once
     assert got[2] == (3, "q r s")
     assert got[3] == (3, "p e f")
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Importance weights are a pure function of TEXT (the target
+    flag only shapes the bucket LM), and target-like text must
+    outscore off-target text."""
+    import pyspark.sql.functions as F
+
+    from enclaveid_data_pipeline_spark.operators.trainprep import (
+        dsir_log_weights,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma", "en") for i in range(10)]
+        + [(10 + i, "delta epsilon zeta", "fr") for i in range(10)]
+        + [(20, "alpha beta gamma", "fr"), (21, "delta epsilon zeta", "en")]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_log_weights(
+            docs, F.col("lang") == "en", F.split("text", " ")
+        ).collect()
+    }
+    # same text => same weight, regardless of the doc's own label
+    assert w[0] == w[20] and w[10] == w[21]
+    # en-dominated text outscores fr-dominated text
+    assert w[0] > w[10]
