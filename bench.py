@@ -109,6 +109,12 @@ SCALE_TWINS = (
     "approx_percentile_rank_error",
     "mock_sessions_multi",
     "bpe_train_16merges",
+    # round-4 (cont.): the bucketed global-rank rewrites (no
+    # unpartitioned WindowExec) and DSIR resampling, decade-measured
+    "snm_window_dups",
+    "blended_quality_deciles",
+    "rfm_segments",
+    "dsir_resample_top100",
 )
 
 #: Headline queries whose workload couples to corpus size (their

@@ -67,6 +67,39 @@ def string_prefix_bucket(col: Column, chars: int = 2) -> Column:
     return b
 
 
+def with_sampled_range_bucket(
+    df: DataFrame, col: Column, n: int = 64, out: str = "__rbucket"
+) -> DataFrame:
+    """Data-adaptive monotone bucket for a NUMERIC sort key: learn
+    n-quantile boundaries in-plan (``percentile_approx`` — one tiny
+    aggregate, broadcast back), assign each row the count of
+    boundaries ≤ its key.  Monotone by construction whatever the
+    sketch returns, so the rank results stay exact even if the
+    boundaries are approximate or shift with partitioning — only
+    bucket BALANCE depends on sketch quality.  Use instead of
+    :func:`monotone_bucket` when the key distribution is unknown or
+    skewed; a dominant tie class still lands in one bucket (ties
+    cannot split without breaking monotonicity) — low-cardinality
+    keys should bucket on the key itself and accept per-key tasks.
+    """
+    bounds = df.select(col.cast("double").alias("__rk")).agg(
+        F.percentile_approx(
+            "__rk", [i / n for i in range(1, n)], 10_000
+        ).alias("__rbounds")
+    )
+    return (
+        df.withColumn("__rk", col.cast("double"))
+        .join(F.broadcast(bounds))
+        .withColumn(
+            out,
+            F.size(
+                F.filter("__rbounds", lambda b: b <= F.col("__rk"))
+            ).cast("long"),
+        )
+        .drop("__rk", "__rbounds")
+    )
+
+
 def _with_offsets(
     df: DataFrame, bucket: Column, per_bucket: Column
 ) -> DataFrame:

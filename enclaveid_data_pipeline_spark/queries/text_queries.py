@@ -1472,3 +1472,69 @@ def auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+_DISTINCT_N_ORACLE = """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+        SELECT source, unnest(t) AS g FROM toks
+    ), bi AS (
+        SELECT source,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ), u AS (
+        SELECT source, count(*) AS n1, count(DISTINCT g) AS d1
+        FROM uni GROUP BY source
+    ), b AS (
+        SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+        FROM bi GROUP BY source
+    )
+    SELECT source,
+           CAST(n1 AS BIGINT) AS n_unigrams,
+           round(d1::DOUBLE / n1, 6) AS distinct_1,
+           CAST(n2 AS BIGINT) AS n_bigrams,
+           round(d2::DOUBLE / n2, 6) AS distinct_2
+    FROM u JOIN b USING (source)
+"""
+
+
+@register("distinct_ngram_diversity", oracle=_DISTINCT_N_ORACLE)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity per source: distinct-1 / distinct-2 (unique
+    n-grams over total n-grams, Li et al. 2016) — the repetition /
+    mode-collapse audit run over generated or scraped corpora before
+    they enter a mixture. Low distinct-2 with normal distinct-1
+    flags template spam that unigram stats miss.
+
+    Scale: generate-and-explode n-grams (row-local), two two-level
+    aggregates (partial distinct per source) — one corpus pass per
+    n-gram order, no windows, no UDFs."""
+    from ..operators.dedup import tokenize, word_shingles
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        "source", tokenize(F.col("text")).alias("t")
+    )
+    uni = toks.select("source", F.explode("t").alias("g"))
+    bi = toks.select(
+        "source", F.explode(word_shingles(F.col("t"), 2)).alias("g")
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"), F.countDistinct("g").alias("d1")
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n2"), F.countDistinct("g").alias("d2")
+    )
+    return u.join(b, on="source").select(
+        "source",
+        F.col("n1").cast("long").alias("n_unigrams"),
+        F.round(F.col("d1").cast("double") / F.col("n1"), 6).alias(
+            "distinct_1"
+        ),
+        F.col("n2").cast("long").alias("n_bigrams"),
+        F.round(F.col("d2").cast("double") / F.col("n2"), 6).alias(
+            "distinct_2"
+        ),
+    )

@@ -906,3 +906,210 @@ def dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("sample_rank"),
         )
     )
+
+
+_LENMATCH_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, source, n_chars // 100 AS lb FROM documents
+    ), ref AS (
+        SELECT lb, count(*) AS t_cnt FROM d WHERE source = 'src0'
+        GROUP BY lb
+    ), reft AS (
+        SELECT sum(t_cnt) AS t_total FROM ref
+    ), cand AS (
+        SELECT * FROM d WHERE source <> 'src0'
+    ), btot AS (
+        SELECT source, count(*) AS b_total FROM cand GROUP BY source
+    ), cb AS (
+        SELECT source, lb, count(*) AS b_cnt FROM cand GROUP BY source, lb
+    ), rates AS (
+        SELECT cb.source, cb.lb,
+               least(1000000,
+                     (coalesce(ref.t_cnt, 0) * 1000000 // reft.t_total)
+                     * btot.b_total // cb.b_cnt) AS rate_micro
+        FROM cb
+        JOIN btot USING (source)
+        LEFT JOIN ref USING (lb)
+        CROSS JOIN reft
+    ), gated AS (
+        SELECT c.source, c.lb, r.rate_micro,
+               CASE WHEN ('0x' || substr(
+                        md5(c.doc_id::VARCHAR || '|lenmatch'), 1, 7
+                    ))::BIGINT % 1000000 < r.rate_micro
+                    THEN 1 ELSE 0 END AS kept
+        FROM cand c JOIN rates r USING (source, lb)
+    )
+    SELECT source, CAST(lb AS BIGINT) AS lb,
+           CAST(rate_micro AS BIGINT) AS rate_micro,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM gated
+    GROUP BY source, lb, rate_micro
+"""
+
+
+@register("length_match_rejection_sample", oracle=_LENMATCH_ORACLE)
+def length_match_rejection_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution matching by deterministic rejection sampling:
+    reshape every source's document-length histogram to the
+    reference source's (src0) — the curation move that stops one
+    crawl's length profile from dominating the mixture. Per (source,
+    length-bucket) accept rate = min(1, target_frac / source_frac),
+    held in integer micro-units with overflow-safe staged integer
+    division (exact and identical in both engines up to ~9e12 docs
+    per source; swap the staged DIVs to DECIMAL(38,0) beyond).
+    A document survives iff its md5 draw falls under its bucket's
+    rate — retry/repartition-stable, no rand().
+
+    Scale: two count aggregates, a broadcast rates table, then a
+    row-local gate — one corpus pass plus tiny-side joins."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.expr("n_chars DIV 100").alias("lb")
+    )
+    ref = (
+        d.filter(F.col("source") == "src0")
+        .groupBy("lb")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    reft = ref.select(F.col("t_cnt").alias("__rc")).agg(
+        F.sum("__rc").alias("t_total")
+    )
+    cand = d.filter(F.col("source") != "src0")
+    btot = cand.groupBy("source").agg(F.count(F.lit(1)).alias("b_total"))
+    cb = cand.groupBy("source", "lb").agg(F.count(F.lit(1)).alias("b_cnt"))
+    rates = (
+        cb.join(F.broadcast(btot), on="source")
+        .join(F.broadcast(ref), on="lb", how="left")
+        .join(F.broadcast(reft))
+        .select(
+            "source",
+            "lb",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr(
+                    "(coalesce(t_cnt, 0) * 1000000 DIV t_total)"
+                    " * b_total DIV b_cnt"
+                ),
+            ).alias("rate_micro"),
+        )
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("|lenmatch")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    gated = cand.join(F.broadcast(rates), on=["source", "lb"]).select(
+        "source",
+        "lb",
+        "rate_micro",
+        F.when(draw < F.col("rate_micro"), 1).otherwise(0).alias("kept"),
+    )
+    return gated.groupBy("source", "lb", "rate_micro").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("kept").cast("long").alias("n_kept"),
+    ).select(
+        "source",
+        F.col("lb").cast("long").alias("lb"),
+        F.col("rate_micro").cast("long").alias("rate_micro"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        "n_kept",
+    )
+
+
+_QNORM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+               round(len(list_distinct(t))::DOUBLE / len(t), 6) AS q
+        FROM toks
+    ), tot AS (
+        SELECT count(*) AS n_all FROM scored
+    ), s AS (
+        SELECT doc_id, source, q,
+               row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+                   AS rs,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM scored
+    ), g AS (
+        SELECT q AS norm_q,
+               row_number() OVER (ORDER BY q, doc_id) AS gp
+        FROM scored
+    )
+    SELECT s.doc_id, s.source, s.q, g.norm_q
+    FROM s CROSS JOIN tot
+    JOIN g ON (s.rs * tot.n_all + s.ns - 1) // s.ns = g.gp
+"""
+
+
+@register("quantile_normalized_quality", oracle=_QNORM_ORACLE)
+def quantile_normalized_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of a quality signal across sources:
+    every source's score distribution is mapped ONTO the pooled
+    corpus distribution (doc at within-source rank rs/ns takes the
+    pooled value at ceiling position rs·N/ns) — the calibration that
+    makes 'top 20% of each crawl' mean the same thing everywhere,
+    classic quantile normalization (Bolstad et al. 2003) shape.
+
+    Exactness + scale: the position map is exact BIGINT ceiling
+    division; within-source ranks are partitioned windows; the
+    POOLED order — the 100-TB trap — is the bucketed global ordinal
+    (operators/rank.py, no single-task WindowExec), and the
+    rank→value lookup is a uniform dense-long equi-join."""
+    from ..operators.rank import global_row_number, monotone_bucket
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("t")
+    )
+    scored = toks.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+        ).alias("q"),
+    )
+    tot = scored.select(F.col("doc_id").alias("__d")).agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    ws = Window.partitionBy("source").orderBy("q", "doc_id")
+    wn = Window.partitionBy("source")
+    s = scored.select(
+        "doc_id",
+        "source",
+        "q",
+        F.row_number().over(ws).alias("rs"),
+        F.count(F.lit(1)).over(wn).alias("ns"),
+    )
+    g = global_row_number(
+        scored.select(F.col("q"), F.col("doc_id")),
+        [F.asc("q"), F.asc("doc_id")],
+        monotone_bucket(F.col("q"), 0.0, 1.0, 64),
+        out="gp",
+    ).select(F.col("q").alias("norm_q"), "gp")
+    return (
+        s.join(F.broadcast(tot))
+        .withColumn(
+            "gp", F.expr("(rs * n_all + ns - 1) DIV ns")
+        )
+        .join(g, on="gp")
+        .select("doc_id", "source", "q", "norm_q")
+    )

@@ -133,3 +133,33 @@ def test_parallelism_matches_bucket_count(spark):
     dist = got.withColumn("p", F.spark_partition_id())
     npart = dist.select("p").distinct().count()
     assert npart > 1
+
+
+def test_sampled_range_bucket_skewed_key(spark):
+    """Adaptive buckets keep a heavily skewed numeric key parallel
+    AND exact: 90% of mass in [0, 0.1), long tail above — fixed-width
+    buckets would pile everything into bucket 0."""
+    from enclaveid_data_pipeline_spark.operators.rank import (
+        with_sampled_range_bucket,
+    )
+
+    df = spark.range(1000).select(
+        "id",
+        F.when(F.col("id") % 10 < 9, (F.col("id") % 97) / 1000.0)
+        .otherwise(10.0 + F.col("id"))
+        .alias("score"),
+    )
+    b = with_sampled_range_bucket(df, F.col("score"), n=16)
+    order = [F.asc("score"), F.asc("id")]
+    got = global_row_number(b, order, F.col("__rbucket")).drop("__rbucket")
+    ref = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert (
+        got.join(ref.withColumnRenamed("rn", "ref_rn"), "id")
+        .filter(F.col("rn") != F.col("ref_rn"))
+        .count()
+        == 0
+    )
+    # the skewed low range spreads over multiple buckets
+    nb = b.filter(F.col("score") < 0.1).select("__rbucket").distinct().count()
+    assert nb > 1
+    _no_unpartitioned_window(got)
