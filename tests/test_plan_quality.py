@@ -273,5 +273,12 @@ def test_no_unpartitioned_windows_in_global_rank_queries(spark, sf_dir):
     for name in names:
         plan = _plan(REGISTRY[name].fn(spark, sf_dir))
         for line in plan.splitlines():
-            if "Window [" in line:
-                assert line.count("], [") == 2, f"{name}: {line.strip()}"
+            # two "], [" seams = partitioned+ordered. One seam is
+            # either partitioned-unordered (fine) or unpartitioned-
+            # ordered (the single-task trap) — only the order group
+            # carries ASC/DESC, so reject those.
+            if "Window [" in line and line.count("], [") < 2:
+                tail = line.rsplit("], [", 1)[-1]
+                assert " ASC" not in tail and " DESC" not in tail, (
+                    f"{name}: {line.strip()}"
+                )

@@ -30,10 +30,18 @@ def _toy(spark, n=500):
 def _no_unpartitioned_window(df) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
-        if "Window [" in line:
-            # partitioned Window renders 3 bracket groups
-            # ([exprs], [partition], [order]) => two "], [" seams
-            assert line.count("], [") == 2, f"unpartitioned window: {line}"
+        if "Window [" not in line:
+            continue
+        # partitioned+ordered renders three bracket groups ([exprs],
+        # [partition], [order]) => two "], [" seams. One seam is
+        # ambiguous: partitioned-unordered (fine — [exprs], [part])
+        # vs unpartitioned-ordered (the single-task trap — [exprs],
+        # [order]); the order group is the one carrying ASC/DESC.
+        if line.count("], [") < 2:
+            tail = line.rsplit("], [", 1)[-1]
+            assert " ASC" not in tail and " DESC" not in tail, (
+                f"unpartitioned ordered window: {line}"
+            )
 
 
 @pytest.mark.parametrize("nbuckets", [1, 8, 64])
