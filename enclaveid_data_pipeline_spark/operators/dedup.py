@@ -634,6 +634,7 @@ def snm_neighbor_pairs(
     key_col: str = "snm_key",
     id_col: str = "doc_id",
     carry_cols: tuple[str, ...] = (),
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995):
     each record paired with its next ``window_size − 1`` neighbors in
@@ -649,13 +650,18 @@ def snm_neighbor_pairs(
     (k ∈ 1..w−1) — a uniform dense-long join key, skew-free by
     construction. Output rows are identical to the LEAD form's:
     ``left_*`` is the earlier row in key order.
+
+    ``bucket_chars`` sizes the key-prefix buckets (128^chars
+    possible): raise it for corpora whose keys share long common
+    prefixes (boilerplate headers), where 2-char buckets would
+    collapse the ordinal stage onto few tasks.
     """
     from .rank import global_row_number, string_prefix_bucket
 
     ordd = global_row_number(
         keyed,
         [F.asc(key_col), F.asc(id_col)],
-        string_prefix_bucket(F.col(key_col)),
+        string_prefix_bucket(F.col(key_col), chars=bucket_chars),
         out="__ord",
     )
     left = (

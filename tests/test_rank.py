@@ -171,3 +171,55 @@ def test_sampled_range_bucket_skewed_key(spark):
     nb = b.filter(F.col("score") < 0.1).select("__rbucket").distinct().count()
     assert nb > 1
     _no_unpartitioned_window(got)
+
+
+def test_snm_neighbor_pairs_common_prefix_keys(spark):
+    """Adversarial SNM keys sharing a long common prefix: results
+    stay exactly the LEAD form's whatever the bucket collapse, and a
+    bucket_chars past the shared prefix restores parallelism."""
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        snm_neighbor_pairs,
+    )
+    from enclaveid_data_pipeline_spark.operators.rank import (
+        string_prefix_bucket,
+    )
+
+    rows = [
+        (i, "the" + chr(97 + (i * 7) % 26) + f"tail{i:03d}")
+        for i in range(120)
+    ]
+    keyed = spark.createDataFrame(rows, "doc_id long, snm_key string")
+    w = 4
+
+    def canon(df):
+        return sorted(
+            (r["left_id"], r["right_id"]) for r in df.collect()
+        )
+
+    ref = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k)
+            .over(Window.orderBy("snm_key", "doc_id"))
+            .alias(f"r{k}")
+            for k in range(1, w)
+        ],
+    )
+    ref_pairs = sorted(
+        (r["doc_id"], r[f"r{k}"])
+        for r in ref.collect()
+        for k in range(1, w)
+        if r[f"r{k}"] is not None
+    )
+    for chars in (2, 4):
+        got = snm_neighbor_pairs(keyed, w, bucket_chars=chars)
+        assert canon(got) == ref_pairs, f"chars={chars}"
+    # 2-char buckets collapse under the shared "th" prefix; 4-char
+    # buckets see past it
+    b2 = keyed.select(
+        string_prefix_bucket(F.col("snm_key"), 2).alias("b")
+    ).distinct().count()
+    b4 = keyed.select(
+        string_prefix_bucket(F.col("snm_key"), 4).alias("b")
+    ).distinct().count()
+    assert b2 == 1 and b4 > 1
