@@ -137,9 +137,13 @@ def object_keys_valid(obj: Column) -> Column:
     (``d.keys() == {time_start, time_end, description, interests}``,
     recent_history_utils.py:146-149) — extras or omissions both
     fail. Null-safe: non-objects (where ``json_object_keys`` is
-    NULL) are FALSE, not NULL."""
+    NULL) are FALSE, not NULL. ``array_distinct`` mirrors the
+    reference's ``json.loads → dict`` key-dedup: a duplicated
+    required key (``time_start`` twice) collapses to one entry in a
+    Python dict and must be ACCEPTED here too (r4 ADVICE —
+    ``json_object_keys`` reports duplicates verbatim)."""
     return F.coalesce(
-        F.array_sort(F.json_object_keys(obj))
+        F.array_sort(F.array_distinct(F.json_object_keys(obj)))
         == F.array(*[F.lit(k) for k in _REQUIRED_KEYS]),
         F.lit(False),
     )

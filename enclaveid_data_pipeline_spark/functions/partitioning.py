@@ -11,6 +11,27 @@ fix is a parallelism FLOOR, not an unconditional repartition: a
 round-robin shuffled just to be safe — only an input narrower than
 the cluster gets spread.
 
+Probe design (r4 ADVICE fix): the old implementation probed
+``df.rdd.getNumPartitions()``, which under AQE eagerly EXECUTES every
+upstream shuffle stage as an uncached job — on ``pq_encode`` output
+the whole encode subplan ran twice per query. The decision is now
+made entirely on the driver from the OPTIMIZED LOGICAL PLAN (no
+physical planning, no job):
+
+* plan contains a shuffle-inducing node (join / aggregate / window /
+  global sort / shuffling repartition / grouped pandas) → return the
+  frame untouched. Post-shuffle parallelism is governed by
+  ``spark.sql.shuffle.partitions`` and AQE coalescing (which with
+  the default ``parallelismFirst=true`` never coalesces below the
+  cluster's default parallelism), so a floor is redundant — and the
+  old probe was actively harmful here.
+* narrow plan (scan / range / project / filter / explode /
+  non-shuffle coalesce) → estimate the split count from the plan's
+  size statistics (file bytes for parquet relations) divided by
+  ``spark.sql.files.maxPartitionBytes``; repartition only when the
+  estimate falls below the floor. Stats come from
+  ``optimizedPlan().stats()`` — a pure driver-side visitor.
+
 Correctness: callers must only use this ahead of stages whose
 results are partitioning-independent (every engine operator is, by
 the determinism discipline — exact integer/decimal aggregates,
@@ -21,18 +42,119 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Logical-plan node names whose OUTPUT partitioning is set by a
+# shuffle (so shuffle.partitions / AQE already governs parallelism).
+# Anything NOT listed is treated as narrow — the failure mode of a
+# miss is one cheap repartition of a small frame, whereas treating a
+# narrow scan as wide would silently drop the floor (the r3 defect).
+_WIDE_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "WindowGroupLimit",
+        "Sort",  # global sort → range exchange
+        "Deduplicate",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInPandasWithState",
+        "FlatMapCoGroupsInPandas",
+        "CoGroup",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+    }
+)
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _max_partition_bytes(df: DataFrame) -> int:
+    try:
+        return int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+    except Exception:  # pragma: no cover - conf surface drift
+        return _DEFAULT_MAX_PARTITION_BYTES
+
+
+def _broadcast_side(join_node) -> int | None:
+    """For a hint-carrying logical Join: 0 if the LEFT side is
+    broadcast-hinted, 1 for the right, None if neither/both. A
+    broadcast join's output partitioning is the stream side's, so
+    the broadcast subtree must not count as a shuffle."""
+    try:
+        hint = join_node.hint()
+        left = hint.leftHint().isDefined() and "broadcast" in (
+            hint.leftHint().get().toString().lower()
+        )
+        right = hint.rightHint().isDefined() and "broadcast" in (
+            hint.rightHint().get().toString().lower()
+        )
+    except Exception:  # pragma: no cover - hint surface drift
+        return None
+    if left and not right:
+        return 0
+    if right and not left:
+        return 1
+    return None
+
+
+def _plan_has_shuffle(jplan) -> bool:
+    """DFS over the optimized logical plan (py4j TreeNode API — all
+    driver-side metadata, nothing executes)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "Join":
+            bcast = _broadcast_side(node)
+            if bcast is None:
+                return True
+            # stream side governs output partitioning; skip the
+            # broadcast subtree entirely
+            stack.append(node.children().apply(1 - bcast))
+            continue
+        if name in _WIDE_NODES:
+            return True
+        if name == "Repartition" and node.shuffle():
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    """Planned task count estimate for a NARROW plan: plan-statistics
+    bytes (= file bytes for parquet relations, 8·rows for Range)
+    over ``maxPartitionBytes``. Never runs a job."""
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return max(1, -(-size // _max_partition_bytes(df)))
+
 
 def ensure_parallelism(
     df: DataFrame, parallelism: int | None = None
 ) -> DataFrame:
     """Round-robin repartition UP to ``parallelism`` (default: the
-    cluster's defaultParallelism) when — and only when — the input
-    has fewer partitions. ``0`` disables. The partition-count probe
-    plans the query but runs nothing."""
+    cluster's defaultParallelism) when — and only when — the input is
+    a narrow (pre-shuffle) plan estimated to occupy fewer splits.
+    ``0`` disables. The decision is made from the optimized logical
+    plan on the driver; NO Spark job runs (the old
+    ``df.rdd.getNumPartitions()`` probe executed upstream shuffle
+    stages under AQE — r4 ADVICE)."""
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     if not parallelism:
         return df
-    if df.rdd.getNumPartitions() >= parallelism:
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    if _plan_has_shuffle(jplan):
+        return df
+    if _estimated_splits(df) >= parallelism:
         return df
     return df.repartition(parallelism)

@@ -33,6 +33,30 @@ from ..materialize import materialize
 SCALE = 1_000_000_000_000
 
 
+def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """``materialize_mode='none'`` returns a LAZY frame whose plan
+    still reads the persisted edge/neighbor table, so an eager
+    unpersist here would defeat the cross-round cache the persist
+    exists for. Pre-fix this path leaked the cached blocks for the
+    session's lifetime (r4 ADVICE); now the cache is released
+    (non-blocking) when the returned Python DataFrame is
+    garbage-collected — i.e. once the single consumer has run its
+    action and dropped the frame. The finalizer is idempotent
+    (unpersist on an already-uncached frame is a no-op)."""
+    import weakref
+
+    jdf = cached._jdf
+
+    def _release(jdf=jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:
+            pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def pagerank_fixed(
     edges: DataFrame,
     iterations: int = 3,
@@ -146,11 +170,15 @@ def pagerank_fixed(
 
     from ..materialize import resolve_mode
 
-    if cached and resolve_mode(materialize_mode) != "none":
-        # the final per-round boundary was eager, so the returned
-        # frame no longer reads the cached edges — release them
-        e.unpersist()
-    return ranks.select("node", "rank_s")
+    out = ranks.select("node", "rank_s")
+    if cached:
+        if resolve_mode(materialize_mode) != "none":
+            # the final per-round boundary was eager, so the returned
+            # frame no longer reads the cached edges — release them
+            e.unpersist()
+        else:
+            out = _release_on_gc(out, e)
+    return out
 
 
 def bfs_levels(
@@ -213,7 +241,8 @@ def bfs_levels(
     if resolve_mode(materialize_mode) != "none":
         # per-round boundaries were eager — visited no longer reads e
         e.unpersist()
-    return visited
+        return visited
+    return _release_on_gc(visited, e)
 
 
 def label_propagation(
@@ -281,7 +310,8 @@ def label_propagation(
 
     if resolve_mode(materialize_mode) != "none":
         e.unpersist()
-    return labels
+        return labels
+    return _release_on_gc(labels, e)
 
 
 def count_triangles(
@@ -478,7 +508,10 @@ def deterministic_random_walks(
             .otherwise(F.col("walk"))
             .alias("walk"),
         )
-    return walks.select("start", "walk")
+    # the walk state is lazy for every mode — the neighbor-list
+    # cache is released when the consumer drops the frame (pre-fix
+    # this operator never unpersisted at all; r4 ADVICE)
+    return _release_on_gc(walks.select("start", "walk"), nbrs)
 
 
 def personalized_pagerank_fixed(
@@ -588,6 +621,10 @@ def personalized_pagerank_fixed(
 
     from ..materialize import resolve_mode
 
-    if cached and resolve_mode(materialize_mode) != "none":
-        e.unpersist()
-    return ranks.select("node", "rank_s")
+    out = ranks.select("node", "rank_s")
+    if cached:
+        if resolve_mode(materialize_mode) != "none":
+            e.unpersist()
+        else:
+            out = _release_on_gc(out, e)
+    return out

@@ -604,7 +604,11 @@ def _duck_bpe_merge_list(n_rounds: int) -> str:
              LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
         GROUP BY 1, 2
     ), m{k} AS MATERIALIZED (
-        SELECT a, b FROM pc{k} ORDER BY n DESC, a, b LIMIT 1
+        -- n >= 2 mirrors the trainer's stop condition (train_bpe /
+        -- train_bpe_local halt when the best pair count < 2); without
+        -- it the oracle would keep emitting singleton merges after
+        -- the engine stops (r4 ADVICE)
+        SELECT a, b FROM pc{k} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1
     ), w{k} AS MATERIALIZED (
         SELECT word, freq,
                {_DUCK_APPLY.format(sym=f"w{k - 1}.sym", a=f"m{k}.a", b=f"m{k}.b")} AS sym

@@ -251,3 +251,44 @@ def test_personalized_pagerank_proximity_ordering(spark):
     assert got["e"] < got["a"] // 4
     assert sum(got.values()) <= SCALE
     assert sum(got.values()) >= SCALE - 1000
+
+
+def test_mode_none_releases_edge_cache_on_gc(spark):
+    """r4 ADVICE: materialize_mode='none' persisted the edge table
+    for the session's lifetime. The cache must be released once the
+    consumer drops the returned frame (weakref finalizer)."""
+    import gc
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = pagerank_fixed(edges, iterations=3, materialize_mode="none")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert not cm.isEmpty()  # cache live while the frame is held
+    del out, rows
+    gc.collect()
+    assert cm.isEmpty()
+
+
+def test_walks_release_neighbor_cache_on_gc(spark):
+    """deterministic_random_walks never unpersisted at all (r4
+    ADVICE); same finalizer contract."""
+    import gc
+
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    out = deterministic_random_walks(edges, walk_len=2)
+    assert out.count() == 2
+    del out
+    gc.collect()
+    assert cm.isEmpty()

@@ -196,3 +196,30 @@ def test_flatten_matches_reference_loop_on_random_responses(spark):
         want = [norm_ref(x) for x in reference_flatten(row["response"])]
         have = [norm_have(o) for o in row["objs"]]
         assert have == want, (row["response"], have, want)
+
+
+def test_duplicate_required_key_accepted_like_python_dict(spark):
+    """r4 ADVICE: the reference's json.loads→dict dedupes duplicated
+    keys (d.keys() == {...} accepts), so a doubled required key must
+    be VALID here too — json_object_keys reports duplicates verbatim
+    and the raw 5-element array used to be rejected."""
+    from enclaveid_data_pipeline_spark.functions.jsonextract import (
+        object_keys_valid,
+    )
+
+    dup = (
+        '{"time_start": "09:00", "time_start": "09:30", '
+        '"time_end": "10:00", "description": "d", "interests": ["x"]}'
+    )
+    extra = (
+        '{"time_start": "09:00", "time_end": "10:00", '
+        '"description": "d", "interests": ["x"], "zzz": 1}'
+    )
+    df = spark.createDataFrame([(dup,), (extra,)], "obj string")
+    got = [
+        r[0]
+        for r in df.select(
+            object_keys_valid(F.col("obj"))
+        ).collect()
+    ]
+    assert got == [True, False]

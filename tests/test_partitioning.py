@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import inspect
+import time
+
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.functions import partitioning
 from enclaveid_data_pipeline_spark.functions.partitioning import (
     ensure_parallelism,
 )
@@ -21,6 +27,14 @@ def test_floor_is_noop_on_wide_input(spark):
     assert ensure_parallelism(wide, 8) is wide
 
 
+def test_floor_skips_post_shuffle_frames(spark):
+    """Post-aggregate frames are governed by shuffle.partitions/AQE;
+    the floor must not touch them (and must not probe them — see
+    test_probe_runs_no_job)."""
+    agged = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    assert ensure_parallelism(agged, 8) is agged
+
+
 def test_floor_disabled_with_zero(spark):
     narrow = spark.range(10).coalesce(1)
     assert ensure_parallelism(narrow, 0) is narrow
@@ -30,3 +44,43 @@ def test_floor_defaults_to_cluster_parallelism(spark):
     narrow = spark.range(100).coalesce(1)
     n = spark.sparkContext.defaultParallelism
     assert ensure_parallelism(narrow).rdd.getNumPartitions() == n
+
+
+def test_helper_never_converts_to_rdd():
+    """r4 ADVICE (medium): the old .rdd.getNumPartitions() probe
+    eagerly executed upstream shuffle stages under AQE. The helper
+    must stay plan-only."""
+    import ast
+
+    tree = ast.parse(inspect.getsource(partitioning))
+    rdd_attrs = [
+        node
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Attribute) and node.attr == "rdd"
+    ]
+    assert rdd_attrs == []
+
+
+def test_probe_runs_no_job(spark):
+    """The decision must come from driver-side plan metadata: calling
+    the helper on a multi-shuffle frame must launch ZERO Spark jobs
+    (the r4 defect ran the whole upstream subplan per probe)."""
+    sc = spark.sparkContext
+    # Two chained shuffles — the exact shape (pq_encode output) that
+    # the old probe double-executed.
+    df = (
+        spark.range(10000)
+        .groupBy((F.col("id") % 100).alias("k"))
+        .count()
+        .groupBy((F.col("k") % 10).alias("b"))
+        .agg(F.sum("count").alias("n"))
+    )
+    group = f"probe-test-{time.time_ns()}"
+    sc.setJobGroup(group, "ensure_parallelism probe audit")
+    try:
+        ensure_parallelism(df)
+        ensure_parallelism(spark.range(50).coalesce(1))
+    finally:
+        sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == []
