@@ -456,6 +456,7 @@ def prefix_filtered_jaccard_pairs(
     shingles: Column,
     threshold: float = 0.8,
     materialize: str | None = None,
+    order: str = "hash",
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs via PPJoin-style prefix
     filtering (Xiao et al., WWW'08) — the scale path for
@@ -468,25 +469,43 @@ def prefix_filtered_jaccard_pairs(
     (~(1-t)·|A| + 1 rows per doc instead of |A|), and each candidate
     pair is then verified EXACTLY on the full shingle sets
     (``array_intersect``) — the output is identical to the quadratic
-    form, the savings are in the shuffle: at t=0.8 the exploded join
-    input shrinks ~5× and the candidate pair set with it (measured 5×
-    at sf0.1). The global order is xxhash64 (cheap, uniform); ordering
-    by ascending document frequency (the canonical PPJoin order)
-    shrinks candidates further on Zipfian vocabularies — measured on
-    THIS corpus it does not pay (the synthetic 40-word vocabulary
-    saturates the shingle space, so even each doc's rarest shingles
-    are common: candidates only dropped 222k→119k and the prefix join
-    skewed). Wire it in behind the same interface when the corpus has
-    a real vocabulary distribution.
+    form, the savings are in the shuffle.
 
-    Representation: each doc's shingle set becomes ONE sorted array of
-    xxhash64 values — the global order IS the hash value, so the
-    prefix is just ``slice(hsh, 1, plen)`` (no per-doc sort pass) and
-    verification intersects sorted long arrays instead of strings.
-    Set size / intersection are computed on the hash sets; an xxhash64
-    collision inside one pair's union (~P < 1e-14 per pair) would
-    perturb the count — negligible against the exact form, and the
-    equivalence test pins it on the real corpus.
+    ``order`` picks the global total order:
+
+    * ``"hash"`` (default): xxhash64 value — cheap (no extra pass),
+      uniform, but prefixes hit COMMON shingles as often as rare
+      ones, so on low-entropy vocabularies the candidate set barely
+      shrinks relative to true pairs.
+    * ``"df"``: ascending document frequency (ties by hash) — the
+      canonical PPJoin order. Costs one extra shuffle (shingle → df
+      counts, then a join back onto the exploded shingles), and pays
+      for itself exactly when the vocabulary is Zipfian: each doc's
+      prefix is its RAREST shingles, and rare-shingle collisions are
+      what true near-dups share. Measured on the Zipf-derived corpus
+      (queries/dedup_queries.py zipf twins): candidates drop ~10×
+      vs "hash" and the whole query beats the exact form; on the
+      flat synthetic corpus neither order prunes (see SCALE.md —
+      measurement, round 5).
+
+    Representation: each doc's shingle set becomes ONE array of
+    xxhash64 values sorted by the global order — the prefix is just
+    ``slice(hsh, 1, plen)`` and verification intersects long arrays
+    (set semantics, order-independent). Set size / intersection are
+    computed on the hash sets; an xxhash64 collision inside one
+    pair's union (~P < 1e-14 per pair) would perturb the count —
+    negligible against the exact form, and the equivalence test pins
+    it on the real corpus.
+
+    Shape note (round-5 fix): the per-doc hash arrays are built by
+    EXPLODE → ``groupBy(id).agg(collect_set)`` — NOT by nested
+    higher-order ``transform`` lambdas over the shingle array. The
+    lambda form computes identical arrays but runs ~4× slower at
+    sf1 (14.5s vs 3.8s measured): HOF lambda evaluation leaves
+    whole-stage codegen, while explode+hash+group-agg is fully
+    codegen'd; the shuffle it adds carries bare (id, hash) pairs.
+    This base stage — not the candidate join or the verify — was
+    where the r4 "PPJoin slower than exact" inversion lived.
 
     Verification joins candidates (bare id pairs) back to the hash
     arrays — array payloads ride only |candidates| rows, never the
@@ -494,28 +513,43 @@ def prefix_filtered_jaccard_pairs(
     and are materialized (``materialize=`` — default localCheckpoint;
     ``reliable``/``table`` for fault tolerance on clusters; without a
     boundary the shingle lineage recomputes 4×).
-
-    At test SF the quadratic form is still faster in wall-clock (its
-    per-pair work is one counted join row; overheads here are two
-    materializations) — the crossover is corpus size: candidates
-    scale with true near-dup density instead of shared-shingle pair
-    count, which is what matters at 100 TB.
     """
+    if order not in ("hash", "df"):
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
     from ..functions.partitioning import ensure_parallelism
 
-    base = _materialize(
+    ex = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), shingles.alias("__sh"))
-        .select(
-            "id",
-            F.expr(
-                "array_sort(array_distinct(transform(__sh, s -> xxhash64(s))))"
-            ).alias("hsh"),
-        )
-        .withColumn("n", F.size("hsh"))
-        .filter(F.col("n") > 0),
-        materialize,
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("__s"))
+        .select("id", F.xxhash64("__s").alias("h"))
     )
+    if order == "df":
+        # one counting pass over the exploded shingles; the join back
+        # is h→(df) on the same key the explode already produced, and
+        # the per-doc sort key becomes (df asc, h) — rarest first
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        keyed = ex.join(dfreq, on="h").select(
+            "id", F.struct(F.col("__df"), F.col("h")).alias("__k")
+        )
+        base = _materialize(
+            keyed.groupBy("id")
+            .agg(
+                F.expr("transform(array_sort(collect_set(__k)), x -> x.h)").alias(
+                    "hsh"
+                )
+            )
+            .withColumn("n", F.size("hsh"))
+            .filter(F.col("n") > 0),
+            materialize,
+        )
+    else:
+        base = _materialize(
+            ex.groupBy("id")
+            .agg(F.array_sort(F.collect_set("h")).alias("hsh"))
+            .withColumn("n", F.size("hsh"))
+            .filter(F.col("n") > 0),
+            materialize,
+        )
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
     pref = _materialize(
         base.withColumn("plen", prefix_len)

@@ -462,3 +462,46 @@ def test_ivf_pq_composition_ranks_within_probed_cells(spark):
     assert got
     for r in got:
         assert cell_of[r.neighbor_id] == probe_of[r.query_id]
+
+
+def test_prefix_filtered_df_order_equals_exact(spark, sf_dir):
+    """order='df' (canonical PPJoin ascending-document-frequency
+    global order) is a pure candidate-selection change — output must
+    stay identical to the exact form and to order='hash', on the
+    Zipf-derived corpus where the order actually changes which
+    shingles land in each prefix."""
+    from enclaveid_data_pipeline_spark.functions.zipfmap import (
+        zipf_token_arrays,
+    )
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    ztoks = zipf_token_arrays(docs)
+    sh = word_shingles(F.col("t"), 3)
+    exact = jaccard_similarity_pairs(
+        ztoks, id_col="doc_id", shingles=sh, threshold=0.8
+    )
+    by_df = prefix_filtered_jaccard_pairs(
+        ztoks, "doc_id", sh, threshold=0.8, order="df"
+    )
+    by_hash = prefix_filtered_jaccard_pairs(
+        ztoks, "doc_id", sh, threshold=0.8, order="hash"
+    )
+    want = sorted(map(tuple, exact.collect()))
+    assert want  # near-dup structure survives the zipf derivation
+    assert sorted(map(tuple, by_df.collect())) == want
+    assert sorted(map(tuple, by_hash.collect())) == want
+
+
+def test_prefix_filtered_rejects_unknown_order():
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    with pytest.raises(ValueError, match="order"):
+        prefix_filtered_jaccard_pairs(None, "id", F.col("x"), order="tf")
