@@ -144,10 +144,22 @@ def main() -> int:
                           END)::BIGINT AS n_chars
             FROM {t['documents']}, {copies}""",
     )
+    # rotation is mod the 64-d vector length, so past K=64 copies
+    # would repeat bit-identically (copy 0 == copy 64) and plant
+    # bogus cross-copy exact-dup neighbors; the second rotation
+    # cycle therefore negates the vector — negation preserves norms
+    # and every WITHIN-copy cosine (cos(-u,-v)=cos(u,v)) while
+    # keeping cross-cycle cosines decorrelated (cos(-u,w)=-cos(u,w)).
+    # For K <= 64 the expression reduces to the plain rotation.
     emit(
         "embeddings",
         f"""SELECT vec_id + c*{o_vec} AS vec_id,
-                   (embedding[(c + 1):] || embedding[:c])::FLOAT[] AS embedding,
+                   CASE WHEN (c // 64) % 2 = 1
+                        THEN list_transform(
+                               embedding[(c % 64 + 1):] || embedding[:(c % 64)],
+                               v -> (-v)::FLOAT)::FLOAT[]
+                        ELSE (embedding[(c % 64 + 1):] || embedding[:(c % 64)])::FLOAT[]
+                   END AS embedding,
                    (label + c*{o_lab})::INTEGER AS label
             FROM {t['embeddings']}, {copies}""",
     )
