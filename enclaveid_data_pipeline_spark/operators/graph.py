@@ -33,27 +33,39 @@ from ..materialize import materialize
 SCALE = 1_000_000_000_000
 
 
-def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """``materialize_mode='none'`` returns a LAZY frame whose plan
-    still reads the persisted edge/neighbor table, so an eager
-    unpersist here would defeat the cross-round cache the persist
-    exists for. Pre-fix this path leaked the cached blocks for the
-    session's lifetime (r4 ADVICE); now the cache is released
-    (non-blocking) when the returned Python DataFrame is
-    garbage-collected — i.e. once the single consumer has run its
-    action and dropped the frame. The finalizer is idempotent
-    (unpersist on an already-uncached frame is a no-op)."""
-    import weakref
+#: Bounded ring of edge/neighbor caches from ``materialize_mode=
+#: 'none'`` calls. The lazy result's plan reads the persisted table,
+#: so there is no safe release point the operator can see: pre-r5 the
+#: caches leaked for the session's lifetime (r4 ADVICE), and a
+#: GC/weakref hook fires TOO EARLY — in a composed query the
+#: operator's intermediate Python frame is refcount-collected at
+#: query-build time, unpersisting the cache before the action runs
+#: (every round then re-exchanges the edges: the r3 defect back by
+#: another door). A small FIFO ring is the bounded compromise: the
+#: newest caches stay hot through their query's consumption (queries
+#: run sequentially), the oldest are evicted — total pinned storage
+#: is capped at _RING_CAP edge tables regardless of how many graph
+#: queries a session runs. Plain persist, so a late consumer of an
+#: evicted cache just recomputes (slower, never wrong).
+_EDGE_CACHE_RING: list = []
+_RING_CAP = 4
 
-    jdf = cached._jdf
 
-    def _release(jdf=jdf):
+def _ring_register(cached: DataFrame) -> None:
+    _EDGE_CACHE_RING.append(cached._jdf)
+    while len(_EDGE_CACHE_RING) > _RING_CAP:
+        jdf = _EDGE_CACHE_RING.pop(0)
         try:
             jdf.unpersist(False)
         except Exception:
             pass
 
-    weakref.finalize(result, _release)
+
+def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Register ``cached`` in the bounded ring and return ``result``
+    unchanged (name kept from the r4-era GC-hook implementation; see
+    _EDGE_CACHE_RING for why a finalizer is the wrong tool)."""
+    _ring_register(cached)
     return result
 
 
@@ -136,6 +148,9 @@ def pagerank_fixed(
     )
     teleport_num = (100 - damping_pct) * SCALE
 
+    from ..materialize import RollingBoundary
+
+    boundary = RollingBoundary()
     for _ in range(iterations):
         live = ranks.filter(F.col("deg") > 0)
         if broadcast_ranks:
@@ -166,7 +181,7 @@ def pagerank_fixed(
                 ).alias("rank_s"),
             )
         )
-        ranks = materialize(ranks, mode=materialize_mode)
+        ranks = boundary(ranks, mode=materialize_mode)
 
     from ..materialize import resolve_mode
 
@@ -216,9 +231,18 @@ def bfs_levels(
         )
         .persist()
     )
+    from ..materialize import RollingBoundary
+
+    # two rolling chains: visited_{k-1}'s last reader is visited_k's
+    # union, nxt_{k-1}'s last readers are visited_{k-1} (already
+    # materialized) and round k's frontier join — so each chain
+    # releases its previous round exactly when its next boundary
+    # lands (a SINGLE boundary would free visited_{k-1} at nxt_k,
+    # while the visited_k union still needs it)
+    vis_b, nxt_b = RollingBoundary(), RollingBoundary()
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     visited = frontier.withColumn("hop", F.lit(0).cast("int"))
-    visited = materialize(visited, mode=materialize_mode)
+    visited = vis_b(visited, mode=materialize_mode)
     frontier = visited.select("node")
 
     for hop in range(1, max_hops + 1):
@@ -229,20 +253,22 @@ def bfs_levels(
             .join(visited.select("node"), on="node", how="left_anti")
             .withColumn("hop", F.lit(hop).cast("int"))
         )
-        nxt = materialize(nxt, mode=materialize_mode)
+        nxt = nxt_b(nxt, mode=materialize_mode)
         if nxt.limit(1).count() == 0:
             break
-        visited = materialize(
+        visited = vis_b(
             visited.unionByName(nxt), mode=materialize_mode
         )
         frontier = nxt.select("node")
     from ..materialize import resolve_mode
 
+    nxt_b.release()  # the final frontier has no further reader
+    out = visited
     if resolve_mode(materialize_mode) != "none":
         # per-round boundaries were eager — visited no longer reads e
         e.unpersist()
-        return visited
-    return _release_on_gc(visited, e)
+        return out
+    return _release_on_gc(out, e)
 
 
 def label_propagation(
@@ -289,6 +315,9 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.desc("cnt"), F.asc("label")
     )
+    from ..materialize import RollingBoundary
+
+    boundary = RollingBoundary()
     for _ in range(iterations):
         votes = (
             e.join(labels, e["src"] == labels["node"])
@@ -303,15 +332,16 @@ def label_propagation(
         )
         # nodes with no in-edges keep their current label
         keep = labels.join(new_labels.select("node"), on="node", how="left_anti")
-        labels = materialize(
+        labels = boundary(
             new_labels.unionByName(keep), mode=materialize_mode
         )
     from ..materialize import resolve_mode
 
+    out = labels
     if resolve_mode(materialize_mode) != "none":
         e.unpersist()
-        return labels
-    return _release_on_gc(labels, e)
+        return out
+    return _release_on_gc(out, e)
 
 
 def count_triangles(
@@ -583,6 +613,9 @@ def personalized_pagerank_fixed(
             f"ELSE CAST(0 AS BIGINT) END"
         ).alias("rank_s"),
     )
+    from ..materialize import RollingBoundary
+
+    boundary = RollingBoundary()
     for _ in range(iterations):
         live = ranks.filter(F.col("deg") > 0)
         if broadcast_ranks:
@@ -617,7 +650,7 @@ def personalized_pagerank_fixed(
                 ).alias("rank_s"),
             )
         )
-        ranks = materialize(ranks, mode=materialize_mode)
+        ranks = boundary(ranks, mode=materialize_mode)
 
     from ..materialize import resolve_mode
 

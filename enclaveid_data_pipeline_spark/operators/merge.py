@@ -67,6 +67,11 @@ def connected_components(
     )
     sym = _materialize(sym, materialize)
 
+    from ..materialize import RollingBoundary
+
+    # lag=1: the convergence check joins OLD labels against the new
+    # boundary, so round k-1's blocks stay until round k+1 lands
+    boundary = RollingBoundary(lag=1)
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
@@ -102,7 +107,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = _materialize(new_labels, materialize)  # cut lineage per round
+        new_labels = boundary(new_labels, materialize)  # cut lineage per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")

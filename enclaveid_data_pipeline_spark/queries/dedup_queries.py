@@ -3590,3 +3590,45 @@ def ppjoin_jaccard_dups_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         order="hash",
     )
+
+
+@register(
+    "minhash_lsh_candidates_zipf",
+    oracle=f"""{_duck_zipf_toks_cte()}
+    , sh AS (
+        SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+    ), hsig AS (
+        SELECT doc_id, {_DUCK_HS} AS hs FROM sh WHERE len(s) > 0
+    ), sigs AS (
+        SELECT doc_id, {_DUCK_SIG} AS sig FROM hsig
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_BANDS - 1})) AS band_idx,
+               unnest({_DUCK_BANDS}) AS band_key
+        FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates over the Zipf-derived corpus — on the
+    flat corpus band collisions are dominated by shared COMMON
+    shingles (false candidates the verify stage then pays for); the
+    distinctive Zipf shingle space is where the banding's candidate
+    set tracks true near-dup density, the property claimed for
+    100 TB."""
+    from ..functions.zipfmap import zipf_token_arrays
+
+    docs = read_table(spark, sf_dir, "documents")
+    ztoks = zipf_token_arrays(docs)
+    return minhash_lsh_pairs(
+        ztoks,
+        id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )

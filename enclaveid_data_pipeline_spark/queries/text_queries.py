@@ -325,6 +325,13 @@ def token_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PMI_CAP,
         ).alias("arr"),
     )
+    return _pmi_top20(arrs)
+
+
+def _pmi_top20(arrs: DataFrame) -> DataFrame:
+    """Shared PMI tail over a (doc_id, arr) frame of sorted distinct
+    capped token arrays — used by the raw-corpus query and its Zipf
+    twin."""
     n_docs = arrs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = arrs.select("doc_id", F.explode("arr").alias("t"))
     c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
@@ -1542,3 +1549,64 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_2"
         ),
     )
+
+
+# ---- Zipf-derived corpus twin (judge r4 #8) -----------------------------
+# PMI on the flat 40-word corpus saturates (every pair co-occurs
+# everywhere, signals compress toward zero); the Zipf re-tokenization
+# (functions.zipfmap, see queries/dedup_queries.py) gives it a
+# realistic frequency spectrum to discriminate on.
+
+
+def _duck_zipf_pmi_oracle() -> str:
+    from ..functions.zipfmap import DUCK_ZIPF_TOKS
+
+    return f"""
+    WITH otoks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ztoks AS (
+        SELECT doc_id, {DUCK_ZIPF_TOKS} AS zt FROM otoks
+    ), arrs AS (
+        SELECT doc_id, list_sort(list_distinct(zt))[1:{_PMI_CAP}] AS arr
+        FROM ztoks WHERE len(zt) > 0
+    ), n AS (
+        SELECT count(*) AS n_docs FROM arrs
+    ), tok AS (
+        SELECT doc_id, unnest(arr) AS t FROM arrs
+    ), c1 AS (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), pairs AS (
+        SELECT a.doc_id, a.t AS t1, b.t AS t2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND a.t < b.t
+    ), c12 AS (
+        SELECT t1, t2, count(*) AS c FROM pairs GROUP BY t1, t2
+        HAVING count(*) >= {_PMI_MIN_C12}
+    )
+    SELECT t1, t2, CAST(c12.c AS BIGINT) AS n_pair,
+           round(ln(CAST(c12.c * n.n_docs AS DOUBLE) / (ca.c * cb.c)), 4)
+               AS pmi
+    FROM c12, n
+    JOIN c1 ca ON c12.t1 = ca.t
+    JOIN c1 cb ON c12.t2 = cb.t
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """
+
+
+@register("token_pmi_top20_zipf", oracle=_duck_zipf_pmi_oracle())
+def token_pmi_top20_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over the Zipf-derived corpus — same row-local
+    pair generation as token_pmi_top20, but with a vocabulary whose
+    rank-frequency law actually separates informative pairs (head
+    tokens co-occur by chance, tail tokens by construction of shared
+    trigram context)."""
+    from ..functions.zipfmap import zipf_token_arrays
+
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = zipf_token_arrays(docs).select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct(F.col("t"))), 1, _PMI_CAP
+        ).alias("arr"),
+    )
+    return _pmi_top20(arrs)

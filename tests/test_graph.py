@@ -253,42 +253,45 @@ def test_personalized_pagerank_proximity_ordering(spark):
     assert sum(got.values()) >= SCALE - 1000
 
 
-def test_mode_none_releases_edge_cache_on_gc(spark):
+def test_mode_none_edge_caches_are_ring_bounded(spark):
     """r4 ADVICE: materialize_mode='none' persisted the edge table
-    for the session's lifetime. The cache must be released once the
-    consumer drops the returned frame (weakref finalizer)."""
-    import gc
+    for the session's lifetime, unboundedly. The bounded FIFO ring
+    caps total pinned caches at _RING_CAP and keeps the NEWEST
+    caches hot (a GC hook fires too early in composed queries — the
+    r5 lesson; plain-persist eviction only ever costs recompute)."""
+    from enclaveid_data_pipeline_spark.operators import graph as G
 
     cm = spark._jsparkSession.sharedState().cacheManager()
     cm.clearCache()
+    G._EDGE_CACHE_RING.clear()
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
-    out = pagerank_fixed(edges, iterations=3, materialize_mode="none")
-    rows = out.collect()
-    assert len(rows) == 3
-    assert not cm.isEmpty()  # cache live while the frame is held
-    del out, rows
-    gc.collect()
-    assert cm.isEmpty()
+    outs = []
+    for _ in range(G._RING_CAP + 2):
+        out = pagerank_fixed(edges, iterations=3, materialize_mode="none")
+        assert len(out.collect()) == 3  # consume while newest: cache hot
+        outs.append(out)
+    assert len(G._EDGE_CACHE_RING) == G._RING_CAP
+    # evicted caches recompute, never fail: the OLDEST result still reads
+    assert len(outs[0].collect()) == 3
+    G._EDGE_CACHE_RING.clear()
 
 
-def test_walks_release_neighbor_cache_on_gc(spark):
+def test_walks_register_neighbor_cache_in_ring(spark):
     """deterministic_random_walks never unpersisted at all (r4
-    ADVICE); same finalizer contract."""
-    import gc
-
+    ADVICE); its neighbor-list cache now rides the same bounded
+    ring."""
+    from enclaveid_data_pipeline_spark.operators import graph as G
     from enclaveid_data_pipeline_spark.operators.graph import (
         deterministic_random_walks,
     )
 
-    cm = spark._jsparkSession.sharedState().cacheManager()
-    cm.clearCache()
+    G._EDGE_CACHE_RING.clear()
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "a")], "src string, dst string"
     )
     out = deterministic_random_walks(edges, walk_len=2)
     assert out.count() == 2
-    del out
-    gc.collect()
-    assert cm.isEmpty()
+    assert len(G._EDGE_CACHE_RING) == 1
+    G._EDGE_CACHE_RING.clear()
