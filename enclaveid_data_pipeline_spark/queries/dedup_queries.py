@@ -3632,3 +3632,63 @@ def minhash_lsh_candidates_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         rows_per_band=_ROWS_PER_BAND,
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH lm AS ({REGISTRY["unigram_logprob_scores"].oracle}),
+    scored AS (
+        SELECT d.lang, lm.doc_id, lm.avg_logprob,
+               percent_rank() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY lm.avg_logprob DESC, lm.doc_id
+               ) AS pr
+        FROM lm JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE WHEN pr < 1.0/3 THEN 'head'
+                WHEN pr < 2.0/3 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(avg_logprob), 4) AS mean_logprob
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, split the corpus into
+    head/middle/tail thirds by language-model score (here the
+    corpus-learned unigram LM of ``unigram_logprob_scores`` — lower
+    perplexity ⇔ higher avg log-prob ⇒ head). CCNet keeps head+middle
+    and drops tail as its default curation gate; this emits the
+    bucket occupancy + mean score table that decision reads from.
+
+    Shape: the LM is the broadcast vocabulary join (see
+    unigram_logprob_scores); the tercile split is a PER-LANGUAGE
+    percent_rank — a partitioned window, never a global one — with
+    full (score DESC, doc_id) tie-break so both engines rank
+    identically."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = REGISTRY["unigram_logprob_scores"].fn(spark, sf_dir)
+    scored = lm.join(docs.select("doc_id", "lang"), on="doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr < 1.0 / 3, F.lit("head"))
+        .when(pr < 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        )
+    )
