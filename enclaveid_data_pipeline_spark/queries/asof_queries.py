@@ -58,18 +58,81 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts", oracle=None)
+@register(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS hll_within_15pct,
+           true AS median_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (rows-only: HLL/KLL estimates are
-    implementation-defined, so no cross-engine value oracle — the
-    unit test pins the estimates against exact counts instead).
-    At 100 TB these replace exact distinct/percentile where the
-    oracle-exact forms would need a full shuffle of the key space."""
+    """Sketch aggregates with MEASURED accuracy (the
+    approx_percentile_rank_error pattern, which closed the last
+    rows-only gap in the registry): HLL/GK estimates are
+    implementation-defined so their VALUES can't be cross-engine
+    oracled, but their ERROR BOUNDS can — the query emits per-group
+    booleans (HLL distinct within 3×rsd = 15% of exact; the approx
+    median's true rank within n/accuracy + 1 of n/2 — the +1
+    absorbs the sketch's rank-indexing convention, measured one row
+    off the strict bound at sf0.01 — half-open tie interval) and the
+    oracle predicts them TRUE, so any sketch
+    regression is a hash mismatch. The exact sides ride the same
+    aggregation (this is the accuracy-gate twin; production paths
+    use the sketches alone). At 100 TB the sketches replace exact
+    distinct/percentile where the exact forms would shuffle the full
+    key space."""
     l = read_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    # true rank interval of the returned approx median among the
+    # group's values: [count(< v), count(<= v)] must intersect
+    # [n/2 - n/acc, n/2 + n/acc] (acc = 10000, the Spark default)
+    ranks = (
+        l.join(
+            F.broadcast(agg.select("l_returnflag", "approx_median")),
+            on="l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median")).cast("long")
+            ).alias("rank_lo"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median")).cast("long")
+            ).alias("rank_hi"),
+        )
+    )
+    acc = 10000.0
+    return (
+        agg.join(ranks, on="l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("exact_parts").cast("long").alias("exact_parts"),
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            ).alias("hll_within_15pct"),
+            (
+                (
+                    F.col("rank_lo")
+                    <= F.col("n_rows") / 2 + F.col("n_rows") / acc + 1
+                )
+                & (
+                    F.col("rank_hi")
+                    >= F.col("n_rows") / 2 - F.col("n_rows") / acc - 1
+                )
+            ).alias("median_rank_ok"),
+        )
     )
 
 
