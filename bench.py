@@ -411,6 +411,49 @@ def _pagerank_rounds_block(spark) -> dict:
     return out
 
 
+def _bpe_rounds_block(spark) -> dict:
+    """Round-count stress for the exact distributed BPE trainer (r4
+    "What's missing" #2): train at 16 vs 48 merges on the sf0.1
+    documents corpus and assert the marginal per-round cost is flat —
+    incremental pair-count deltas mean a round's cost tracks the
+    AFFECTED words, not the vocabulary, and the per-round
+    RollingBoundary keeps plan depth and pinned storage constant
+    (same evidence shape as pagerank_rounds_sf1)."""
+    from enclaveid_data_pipeline_spark.operators.bpe import (
+        train_bpe_distributed,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    out: dict = {"sf_dir": sf_dir}
+    for rounds in (16, 48):
+        _gc_fence(spark)
+        t0 = time.perf_counter()
+        _w, merges = train_bpe_distributed(docs, n_merges=rounds, release=True)
+        out[f"rounds_{rounds}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"rounds_{rounds}_merges"] = len(merges)
+        rdds = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        out[f"rounds_{rounds}_cached_mb"] = round(
+            sum(r.memSize() for r in rdds) / 1e6, 1
+        )
+        print(
+            f"# [bpe-rounds] rounds={rounds}: "
+            f"{out[f'rounds_{rounds}_sec']}s "
+            f"({len(merges)} merges, storage "
+            f"{out[f'rounds_{rounds}_cached_mb']} MB)",
+            file=sys.stderr,
+        )
+    marginal = (out["rounds_48_sec"] - out["rounds_16_sec"]) / 32.0
+    out["marginal_per_round_sec"] = round(marginal, 3)
+    # flat = the 32 extra rounds cost no more than 2x per-round what
+    # the first 16 did (which still carry the corpus pass)
+    out["per_round_flat"] = bool(
+        marginal <= 2.0 * out["rounds_16_sec"] / 16.0
+    )
+    return out
+
+
 SF10_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scaled", "sf10"
 )
@@ -518,6 +561,8 @@ def main() -> int:
             "streaming_sf1": _streaming_block(spark),
             # production round-count stress (r5)
             "pagerank_rounds_sf1": _pagerank_rounds_block(spark),
+            # exact distributed BPE round-count stress (r5)
+            "bpe_rounds": _bpe_rounds_block(spark),
         }
         if os.path.isdir(SF10_DIR) and not os.environ.get(
             "SPARK_GRAFT_SKIP_SF10"

@@ -129,6 +129,55 @@ def test_local_trainer_matches_distributed_exactly(spark):
     assert loc == dist
 
 
+def test_distributed_trainer_exact_parity(spark):
+    """train_bpe_distributed (incremental counts + per-round
+    boundaries) must be byte-identical to the exact trainers: same
+    merge list, same final symbol state — including the regex-hostile
+    tokens and the consecutive-pair corpus that exercise the rewrite
+    edge cases."""
+    from enclaveid_data_pipeline_spark.operators.bpe import (
+        train_bpe_distributed,
+        train_bpe_local,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("the low lower lowest low low newer new news",),
+            ("wider wide widest new newer the the low",),
+            ("a $5 c\\d regex-hostile token the low",),
+            ("abab abab abab xyxy xyxy",),
+        ],
+        "text string",
+    )
+    w_i, m_i = train_bpe_distributed(docs, n_merges=10)
+    w_l, m_l = train_bpe_local(docs, n_merges=10)
+    assert m_i == m_l
+    inc = {r["word"]: (r["freq"], r["sym"]) for r in w_i.collect()}
+    loc = {r["word"]: (r["freq"], r["sym"]) for r in w_l.collect()}
+    assert inc == loc
+
+
+def test_distributed_trainer_storage_is_flat(spark):
+    """Executor storage after training holds at most one generation
+    of (words, counts) — the per-round RollingBoundary releases every
+    predecessor, so cached blocks don't grow with merge count (the
+    graph-operators leak class, r4 ADVICE)."""
+    from enclaveid_data_pipeline_spark.operators.bpe import (
+        train_bpe_distributed,
+    )
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    docs = spark.createDataFrame(
+        [("the low lower lowest low low newer new news the low",)],
+        "text string",
+    )
+    _w, m = train_bpe_distributed(docs, n_merges=8, release=True)
+    assert len(m) >= 4
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
+
+
 def test_batched_trainer_batch1_is_sequential(spark):
     from enclaveid_data_pipeline_spark.operators.bpe import (
         train_bpe,
