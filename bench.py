@@ -222,6 +222,46 @@ def _streaming_block(spark) -> dict:
         file=sys.stderr,
     )
 
+    # second-generation stateful API twin (transformWithStateInPandas
+    # + RocksDB state store): same sessions, timer-driven flush
+    from enclaveid_data_pipeline_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        tws_sessionize,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        _gc_fence(spark)
+        t0 = time.perf_counter()
+        tws = tws_sessionize(
+            read_event_stream(spark, SF1_DIR), watermark_delay="1 hour"
+        )
+        tres = run_stream_to_memory(
+            spark, tws, "bench_tws_sessions", output_mode="append"
+        )
+        n_tws = tres.count()
+        dt = time.perf_counter() - t0
+        out["tws_sessionize"] = {
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_events / dt),
+            "n_sessions": n_tws,
+        }
+        print(
+            f"# [sf1-stream] tws_sessionize: {dt:.3f}s "
+            f"({out['tws_sessionize']['rows_per_sec']} rows/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # keep the block usable on providers
+        out["tws_sessionize"] = {"error": str(exc)[:200]}
+        print(f"# [sf1-stream] tws_sessionize FAILED: {exc}", file=sys.stderr)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
     # native gap-only fallback: F.session_window, zero Python — the
     # entry point for workloads that don't need custom close rules
     _gc_fence(spark)
@@ -385,20 +425,31 @@ def _pagerank_rounds_block(spark) -> dict:
             pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
         )
 
+    def _storage_mb() -> float:
+        rdds = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(r.memSize() for r in rdds) / 1e6
+
     out: dict = {}
     for rounds in (10, 20):
         _gc_fence(spark)
+        # the DELTA across the call is the block's own footprint —
+        # the absolute figure also counts every earlier query's
+        # bounded final-generation residue (one per operator call by
+        # design), which grows with suite size and would read as a
+        # leak here when it isn't
+        before_mb = _storage_mb()
         t0 = time.perf_counter()
         pagerank_fixed(edges(), iterations=rounds, materialize_mode="local").count()
         out[f"rounds_{rounds}_sec"] = round(time.perf_counter() - t0, 3)
-        rdds = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        out[f"rounds_{rounds}_cached_mb"] = round(
-            sum(r.memSize() for r in rdds) / 1e6, 1
+        out[f"rounds_{rounds}_cached_mb"] = round(_storage_mb(), 1)
+        out[f"rounds_{rounds}_cached_delta_mb"] = round(
+            _storage_mb() - before_mb, 1
         )
         print(
             f"# [sf1-pagerank] rounds={rounds}: "
             f"{out[f'rounds_{rounds}_sec']}s "
-            f"(storage {out[f'rounds_{rounds}_cached_mb']} MB)",
+            f"(storage {out[f'rounds_{rounds}_cached_mb']} MB, "
+            f"delta {out[f'rounds_{rounds}_cached_delta_mb']} MB)",
             file=sys.stderr,
         )
     marginal = (out["rounds_20_sec"] - out["rounds_10_sec"]) / 10.0
@@ -415,8 +466,9 @@ def _bpe_rounds_block(spark) -> dict:
     """Round-count stress for the exact distributed BPE trainer (r4
     "What's missing" #2): train at 16 vs 48 merges on the sf0.1
     documents corpus and assert the marginal per-round cost is flat —
-    incremental pair-count deltas mean a round's cost tracks the
-    AFFECTED words, not the vocabulary, and the per-round
+    incremental pair-count deltas mean a round shuffles pair TYPES
+    and affected-word deltas, never the corpus's pair occurrences,
+    and the per-round
     RollingBoundary keeps plan depth and pinned storage constant
     (same evidence shape as pagerank_rounds_sf1)."""
     from enclaveid_data_pipeline_spark.operators.bpe import (
@@ -426,16 +478,22 @@ def _bpe_rounds_block(spark) -> dict:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     docs = read_table(spark, sf_dir, "documents").select("text")
+    def _storage_mb() -> float:
+        rdds = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(r.memSize() for r in rdds) / 1e6
+
     out: dict = {"sf_dir": sf_dir}
     for rounds in (16, 48):
         _gc_fence(spark)
+        before_mb = _storage_mb()
         t0 = time.perf_counter()
         _w, merges = train_bpe_distributed(docs, n_merges=rounds, release=True)
         out[f"rounds_{rounds}_sec"] = round(time.perf_counter() - t0, 3)
         out[f"rounds_{rounds}_merges"] = len(merges)
-        rdds = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        # release=True drops both state generations, so the delta
+        # across the call should be ~0 — recorded to prove it
         out[f"rounds_{rounds}_cached_mb"] = round(
-            sum(r.memSize() for r in rdds) / 1e6, 1
+            _storage_mb() - before_mb, 1
         )
         print(
             f"# [bpe-rounds] rounds={rounds}: "

@@ -277,11 +277,18 @@ def train_bpe_distributed(
        round recomputes pairs only for the words that CONTAIN the
        winning pair: their old pairs weighted ``-freq``, their
        rewritten pairs ``+freq``, folded into a persisted running
-       count table. The per-round shuffle carries
-       O(|affected words| x avg word length) rows — for a Zipfian
-       vocabulary a small fraction of the full pair multiset that
-       :func:`pair_counts` re-aggregates from scratch every round.
-       The argmax then reads a PERSISTED table (no recompute).
+       count table. The per-round shuffle carries the DISTINCT-pair
+       count table (map-side pre-combined — one row per pair TYPE)
+       plus the affected words' signed deltas; re-aggregating via
+       :func:`pair_counts` would instead re-explode and shuffle every
+       pair OCCURRENCE in the corpus (rows = Σ word-table freq-table
+       lengths, orders of magnitude more than the pair vocabulary).
+       The argmax then reads a PERSISTED table (no recompute). A
+       delta-only fold (full-outer join against the running table)
+       was considered and rejected: full-outer SMJ reports
+       UnknownPartitioning, so round k+1 would re-shuffle both sides
+       anyway — the union+groupBy form costs the same network and
+       keeps the plan canonical.
 
     2. BOUNDED lineage. Both state tables cross a
        :class:`~..materialize.RollingBoundary` every round: the new

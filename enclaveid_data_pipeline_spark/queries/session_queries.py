@@ -1110,3 +1110,71 @@ def seq_pattern_vcp_gap2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matches",
         F.date_format(F.col("ts"), _TS_FMT_SPARK).alias("first_at_s"),
     )
+
+
+@register(
+    "tws_sessionize_batch",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_id,
+               strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start_s,
+               strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end_s,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_s, session_end_s, n_events,
+           CAST(0 AS BIGINT) AS n_late
+    FROM sessions
+    QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+    """,
+)
+def tws_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``transformWithStateInPandas`` sessionizer (streaming/
+    tws.py — Spark 4's second-generation arbitrary-stateful API) run
+    in BATCH mode, where its semantics are exactly SQL-expressible:
+    state starts empty, each user's rows arrive as one group, and the
+    trailing open session per user stays in state unemitted — so the
+    output is every gap-session EXCEPT each user's last, with
+    ``n_late`` pinned to 0 (no cross-batch disorder exists in batch).
+    Oracle-checking the merge list end-to-end pins the new API's
+    state plumbing (value-state update/get, group iteration), not
+    just its shape. ``total_value`` is deliberately projected away:
+    the operator sums float64 in arrival order and no SQL engine can
+    replay partial-sum order — every retained column is exact.
+
+    Batch transformWithState still plans a state store; Spark
+    requires the RocksDB provider, set here session-wide (harmless
+    for relational queries, which never touch a state store).
+    """
+    from ..streaming.tws import ROCKSDB_PROVIDER, tws_sessionize
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    events = read_table(spark, sf_dir, "events")
+    out = tws_sessionize(events, gap_seconds=1800.0)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start_s"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end_s"),
+        "n_events",
+        "n_late",
+    )
