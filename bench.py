@@ -223,9 +223,12 @@ def _streaming_block(spark) -> dict:
     )
 
     # second-generation stateful API twin (transformWithStateInPandas
-    # + RocksDB state store): same sessions, timer-driven flush
+    # + RocksDB state store): same sessions, timer-driven flush.
+    # Skipped (not errored) where google.protobuf is absent — the
+    # operator's state protocol cannot run without it.
     from enclaveid_data_pipeline_spark.streaming.tws import (
         ROCKSDB_PROVIDER,
+        tws_available,
         tws_sessionize,
     )
 
@@ -233,6 +236,8 @@ def _streaming_block(spark) -> dict:
     prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(provider_key, ROCKSDB_PROVIDER)
     try:
+        if not tws_available():
+            raise RuntimeError("skipped: google.protobuf absent")
         _gc_fence(spark)
         t0 = time.perf_counter()
         tws = tws_sessionize(
@@ -254,8 +259,9 @@ def _streaming_block(spark) -> dict:
             file=sys.stderr,
         )
     except Exception as exc:  # keep the block usable on providers
-        out["tws_sessionize"] = {"error": str(exc)[:200]}
-        print(f"# [sf1-stream] tws_sessionize FAILED: {exc}", file=sys.stderr)
+        key = "skipped" if str(exc).startswith("skipped") else "error"
+        out["tws_sessionize"] = {key: str(exc)[:200]}
+        print(f"# [sf1-stream] tws_sessionize {key}: {exc}", file=sys.stderr)
     finally:
         if prev_provider is None:
             spark.conf.unset(provider_key)

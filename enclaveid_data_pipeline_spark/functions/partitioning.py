@@ -63,7 +63,6 @@ _WIDE_NODES = frozenset(
         "CoGroup",
         "Intersect",
         "Except",
-        "GlobalLimit",
     }
 )
 
@@ -117,6 +116,15 @@ def _plan_has_shuffle(jplan) -> bool:
             # stream side governs output partitioning; skip the
             # broadcast subtree entirely
             stack.append(node.children().apply(1 - bcast))
+            continue
+        if name == "GlobalLimit":
+            # a global limit COLLAPSES output to a single partition
+            # regardless of what shuffles beneath it — exactly the
+            # narrow-single-partition shape the floor exists to fix
+            # (r5 advice: it was misclassified as wide, so compute-
+            # dense work downstream of a limit ran serially). Its
+            # subtree's shuffles are irrelevant to output
+            # partitioning: stop descending, keep it narrow.
             continue
         if name in _WIDE_NODES:
             return True

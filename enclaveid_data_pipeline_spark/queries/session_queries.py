@@ -1112,9 +1112,16 @@ def seq_pattern_vcp_gap2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tws_sessionize_batch",
-    oracle=f"""
+# NOT registered: ``transformWithStateInPandas``'s Python<->JVM state
+# protocol needs ``google.protobuf``, which is absent in this
+# environment (no network; pip fails), and batch-mode planning asks
+# for the StateStoreCoordinator RPC endpoint that only exists once a
+# streaming query has started.  The function is kept (with its oracle
+# below, inline for when the dependency exists) as forward-compat
+# code; the gap-sessionization capability is covered green by
+# ``stateful_sessionize`` and the native ``session_window`` twin.
+# Guarded by ``streaming.tws.tws_available()``.
+_TWS_BATCH_ORACLE = f"""
     WITH gaps AS (
         SELECT user_id, event_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1144,8 +1151,9 @@ def seq_pattern_vcp_gap2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0 AS BIGINT) AS n_late
     FROM sessions
     QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
-    """,
-)
+    """
+
+
 def tws_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``transformWithStateInPandas`` sessionizer (streaming/
     tws.py — Spark 4's second-generation arbitrary-stateful API) run
@@ -1161,14 +1169,29 @@ def tws_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay partial-sum order — every retained column is exact.
 
     Batch transformWithState still plans a state store; Spark
-    requires the RocksDB provider, set here session-wide (harmless
-    for relational queries, which never touch a state store).
+    requires the RocksDB provider, which must be set at session build
+    (this function refuses to mutate session conf — the returned
+    frame is lazy, so a set-here/restore-later pattern cannot work).
     """
-    from ..streaming.tws import ROCKSDB_PROVIDER, tws_sessionize
-
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    from ..streaming.tws import (
+        ROCKSDB_PROVIDER,
+        require_tws,
+        tws_sessionize,
     )
+
+    require_tws()
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    # The provider conf is read at EXECUTION time, so setting it here
+    # and restoring in a finally would silently unset it before the
+    # returned (lazy) frame ever runs — and leaving it set leaks the
+    # provider into every later stateful query in the session (the
+    # round-5 advice).  Require it at session build instead.
+    if spark.conf.get(conf_key, None) != ROCKSDB_PROVIDER:
+        raise RuntimeError(
+            "tws_sessionize_batch requires the RocksDB state-store "
+            f"provider; set {conf_key}={ROCKSDB_PROVIDER} at session "
+            "build (transformWithState refuses other providers)."
+        )
     events = read_table(spark, sf_dir, "events")
     out = tws_sessionize(events, gap_seconds=1800.0)
     return out.select(

@@ -65,6 +65,34 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def tws_available() -> bool:
+    """True iff ``transformWithStateInPandas`` can actually run here.
+
+    The operator's Python<->JVM state protocol serializes state-var
+    traffic with ``google.protobuf``; without it every task dies with
+    "TransformWithStateInPySpark driver worker exited unexpectedly".
+    This is a runtime dependency of PySpark's stateful-processor
+    wire format, not of this module's logic.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def require_tws() -> None:
+    """Raise a precise error when the tws runtime deps are missing."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(PySpark's stateful-processor state protocol); it is not "
+            "installed. Use streaming.stateful.stateful_sessionize or "
+            "streaming.sessions.session_window instead — both cover "
+            "the same gap-sessionization semantics."
+        )
+
+
 def _make_processor(gap_us: int, late_policy: str, flush: bool):
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,

@@ -1,0 +1,186 @@
+"""Pluggable snapshot-commit protocol (sources/commitstore.py):
+the object-store conditional-PUT path, the flock'd filesystem
+pointer, and — most importantly — a deterministic reproduction of
+the round-5 pointer-regression interleaving, which must be
+impossible under both backends."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from enclaveid_data_pipeline_spark.sources.commitstore import (
+    ConditionalPutCommitBackend,
+    FileCommitBackend,
+    FileConditionalStore,
+    MemoryConditionalStore,
+)
+
+
+# ---- ConditionalStore contract ------------------------------------------
+
+
+@pytest.fixture(params=["memory", "file"])
+def store(request, tmp_path):
+    if request.param == "memory":
+        return MemoryConditionalStore()
+    return FileConditionalStore(str(tmp_path / "store"))
+
+
+def test_store_contract(store):
+    assert store.get("k") == (None, None)
+    assert store.put_if_absent("k", b"v1")
+    assert not store.put_if_absent("k", b"v2")  # create-only refuses
+    data, etag = store.get("k")
+    assert data == b"v1" and etag is not None
+    assert not store.put_if_match("k", b"v2", "bogus-etag")
+    assert store.put_if_match("k", b"v2", etag)
+    data2, etag2 = store.get("k")
+    assert data2 == b"v2" and etag2 != etag
+    # stale etag can no longer swap
+    assert not store.put_if_match("k", b"v3", etag)
+    assert store.list_keys("k") == ["k"]
+    assert store.list_keys("nope") == []
+
+
+def test_store_put_if_match_absent_key(store):
+    assert not store.put_if_match("missing", b"x", "anything")
+
+
+# ---- the round-5 regression interleaving --------------------------------
+
+
+def test_pointer_cannot_regress_adversarial_interleaving(tmp_path):
+    """The exact round-5 advice scenario, forced deterministically:
+    W5 observes the pointer at 4, W6 commits 6 and advances, THEN
+    W5 runs its advance for 5. Under the old unconditional replace +
+    own-version re-check the pointer ended at 5 (regressed, and
+    vacuum would reap committed snap-6); under the flock'd
+    read-check-replace W5 must observe 6 and leave it alone."""
+    path = str(tmp_path / "t")
+    be = FileCommitBackend()
+    import os
+
+    os.makedirs(path)
+    be.advance_pointer(path, 4)
+    assert be.current_version(path) == 4
+    # W6 lands first
+    be.advance_pointer(path, 6)
+    assert be.current_version(path) == 6
+    # W5's delayed advance — must be a no-op, not a clobber
+    be.advance_pointer(path, 5)
+    assert be.current_version(path) == 6
+
+
+def test_cas_pointer_cannot_regress(store):
+    be = ConditionalPutCommitBackend(store)
+    be.advance_pointer("tbl", 4)
+    be.advance_pointer("tbl", 6)
+    be.advance_pointer("tbl", 5)
+    assert be.current_version("tbl") == 6
+
+
+# ---- full commit protocol over the conditional store --------------------
+
+
+def _commit_once(be, path: str, payload_dir: str, max_retries: int = 64):
+    """The write_snapshot claim loop, minus Spark (data already
+    'staged' at payload_dir)."""
+    for _ in range(max_retries):
+        versions = be.versions(path)
+        cur = be.current_version(path)
+        cand = max(versions + ([cur] if cur is not None else []) + [0]) + 1
+        if be.claim_version(path, cand, payload_dir):
+            be.advance_pointer(path, cand)
+            return cand
+    raise RuntimeError("lost the race every time")
+
+
+def test_conditional_put_commit_sequence(store):
+    be = ConditionalPutCommitBackend(store)
+    v1 = _commit_once(be, "tbl", "/data/.staging-aaa")
+    v2 = _commit_once(be, "tbl", "/data/.staging-bbb")
+    assert (v1, v2) == (1, 2)
+    assert be.versions("tbl") == [1, 2]
+    assert be.current_version("tbl") == 2
+    # manifests resolve to the immutable (never-renamed) staging dirs
+    assert be.data_dir("tbl", 1) == "/data/.staging-aaa"
+    assert be.data_dir("tbl", 2) == "/data/.staging-bbb"
+    with pytest.raises(FileNotFoundError):
+        be.data_dir("tbl", 9)
+
+
+def test_conditional_put_contention_all_land(store):
+    """6 writers hammer one table through the object-store commit
+    path: every writer lands a distinct version, the pointer ends at
+    the max, and every manifest resolves to its writer's own data
+    dir (no cross-merge)."""
+    be = ConditionalPutCommitBackend(store)
+    n = 6
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+    barrier = threading.Barrier(n)
+
+    def writer(i: int) -> None:
+        barrier.wait()
+        try:
+            results[i] = _commit_once(be, "tbl", f"/data/.staging-{i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert errors == []
+    versions = sorted(results.values())
+    assert versions == list(range(1, n + 1))
+    assert be.current_version("tbl") == n
+    for i, v in results.items():
+        assert be.data_dir("tbl", v) == f"/data/.staging-{i}"
+
+
+# ---- write_snapshot through the pluggable backend -----------------------
+
+
+def test_write_snapshot_conditional_put_backend(spark, tmp_path):
+    """The real write_snapshot/read_snapshot path through the
+    object-store backend: data files land under their staging names
+    and are NEVER renamed; manifests + pointer live in the store."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    store = MemoryConditionalStore()
+    be = ConditionalPutCommitBackend(store)
+    path = str(tmp_path / "tbl")
+
+    v1 = write_snapshot(spark.range(0, 5).toDF("id"), path, backend=be)
+    v2 = write_snapshot(spark.range(5, 12).toDF("id"), path, backend=be)
+    assert (v1, v2) == (1, 2)
+    assert be.current_version(path) == 2
+
+    cur = {r.id for r in read_snapshot(spark, path, backend=be).collect()}
+    assert cur == set(range(5, 12))
+    old = {r.id for r in read_snapshot(spark, path, 1, backend=be).collect()}
+    assert old == set(range(0, 5))
+    # the data dirs really are the un-renamed staging dirs
+    assert ".staging-" in be.data_dir(path, 1)
+
+
+def test_claim_version_nonrace_oserror_surfaces(tmp_path):
+    """A claim failure that is NOT the lost-the-race errno must
+    raise immediately, not burn retries and be misreported as a
+    writer storm (round-5 advice)."""
+    be = FileCommitBackend()
+    path = str(tmp_path / "t")
+    import os
+
+    os.makedirs(path)
+    with pytest.raises(OSError):
+        # staging dir does not exist -> ENOENT, a real failure
+        be.claim_version(path, 1, str(tmp_path / "no-such-staging"))

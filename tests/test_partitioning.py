@@ -35,6 +35,23 @@ def test_floor_skips_post_shuffle_frames(spark):
     assert ensure_parallelism(agged, 8) is agged
 
 
+def test_floor_applies_after_global_limit(spark):
+    """r5 ADVICE (low): a global limit collapses output to a single
+    partition no matter what shuffles beneath it — the floor must
+    treat post-limit frames as narrow and respread them, else
+    compute-dense work downstream of a limit runs serially."""
+    limited = (
+        spark.range(100000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .count()
+        .limit(500)
+    )
+    out = ensure_parallelism(limited, 8)
+    assert out is not limited  # the floor engaged despite the agg below
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 500
+
+
 def test_floor_disabled_with_zero(spark):
     narrow = spark.range(10).coalesce(1)
     assert ensure_parallelism(narrow, 0) is narrow

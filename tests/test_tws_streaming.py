@@ -11,6 +11,12 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+# transformWithStateInPandas's state protocol needs google.protobuf at
+# task runtime; without it every tws query dies mid-task.  Skip the
+# whole module when absent (the capability stays covered by
+# test_stateful_streaming.py and the session_window tests).
+pytest.importorskip("google.protobuf")
+
 from enclaveid_data_pipeline_spark.streaming.stateful import stateful_sessionize
 from enclaveid_data_pipeline_spark.streaming.sessions import read_event_stream
 from enclaveid_data_pipeline_spark.streaming.tws import (
