@@ -662,6 +662,29 @@ def simhash_hamming_pairs(
     )
 
 
+def normalized_prefix_key(col, n: int = 20, raw_window: int = 120):
+    """SNM sort key: first ``n`` chars of the lowercased text with
+    everything outside ``[a-z0-9 ]`` stripped.
+
+    The regex is evaluated over only the first ``raw_window`` RAW
+    characters, not the whole document — the r5 sf10 profile showed
+    the full-text ``regexp_replace`` alone cost ~25s over 500k
+    ~450-char docs (Java regex char-class delete is slow) and
+    dominated the entire SNM query. ``raw_window`` must comfortably
+    exceed ``n`` so stripping punctuation still leaves ``n`` clean
+    chars (6× here); a pathological doc with >``raw_window − n``
+    junk chars up front gets a shorter key, which only perturbs ITS
+    sort position — every consumer (engine and oracle) shares this
+    definition, so results stay engine-identical."""
+    return F.substring(
+        F.regexp_replace(
+            F.lower(F.substring(col, 1, raw_window)), "[^a-z0-9 ]", ""
+        ),
+        1,
+        n,
+    )
+
+
 def snm_neighbor_pairs(
     keyed: DataFrame,
     window_size: int,
@@ -669,6 +692,7 @@ def snm_neighbor_pairs(
     id_col: str = "doc_id",
     carry_cols: tuple[str, ...] = (),
     bucket_chars: int = 2,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995):
     each record paired with its next ``window_size − 1`` neighbors in
@@ -689,14 +713,32 @@ def snm_neighbor_pairs(
     possible): raise it for corpora whose keys share long common
     prefixes (boilerplate headers), where 2-char buckets would
     collapse the ordinal stage onto few tasks.
+
+    Two materialization boundaries (``materialize=`` — see
+    ``materialize.py``; r6, from the sf10 profile): the slim keyed
+    projection is cut BEFORE the rank so the caller's key expression
+    (often an expensive text normalization) is evaluated exactly
+    once instead of once per consuming subtree (the offset-count
+    branch, the window branch, and both join sides — 4× before),
+    and the ordinal table is cut AFTER so the bucketed window sort
+    runs once, not once per join side. Keep ``carry_cols`` slim
+    (ids, keys) — carried columns live in both boundaries and are
+    duplicated ``window_size − 1``× through the pair join; join wide
+    payloads back AFTER pairing instead.
     """
     from .rank import global_row_number, string_prefix_bucket
 
-    ordd = global_row_number(
-        keyed,
-        [F.asc(key_col), F.asc(id_col)],
-        string_prefix_bucket(F.col(key_col), chars=bucket_chars),
-        out="__ord",
+    slim = _materialize(
+        keyed.select(id_col, key_col, *carry_cols), materialize
+    )
+    ordd = _materialize(
+        global_row_number(
+            slim,
+            [F.asc(key_col), F.asc(id_col)],
+            string_prefix_bucket(F.col(key_col), chars=bucket_chars),
+            out="__ord",
+        ),
+        materialize,
     )
     left = (
         ordd.select(

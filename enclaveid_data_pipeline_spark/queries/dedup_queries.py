@@ -2530,7 +2530,8 @@ _SNM_W = 4  # window width: each record pairs with the next w-1 in key order
 _SNM_ORACLE = f"""
     WITH keyed AS (
         SELECT doc_id, text,
-               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               substr(regexp_replace(lower(substr(text, 1, 120)),
+                                     '[^a-z0-9 ]', '', 'g'),
                       1, 20) AS snm_key
         FROM documents
     ), ordered AS (
@@ -2573,18 +2574,29 @@ def snm_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rank.py — no unpartitioned window anywhere), the w−1
     neighbor pairs an equi-join on ordinal+k (uniform dense-long
     key, skew-free); verification joins text back only for
-    candidates."""
-    from ..operators.dedup import snm_neighbor_pairs, tokenize
+    candidates (r6: previously text was CARRIED through the ordinal
+    sort and duplicated w−1× through the pair join — the sf10
+    profile also showed the full-text key regex evaluated 4×, now
+    bounded to the first 120 chars and evaluated once behind the
+    operator's materialization boundary)."""
+    from ..operators.dedup import (
+        normalized_prefix_key,
+        snm_neighbor_pairs,
+        tokenize,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     keyed = docs.select(
-        "doc_id",
-        "text",
-        F.substring(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
-        ).alias("snm_key"),
+        "doc_id", normalized_prefix_key(F.col("text")).alias("snm_key")
     )
-    pairs = snm_neighbor_pairs(keyed, _SNM_W, carry_cols=("text",))
+    pairs = snm_neighbor_pairs(keyed, _SNM_W)
+    lhs = docs.select(
+        F.col("doc_id").alias("left_id"), F.col("text").alias("left_text")
+    )
+    rhs = docs.select(
+        F.col("doc_id").alias("right_id"), F.col("text").alias("right_text")
+    )
+    pairs = pairs.join(lhs, on="left_id").join(rhs, on="right_id")
     lt = tokenize(F.col("left_text"))
     rt = tokenize(F.col("right_text"))
     jac = F.round(
@@ -3135,7 +3147,8 @@ _CONSENSUS_ORACLE = f"""
         WHERE bit_count(xor(a.sig, b.sig)) <= 2
     ), skeyed AS (
         SELECT doc_id,
-               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               substr(regexp_replace(lower(substr(text, 1, 120)),
+                                     '[^a-z0-9 ]', '', 'g'),
                       1, 20) AS snm_key
         FROM documents
     ), sordered AS (
@@ -3232,11 +3245,10 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generator (no unpartitioned window), token-Jaccard >= 0.5
     from ..operators.dedup import snm_neighbor_pairs
 
+    from ..operators.dedup import normalized_prefix_key
+
     keyed = docs.select(
-        "doc_id",
-        F.substring(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
-        ).alias("snm_key"),
+        "doc_id", normalized_prefix_key(F.col("text")).alias("snm_key")
     )
     spairs = snm_neighbor_pairs(keyed, 4).select(
         F.least("left_id", "right_id").alias("left_id"),
@@ -3324,7 +3336,8 @@ _BLOCKING_ORACLE = f"""
         WHERE bit_count(xor(a.sig, b.sig)) <= 2
     ), skeyed AS (
         SELECT doc_id,
-               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               substr(regexp_replace(lower(substr(text, 1, 120)),
+                                     '[^a-z0-9 ]', '', 'g'),
                       1, 20) AS snm_key
         FROM documents
     ), sordered AS (
@@ -3416,11 +3429,10 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id")
     from ..operators.dedup import snm_neighbor_pairs
 
+    from ..operators.dedup import normalized_prefix_key
+
     keyed = docs.select(
-        "doc_id",
-        F.substring(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 20
-        ).alias("snm_key"),
+        "doc_id", normalized_prefix_key(F.col("text")).alias("snm_key")
     )
     c_snm = snm_neighbor_pairs(keyed, 4).select(
         F.least("left_id", "right_id").alias("left_id"),
