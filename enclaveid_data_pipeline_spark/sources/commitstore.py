@@ -75,6 +75,11 @@ class ConditionalStore:
     def list_keys(self, prefix: str) -> list[str]:
         raise NotImplementedError
 
+    def delete(self, key: str) -> None:
+        """Unconditional delete; absent key is a no-op (object-store
+        DELETE semantics)."""
+        raise NotImplementedError
+
 
 class MemoryConditionalStore(ConditionalStore):
     """In-memory reference implementation (thread-safe) — the test
@@ -113,6 +118,10 @@ class MemoryConditionalStore(ConditionalStore):
     def list_keys(self, prefix: str) -> list[str]:
         with self._lock:
             return sorted(k for k in self._data if k.startswith(prefix))
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._data.pop(key, None)
 
 
 class FileConditionalStore(ConditionalStore):
@@ -187,6 +196,12 @@ class FileConditionalStore(ConditionalStore):
                     out.append(key)
         return sorted(out)
 
+    def delete(self, key: str) -> None:
+        try:
+            os.unlink(self._p(key))
+        except FileNotFoundError:
+            pass
+
 
 # ---- commit backends -----------------------------------------------------
 
@@ -217,6 +232,13 @@ class CommitBackend:
 
     def data_dir(self, path: str, version: int) -> str:
         """Filesystem/URI location of a claimed version's data."""
+        raise NotImplementedError
+
+    def drop_version(self, path: str, version: int) -> str | None:
+        """Forget a claimed version (manifest/directory) and return
+        the data location the caller should reclaim, or None if the
+        data was already removed by the drop itself. Run only while
+        no writer is active (same caveat as vacuum)."""
         raise NotImplementedError
 
 
@@ -284,6 +306,12 @@ class FileCommitBackend(CommitBackend):
     def data_dir(self, path: str, version: int) -> str:
         return os.path.join(path, _SNAP_FMT.format(version))
 
+    def drop_version(self, path: str, version: int) -> str | None:
+        import shutil
+
+        shutil.rmtree(self.data_dir(path, version), ignore_errors=True)
+        return None  # snap dir IS the data; nothing left to reclaim
+
 
 class ConditionalPutCommitBackend(CommitBackend):
     """The object-store commit path: versions are manifest objects
@@ -350,6 +378,17 @@ class ConditionalPutCommitBackend(CommitBackend):
                 f"snapshot {version} has no manifest under {path}"
             )
         return json.loads(data.decode())["data_dir"]
+
+    def drop_version(self, path: str, version: int) -> str | None:
+        try:
+            loc = self.data_dir(path, version)
+        except FileNotFoundError:
+            return None
+        # delete the manifest FIRST so a concurrent reader either
+        # resolves the version fully or not at all — never a manifest
+        # pointing at half-deleted data
+        self.store.delete(self._manifest_key(path, version))
+        return loc
 
 
 DEFAULT_BACKEND = FileCommitBackend()

@@ -326,20 +326,54 @@ def read_snapshot(
     return spark.read.parquet(snap_dir)
 
 
-def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
+def vacuum_snapshots(
+    path: str,
+    keep_last: int = 2,
+    backend: "CommitBackend | None" = None,
+) -> list[int]:
     """Reclaim space: keep the newest ``keep_last`` COMMITTED
     snapshots (the pointer's own version always among them), drop
-    older history, crashed-writer orphans (dirs newer than the
+    older history, crashed-writer orphans (versions newer than the
     pointer) and abandoned ``.staging-*`` directories. Run only
     while no writer is active — writers are safe against EACH OTHER
     (conditional-swap commit), but vacuum racing an in-flight writer
     could reap its freshly-claimed, not-yet-pointed snapshot or its
-    live staging dir. FileCommitBackend layouts only — under a
-    ConditionalPutCommitBackend the data lives in the staging dirs
-    the manifests point at (vacuum there = delete manifests older
-    than the retained window, then their data dirs). Returns removed
+    live staging dir. Works through the same pluggable backend as
+    :func:`write_snapshot`: under a
+    :class:`~.commitstore.ConditionalPutCommitBackend` a dropped
+    version's manifest is deleted FIRST (readers never resolve a
+    version to half-deleted data) and orphan staging dirs are the
+    ones no surviving manifest references. Returns removed
     versions."""
     import shutil
+
+    if backend is not None:
+        cur = backend.current_version(path)
+        versions = backend.versions(path)
+        committed = [v for v in versions if cur is None or v <= cur]
+        keep = set(committed[-max(keep_last, 1):])
+        if cur is not None:
+            keep.add(cur)
+        removed = []
+        for v in versions:
+            if v in keep:
+                continue
+            loc = backend.drop_version(path, v)
+            if loc is not None:
+                shutil.rmtree(loc, ignore_errors=True)
+            removed.append(v)
+        # staging dirs no surviving manifest references are crashed-
+        # writer debris (claimed dirs were just handled above)
+        referenced = set()
+        for v in backend.versions(path):
+            try:
+                referenced.add(os.path.basename(backend.data_dir(path, v)))
+            except FileNotFoundError:
+                continue
+        for n in os.listdir(path) if os.path.isdir(path) else []:
+            if n.startswith(".staging-") and n not in referenced:
+                shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+        return removed
 
     for n in os.listdir(path) if os.path.isdir(path) else []:
         if n.startswith(".staging-"):

@@ -172,6 +172,42 @@ def test_write_snapshot_conditional_put_backend(spark, tmp_path):
     assert ".staging-" in be.data_dir(path, 1)
 
 
+def test_vacuum_through_conditional_put_backend(spark, tmp_path):
+    """Retention through the abstraction: old manifests + their data
+    dirs reclaimed, pointer's version kept, orphan (unreferenced)
+    staging dirs reaped, referenced staging dirs kept."""
+    import os
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    be = ConditionalPutCommitBackend(MemoryConditionalStore())
+    path = str(tmp_path / "tbl")
+    for lo in (0, 10, 20, 30):
+        write_snapshot(spark.range(lo, lo + 5).toDF("id"), path, backend=be)
+    # a crashed writer's never-claimed staging dir
+    orphan = os.path.join(path, ".staging-deadbeef")
+    os.makedirs(orphan)
+
+    removed = vacuum_snapshots(path, keep_last=2, backend=be)
+    assert removed == [1, 2]
+    assert be.versions(path) == [3, 4]
+    assert be.current_version(path) == 4
+    assert not os.path.isdir(orphan)
+    # surviving versions still readable (their staging dirs kept)
+    assert {r.id for r in read_snapshot(spark, path, 3, backend=be).collect()} == set(
+        range(20, 25)
+    )
+    with pytest.raises(FileNotFoundError):
+        be.data_dir(path, 1)
+    # dropped versions' data dirs are gone from disk
+    staging_dirs = [n for n in os.listdir(path) if n.startswith(".staging-")]
+    assert len(staging_dirs) == 2
+
+
 def test_claim_version_nonrace_oserror_surfaces(tmp_path):
     """A claim failure that is NOT the lost-the-race errno must
     raise immediately, not burn retries and be misreported as a
