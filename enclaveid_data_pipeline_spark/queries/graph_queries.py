@@ -174,15 +174,21 @@ def label_propagation_3r(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
+    # distinct on the INT key pair, then build the string labels —
+    # the de-dup shuffle moves 16-byte int pairs instead of ~30-byte
+    # concatenated strings and compares longs, not UTF8 (r6); the
+    # resulting string-pair set is identical (concat is injective
+    # on (custkey, suppkey))
     pairs = (
         orders.join(
             lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
         )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
         )
-        .distinct()
     )
     return pairs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst")
@@ -201,7 +207,17 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join + one partial-aggregated per-dst sum + a broadcast
     1-row dangling term — the connected-components discipline applied
     to rank propagation. Integer arithmetic end to end, so the
-    unrolled SQL oracle replays it exactly."""
+    unrolled SQL oracle replays it exactly.
+
+    r6 scale shape: the iteration runs on PACKED LONG node ids
+    (customer k → 2k, supplier k → 2k+1) instead of 'c<k>'/'s<k>'
+    strings — the distinct shuffles 16-byte int pairs instead of
+    ~30-byte strings, the cached edge table halves, and every
+    per-round hash/compare is a long op. Rank is a function of graph
+    STRUCTURE only and the packing is bijective, so per-node ranks
+    are bit-identical; string labels are reconstructed after the
+    last round, before the final order-by (so tie-breaks still
+    compare the labels the oracle sees)."""
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -209,8 +225,8 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
         )
         .distinct()
     )
@@ -231,7 +247,18 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_mode="local",
         broadcast_ranks=True,
     )
-    return ranks.orderBy(F.col("rank_s").desc(), "node").limit(20)
+    labeled = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        "rank_s",
+    )
+    return labeled.orderBy(F.col("rank_s").desc(), "node").limit(20)
 
 
 def _walk_step(step: int, cur_w: str, nxt_w: str) -> str:
