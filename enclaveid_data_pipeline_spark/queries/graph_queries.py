@@ -116,15 +116,19 @@ def bfs_hops_4(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round touches only the frontier's out-neighborhood, the
     shape that keeps short-diameter reachability cheap on a huge
     graph. Oracle: recursive CTE with a hop bound, min(hop) per
-    node."""
+    node. Hop distance is structure-only, so the frontier iterates
+    on packed long ids (r6, the pagerank treatment) and labels are
+    rebuilt arithmetically at the end — the string-form oracle is
+    unchanged."""
     from ..operators.graph import bfs_levels
 
-    edges = _cust_supp_edges(spark, sf_dir)
+    edges = _cust_supp_edges_packed(spark, sf_dir)
     orders = read_table(spark, sf_dir, "orders")
     seeds = orders.agg(F.min("o_custkey").alias("k")).select(
-        F.concat(F.lit("c"), F.col("k")).alias("node")
+        (F.col("k").cast("long") * 2).alias("node")
     )
-    return bfs_levels(edges, seeds, max_hops=4)
+    hops = bfs_levels(edges, seeds, max_hops=4)
+    return hops.withColumn("node", _unpack_label(F.col("node")))
 
 
 def _lpa_round(cur: str, nxt: str) -> str:
@@ -199,6 +203,43 @@ def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cust_supp_edges_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier edges on PACKED LONG node ids
+    (customer k → 2k, supplier k → 2k+1). The iteration-side twin of
+    :func:`_cust_supp_edges`: the de-dup shuffle moves 16-byte int
+    pairs, the cached edge table halves, and every per-round
+    hash/compare is a long op. The packing is bijective, so any
+    structure-only result (ranks, hops) is bit-identical; label
+    reconstruction is pure arithmetic (:func:`_unpack_label`), never
+    a join."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst")
+        )
+    )
+
+
+def _unpack_label(col):
+    """'c<k>' / 's<k>' label for a packed-long node id column."""
+    return F.when(
+        col % 2 == 0, F.concat(F.lit("c"), (col / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((col - 1) / 2).cast("long")))
+
+
 @register("pagerank_top20", oracle=_pagerank_oracle())
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three fixed-point PageRank rounds over the symmetrized
@@ -218,25 +259,7 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical; string labels are reconstructed after the
     last round, before the final order-by (so tie-breaks still
     compare the labels the oracle sees)."""
-    orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(
-            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
-        )
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("snode").alias("src"), F.col("cnode").alias("dst")
-        )
-    )
+    edges = _cust_supp_edges_packed(spark, sf_dir)
     ranks = pagerank_fixed(
         edges,
         iterations=_ITER,
@@ -248,24 +271,20 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_ranks=True,
     )
     labeled = ranks.select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
-        )
-        .otherwise(
-            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
-        )
-        .alias("node"),
-        "rank_s",
+        _unpack_label(F.col("node")).alias("node"), "rank_s"
     )
     return labeled.orderBy(F.col("rank_s").desc(), "node").limit(20)
 
 
 def _walk_step(step: int, cur_w: str, nxt_w: str) -> str:
     """One deterministic walk step in SQL (md5-indexed sorted
-    neighbor list, operators.graph.deterministic_random_walks)."""
+    neighbor list, operators.graph.deterministic_random_walks).
+    Node ids are packed BIGINTs (r6), so every md5 seed / walk
+    fragment casts through the same decimal rendering Spark's
+    ``cast('string')`` produces."""
     pick = (
-        f"nb.nbrs[CAST(('0x' || substr(md5(w.start || '|{step}|' || w.cur),"
+        f"nb.nbrs[CAST(('0x' || substr(md5(w.start::VARCHAR ||"
+        f" '|{step}|' || w.cur::VARCHAR),"
         f" 1, 8))::BIGINT % len(nb.nbrs) AS INT) + 1]"
     )
     return f"""
@@ -273,22 +292,48 @@ def _walk_step(step: int, cur_w: str, nxt_w: str) -> str:
         SELECT w.start, {pick} AS nxt, w.walk
         FROM {cur_w} w JOIN nbrs nb ON nb.node = w.cur
     ), {nxt_w} AS (
-        SELECT start, nxt AS cur, walk || ' ' || nxt AS walk FROM s{step}
+        SELECT start, nxt AS cur,
+               walk || ' ' || nxt::VARCHAR AS walk FROM s{step}
     )
     """
 
 
+_GRAPH_CTE_PACKED = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT CAST(2 * c AS BIGINT) AS src,
+               CAST(2 * s + 1 AS BIGINT) AS dst FROM pairs
+        UNION ALL
+        SELECT CAST(2 * s + 1 AS BIGINT), CAST(2 * c AS BIGINT) FROM pairs
+    )
+"""
+
+
+def _sql_unpack(expr: str) -> str:
+    """DuckDB twin of :func:`_unpack_label` for a packed BIGINT."""
+    return (
+        f"CASE WHEN ({expr}) % 2 = 0 THEN 'c' || (({expr}) // 2)::VARCHAR"
+        f" ELSE 's' || ((({expr}) - 1) // 2)::VARCHAR END"
+    )
+
+
 _WALKS_ORACLE = (
-    _GRAPH_CTE
+    _GRAPH_CTE_PACKED
     + """
     , nbrs AS MATERIALIZED (
         SELECT src AS node, list_sort(list(DISTINCT dst)) AS nbrs
         FROM e GROUP BY src
     ), w0 AS (
-        SELECT node AS start, node AS cur, node AS walk FROM nbrs
+        SELECT node AS start, node AS cur, node::VARCHAR AS walk FROM nbrs
     ), """
     + ",".join(_walk_step(i, f"w{i}", f"w{i + 1}") for i in range(3))
-    + " SELECT start, walk FROM w3"
+    + f"""
+    SELECT {_sql_unpack("start")} AS start,
+           array_to_string(list_transform(string_split(walk, ' '),
+               x -> {_sql_unpack("x::BIGINT")}), ' ') AS walk
+    FROM w3"""
 )
 
 
@@ -300,11 +345,29 @@ def random_walks_len3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sentences" that graph-embedding training consumes, reproducible
     run-to-run and engine-to-engine where rand() walks are neither.
     Per step: one walks⋈neighbor-lists equi-join + row-local md5
-    indexing; walk state is one row per walk at any length."""
+    indexing; walk state is one row per walk at any length.
+
+    r6 scale shape: the walk iterates on PACKED LONG node ids (the
+    pagerank treatment) — neighbor arrays are long[] instead of
+    string[], array_sort compares longs, and the per-step join key
+    hashes 8 bytes. The md5 next-hop seeds hash the packed ids'
+    decimal rendering (a determinism choice the oracle replays
+    exactly); 'c<k>'/'s<k>' labels are reconstructed from the
+    finished walk strings by pure arithmetic — no label join."""
     from ..operators.graph import deterministic_random_walks
 
-    edges = _cust_supp_edges(spark, sf_dir)
-    return deterministic_random_walks(edges, walk_len=3)
+    edges = _cust_supp_edges_packed(spark, sf_dir)
+    walks = deterministic_random_walks(edges, walk_len=3)
+    return walks.select(
+        _unpack_label(F.col("start")).alias("start"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("walk"), " "),
+                lambda x: _unpack_label(x.cast("long")),
+            ),
+            " ",
+        ).alias("walk"),
+    )
 
 
 _PPR_ROUND = """
@@ -375,13 +438,16 @@ def ppr_related_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the seed, so rank = proximity to that customer — the "related
     items" recommendation primitive, in the same bit-replayable
     fixed-point discipline as global PageRank (oracle unrolls the
-    identical rounds). Top-20 nonzero-rank nodes."""
+    identical rounds). Top-20 nonzero-rank nodes. Rank is
+    structure-only, so the rounds run on packed long ids (r6, the
+    pagerank treatment); labels are rebuilt before the final
+    order-by so tie-breaks compare the strings the oracle sees."""
     from ..operators.graph import personalized_pagerank_fixed
 
-    edges = _cust_supp_edges(spark, sf_dir)
+    edges = _cust_supp_edges_packed(spark, sf_dir)
     orders = read_table(spark, sf_dir, "orders")
     seeds = orders.agg(F.min("o_custkey").alias("k")).select(
-        F.concat(F.lit("c"), F.col("k")).alias("node")
+        (F.col("k").cast("long") * 2).alias("node")
     )
     ranks = personalized_pagerank_fixed(
         edges,
@@ -392,6 +458,7 @@ def ppr_related_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranks.filter(F.col("rank_s") > 0)
+        .select(_unpack_label(F.col("node")).alias("node"), "rank_s")
         .orderBy(F.col("rank_s").desc(), "node")
         .limit(20)
     )
