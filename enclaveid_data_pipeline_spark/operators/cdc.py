@@ -157,3 +157,70 @@ def scd2_history(
         .withColumn("version", F.row_number().over(w2))
         .drop("__is_change")
     )
+
+
+def table_changes(
+    df_from: DataFrame,
+    df_to: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change feed between two states of a keyed table: the rows an
+    incremental consumer must apply to turn ``df_from`` into
+    ``df_to`` — the batch emulation of a warehouse change-data-feed
+    (Delta CDF / Iceberg changelog shape). Returns ``df_to``'s
+    columns plus ``change_type`` ∈ {'insert', 'delete',
+    'update_pre', 'update_post'}; updates emit BOTH images so a
+    downstream aggregate can retract the old row and apply the new
+    (the update_pre/update_post convention consumed by incremental
+    view maintenance, operators.ivm). Unchanged rows emit nothing.
+
+    Keys must be non-null and unique per state (the snapshot
+    contract); attribute comparison is null-safe per column — no row
+    hashing, so a hash collision can never mask an update.
+
+    Shape: ONE full-outer equi-join on ``keys`` (both sides shuffle
+    hash-partitioned — co-located and exchange-free when the
+    snapshots live bucketed by key, sources.layout.save_bucketed)
+    followed by a row-local CASE + explode that emits 0, 1, or 2
+    struct rows. The join runs once: the four change classes are
+    branches of one array expression, not four filters over a
+    re-executed join.
+    """
+    keys = list(keys)
+    non_keys = [c for c in df_to.columns if c not in keys]
+    if [c for c in df_from.columns if c not in keys] != non_keys:
+        raise ValueError(
+            "table_changes: from/to column sets differ — "
+            f"{df_from.columns} vs {df_to.columns}"
+        )
+    # presence sentinels: after an equi-join ON keys the key columns
+    # coalesce, and non-key columns can be legitimately NULL, so
+    # side-presence needs its own always-true flag per side
+    f_side = df_from.withColumn("__present_f", F.lit(True)).alias("f")
+    t_side = df_to.withColumn("__present_t", F.lit(True)).alias("t")
+    joined = f_side.join(t_side, on=keys, how="full_outer")
+    in_from = F.col("__present_f").isNotNull()
+    in_to = F.col("__present_t").isNotNull()
+    changed = F.lit(False)
+    for c in non_keys:
+        changed = changed | ~F.col(f"f.{c}").eqNullSafe(F.col(f"t.{c}"))
+
+    def _img(side: str, tag: str) -> Column:
+        return F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(f"{side}.{c}").alias(c) for c in non_keys],
+            F.lit(tag).alias("change_type"),
+        )
+
+    emit = (
+        F.when(~in_from & in_to, F.array(_img("t", "insert")))
+        .when(in_from & ~in_to, F.array(_img("f", "delete")))
+        .when(
+            changed,
+            F.array(_img("f", "update_pre"), _img("t", "update_post")),
+        )
+        # typed empty array for the unchanged branch: slice an image
+        # array to length 0 so the type unifies with the when-branches
+        .otherwise(F.slice(F.array(_img("t", "insert")), 1, 0))
+    )
+    return joined.select(F.explode(emit).alias("ch")).select("ch.*")

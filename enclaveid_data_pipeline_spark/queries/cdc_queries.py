@@ -234,3 +234,67 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.min("user_id").cast("long").alias("min_user_id"),
     )
+
+
+@register(
+    "snapshot_change_feed",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ), t AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice
+                     + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END,
+                     2) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT t.o_orderkey, t.o_custkey, t.price,
+           'insert' AS change_type
+    FROM t LEFT JOIN f USING (o_orderkey) WHERE f.o_orderkey IS NULL
+    UNION ALL
+    SELECT f.o_orderkey, f.o_custkey, f.price, 'delete'
+    FROM f LEFT JOIN t USING (o_orderkey) WHERE t.o_orderkey IS NULL
+    UNION ALL
+    SELECT f.o_orderkey, f.o_custkey, f.price, 'update_pre'
+    FROM f JOIN t USING (o_orderkey)
+    WHERE f.price IS DISTINCT FROM t.price
+       OR f.o_custkey IS DISTINCT FROM t.o_custkey
+    UNION ALL
+    SELECT t.o_orderkey, t.o_custkey, t.price, 'update_post'
+    FROM f JOIN t USING (o_orderkey)
+    WHERE f.price IS DISTINCT FROM t.price
+       OR f.o_custkey IS DISTINCT FROM t.o_custkey
+    """,
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two derived states of ``orders``
+    (operators.cdc.table_changes — the incremental read primitive
+    behind sources.layout.snapshot_changes): version A drops every
+    5th key, version B drops every 3rd and bumps every 4th key's
+    price, so the feed exercises all four change classes. ONE
+    full-outer key join + a row-local CASE/explode — the four
+    classes are branches of a single array expression, never four
+    filters over a re-executed join; per-column null-safe
+    comparison, so no row-hash collision can mask an update. The
+    oracle replays the same diff as four UNION ALL branches."""
+    from ..operators.cdc import table_changes
+
+    orders = read_table(spark, sf_dir, "orders")
+    state_f = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    state_t = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+            2,
+        ).alias("price"),
+    )
+    return table_changes(state_f, state_t, ["o_orderkey"])

@@ -326,6 +326,41 @@ def read_snapshot(
     return spark.read.parquet(snap_dir)
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    version_from: int,
+    version_to: int | None = None,
+    *,
+    keys: list[str],
+    backend: "CommitBackend | None" = None,
+) -> DataFrame:
+    """Change feed between two committed snapshot versions: the
+    insert/delete/update_pre/update_post rows an incremental
+    consumer must apply to move from ``version_from`` to
+    ``version_to`` (default: the current pointer) — time-travel's
+    incremental twin, the Delta-CDF/Iceberg-changelog read shape on
+    this snapshot layout. One full-outer key join between the two
+    snapshot reads (operators.cdc.table_changes); both sides prune
+    to the consumer's columns before the join."""
+    if version_to is None:
+        v = (
+            backend.current_version(path)
+            if backend is not None
+            else current_snapshot(path)
+        )
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        version_to = v
+    from ..operators.cdc import table_changes
+
+    return table_changes(
+        read_snapshot(spark, path, version_from, backend=backend),
+        read_snapshot(spark, path, version_to, backend=backend),
+        keys,
+    )
+
+
 def vacuum_snapshots(
     path: str,
     keep_last: int = 2,

@@ -306,3 +306,55 @@ def test_vacuum_reaps_staging_orphans(spark, tmp_path):
         f.write("junk")
     vacuum_snapshots(path)
     assert not os.path.exists(orphan)
+
+
+def test_snapshot_changes_emits_all_four_classes(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "cdf_tbl")
+    v1_df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    # v2: key 1 unchanged, key 2 value updated, key 3 deleted,
+    # key 4 NULL->non-null update (null-safe compare), key 5 inserted
+    v2_df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 25), (4, "d", 40), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    v1 = write_snapshot(v1_df, path)
+    v2 = write_snapshot(v2_df, path)
+
+    ch = snapshot_changes(spark, path, v1, v2, keys=["k"])
+    got = {
+        (r["k"], r["s"], r["v"], r["change_type"]) for r in ch.collect()
+    }
+    assert got == {
+        (2, "b", 20, "update_pre"),
+        (2, "b", 25, "update_post"),
+        (3, "c", 30, "delete"),
+        (4, None, 40, "update_pre"),
+        (4, "d", 40, "update_post"),
+        (5, "e", 50, "insert"),
+    }
+
+    # default version_to = current pointer
+    ch2 = snapshot_changes(spark, path, v1, keys=["k"])
+    assert ch2.count() == 6
+
+    # identical states -> empty feed
+    assert snapshot_changes(spark, path, v2, v2, keys=["k"]).count() == 0
+
+
+def test_table_changes_rejects_mismatched_columns(spark):
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+
+    a = spark.createDataFrame([(1, 2)], "k int, x int")
+    b = spark.createDataFrame([(1, 2)], "k int, y int")
+    with pytest.raises(ValueError, match="column sets differ"):
+        table_changes(a, b, ["k"])
