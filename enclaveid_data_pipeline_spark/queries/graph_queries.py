@@ -88,6 +88,29 @@ _GRAPH_CTE = """
     )
 """
 
+#: packed-long twin of _GRAPH_CTE (customer k → 2k, supplier k →
+#: 2k+1) — the id space the r6 iteration-side rewrites run in
+_GRAPH_CTE_PACKED = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT CAST(2 * c AS BIGINT) AS src,
+               CAST(2 * s + 1 AS BIGINT) AS dst FROM pairs
+        UNION ALL
+        SELECT CAST(2 * s + 1 AS BIGINT), CAST(2 * c AS BIGINT) FROM pairs
+    )
+"""
+
+
+def _sql_unpack(expr: str) -> str:
+    """DuckDB twin of :func:`_unpack_label` for a packed BIGINT."""
+    return (
+        f"CASE WHEN ({expr}) % 2 = 0 THEN 'c' || (({expr}) // 2)::VARCHAR"
+        f" ELSE 's' || ((({expr}) - 1) // 2)::VARCHAR END"
+    )
+
+
 _BFS_ORACLE = (
     _GRAPH_CTE
     + """
@@ -155,10 +178,11 @@ def _lpa_round(cur: str, nxt: str) -> str:
 
 
 _LPA_ORACLE = (
-    _GRAPH_CTE
+    _GRAPH_CTE_PACKED
     + ", l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), "
     + ",".join(_lpa_round(f"l{i}", f"l{i + 1}") for i in range(3))
-    + " SELECT node, label FROM l3"
+    + f""" SELECT {_sql_unpack("node")} AS node,
+           {_sql_unpack("label")} AS label FROM l3"""
 )
 
 
@@ -168,11 +192,22 @@ def label_propagation_3r(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer↔supplier graph: every node adopts its in-neighbors'
     most frequent label, ties to the smallest. Deterministic
     replacement for async random-order LPA (useless in a replayable
-    pipeline); the oracle unrolls the identical rounds in SQL."""
+    pipeline); the oracle unrolls the identical rounds in SQL.
+
+    r6: the rounds run on packed long ids (the pagerank treatment) —
+    per-round groupBy keys and the tie-break compare longs, not
+    UTF8. 'Smallest label' therefore means smallest PACKED id (a
+    determinism choice the oracle replays in the same packed space);
+    labels translate back arithmetically only in the final
+    projection."""
     from ..operators.graph import label_propagation
 
-    edges = _cust_supp_edges(spark, sf_dir)
-    return label_propagation(edges, iterations=3)
+    edges = _cust_supp_edges_packed(spark, sf_dir)
+    labels = label_propagation(edges, iterations=3)
+    return labels.select(
+        _unpack_label(F.col("node")).alias("node"),
+        _unpack_label(F.col("label")).alias("label"),
+    )
 
 
 def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,27 +331,6 @@ def _walk_step(step: int, cur_w: str, nxt_w: str) -> str:
                walk || ' ' || nxt::VARCHAR AS walk FROM s{step}
     )
     """
-
-
-_GRAPH_CTE_PACKED = """
-    WITH pairs AS (
-        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ), e AS MATERIALIZED (
-        SELECT CAST(2 * c AS BIGINT) AS src,
-               CAST(2 * s + 1 AS BIGINT) AS dst FROM pairs
-        UNION ALL
-        SELECT CAST(2 * s + 1 AS BIGINT), CAST(2 * c AS BIGINT) FROM pairs
-    )
-"""
-
-
-def _sql_unpack(expr: str) -> str:
-    """DuckDB twin of :func:`_unpack_label` for a packed BIGINT."""
-    return (
-        f"CASE WHEN ({expr}) % 2 = 0 THEN 'c' || (({expr}) // 2)::VARCHAR"
-        f" ELSE 's' || ((({expr}) - 1) // 2)::VARCHAR END"
-    )
 
 
 _WALKS_ORACLE = (
