@@ -210,38 +210,10 @@ def label_propagation_3r(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    # distinct on the INT key pair, then build the string labels —
-    # the de-dup shuffle moves 16-byte int pairs instead of ~30-byte
-    # concatenated strings and compares longs, not UTF8 (r6); the
-    # resulting string-pair set is identical (concat is injective
-    # on (custkey, suppkey))
-    pairs = (
-        orders.join(
-            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
-        )
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
-        )
-    )
-    return pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("snode").alias("src"), F.col("cnode").alias("dst")
-        )
-    )
-
-
 def _cust_supp_edges_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized customer↔supplier edges on PACKED LONG node ids
-    (customer k → 2k, supplier k → 2k+1). The iteration-side twin of
-    :func:`_cust_supp_edges`: the de-dup shuffle moves 16-byte int
+    (customer k → 2k, supplier k → 2k+1). Every graph query iterates
+    in this id space (r6): the de-dup shuffle moves 16-byte int
     pairs, the cached edge table halves, and every per-round
     hash/compare is a long op. The packing is bijective, so any
     structure-only result (ranks, hops) is bit-identical; label
