@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def incremental_join(
@@ -47,3 +48,71 @@ def incremental_join(
         view.unionByName(delta_a.join(b_new, cols))
         .unionByName(a_old.join(delta_b, cols))
     )
+
+
+def maintain_sum_count_view(
+    view: DataFrame,
+    changes: DataFrame,
+    group_keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Retraction-based refresh of a SUM/COUNT group-by view from a
+    change feed (operators.cdc.table_changes images): each
+    insert/update_post row adds its measures, each
+    delete/update_pre row subtracts them — so updates that MOVE a
+    row between groups maintain both groups correctly (the
+    post-image credits the new group, the pre-image debits the old).
+    Groups whose count reaches zero drop out of the view.
+
+    SUM and COUNT are self-inverse under retraction, which is why
+    this works for arbitrary update/delete churn where
+    operators.rollup's mergeable-sketch folds require append-only
+    input; MIN/MAX are NOT maintainable this way (a retraction can
+    expose an unknown second-best — recompute affected groups via
+    the CDC layering instead).
+
+    Measures must be exact-arithmetic columns (integers / decimals):
+    the refreshed view is summed in a different order than a
+    recompute, so float measures would drift by IEEE
+    non-associativity. Shape: one groupBy over the (small) feed,
+    then one union+groupBy against the view — a delta-sized shuffle
+    plus a view-sized one; with view and feed both hash-partitioned
+    on ``group_keys`` the merge is co-located.
+
+    ``view`` columns must be exactly ``group_keys + sum_cols +
+    [count_col]``; the refreshed frame has the same schema, so the
+    operator composes with itself across feed batches.
+    """
+    group_keys = list(group_keys)
+    sum_cols = list(sum_cols)
+    sign = (
+        F.when(
+            F.col("change_type").isin("insert", "update_post"), F.lit(1)
+        )
+        .when(
+            F.col("change_type").isin("delete", "update_pre"), F.lit(-1)
+        )
+        .otherwise(F.lit(None))
+    )
+    delta = (
+        changes.withColumn("__sign", sign)
+        .groupBy(*group_keys)
+        .agg(
+            *[
+                F.sum(F.col(c) * F.col("__sign")).alias(c)
+                for c in sum_cols
+            ],
+            F.sum("__sign").alias(count_col),
+        )
+    )
+    merged = (
+        view.select(*group_keys, *sum_cols, count_col)
+        .unionByName(delta)
+        .groupBy(*group_keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).alias(count_col),
+        )
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -298,3 +298,66 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price"),
     )
     return table_changes(state_f, state_t, ["o_orderkey"])
+
+
+@register(
+    "change_feed_aggregate_refresh",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round((o_totalprice
+                    + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                    * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS total_cents,
+           count(*) AS n_orders
+    FROM t GROUP BY o_custkey
+    """,
+)
+def change_feed_aggregate_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate maintenance THROUGH the change feed:
+    build a per-customer SUM/COUNT view of state A, diff A→B with
+    operators.cdc.table_changes, fold the feed into the view with
+    operators.ivm.maintain_sum_count_view (insert/update_post add,
+    delete/update_pre subtract — group-moving updates debit the old
+    group and credit the new), and return the refreshed view. The
+    ORACLE computes state B's aggregate directly, so the green check
+    pins the IVM invariant: incremental == recompute, including
+    groups created, emptied, and moved between. Integer-cent
+    measures keep the differently-ordered sums exact (IEEE
+    non-associativity would flunk doubles)."""
+    from ..operators.cdc import table_changes
+    from ..operators.ivm import maintain_sum_count_view
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents_f = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_t = F.round(
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        * 100
+    ).cast("long")
+    state_f = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", cents_f.alias("cents")
+    )
+    state_t = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", cents_t.alias("cents")
+    )
+    view = state_f.groupBy("o_custkey").agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    feed = table_changes(state_f, state_t, ["o_orderkey"])
+    return maintain_sum_count_view(
+        view,
+        feed.withColumnRenamed("cents", "total_cents"),
+        group_keys=["o_custkey"],
+        sum_cols=["total_cents"],
+        count_col="n_orders",
+    )

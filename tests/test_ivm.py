@@ -49,3 +49,45 @@ def test_empty_deltas_are_identity(spark):
     view = a.join(b, "k")
     got = incremental_join(view, a, empty_a, b, empty_b, "k")
     assert _sorted(got) == _sorted(view)
+
+
+def test_maintain_sum_count_view_two_batches_equals_recompute(spark):
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+    from enclaveid_data_pipeline_spark.operators.ivm import (
+        maintain_sum_count_view,
+    )
+
+    s0 = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 20), (3, "g2", 30)],
+        "k int, g string, v long",
+    )
+    # batch 1: update k=2 value, move k=3 g2->g3, insert k=4 in g2
+    s1 = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 25), (3, "g3", 30), (4, "g2", 40)],
+        "k int, g string, v long",
+    )
+    # batch 2: delete k=1, delete k=4 (empties g2), update k=3 value
+    s2 = spark.createDataFrame(
+        [(2, "g1", 25), (3, "g3", 35)],
+        "k int, g string, v long",
+    )
+
+    def agg(df):
+        from pyspark.sql import functions as F
+
+        return df.groupBy("g").agg(
+            F.sum("v").alias("v"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    view = agg(s0)
+    for prev, cur in ((s0, s1), (s1, s2)):
+        feed = table_changes(prev, cur, ["k"]).withColumnRenamed("v", "v")
+        view = maintain_sum_count_view(
+            view, feed, group_keys=["g"], sum_cols=["v"]
+        )
+
+    got = {(r["g"], r["v"], r["n_rows"]) for r in view.collect()}
+    want = {(r["g"], r["v"], r["n_rows"]) for r in agg(s2).collect()}
+    assert got == want
+    # g2 was emptied by batch 2 and must have dropped out
+    assert not any(g == "g2" for g, _, _ in got)
