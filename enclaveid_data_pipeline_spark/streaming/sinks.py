@@ -300,3 +300,65 @@ def cms_sink(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def retraction_view_sink(
+    stream_df: DataFrame,
+    path: str,
+    group_keys: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    count_col: str = "n_rows",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Continuously maintained SUM/COUNT group-by view over a stream
+    of CHANGE IMAGES (the operators.cdc.table_changes shape:
+    ``change_type`` ∈ insert/delete/update_pre/update_post beside
+    the key and measure columns) — the streaming twin of
+    operators.ivm.maintain_sum_count_view, and the piece that turns
+    a CDC feed into a live materialized aggregate: post-images add,
+    pre-images subtract, group-moving updates maintain both groups,
+    emptied groups leave the view.
+
+    Contrast :func:`rollup_sink`: that sink folds APPEND-ONLY event
+    batches into mergeable partials; this one consumes
+    deletes/updates too, which no merge-only fold can express.
+    Measures must be exact-arithmetic (integer/decimal) — the doc'd
+    maintain_sum_count_view contract.
+
+    The fold is additive, so replays must be at-most-once: same
+    ``_batch_id`` guard as rollup_sink (a redelivered batch id is
+    detected against the stored view and skipped). Same durability
+    shape too — read-merge-overwrite with a local materialization
+    cutting lineage before the overwrite replaces the files the
+    merge read; at scale the view lives partitioned by a stable
+    prefix of ``group_keys`` and only touched partitions rewrite.
+    """
+    from ..operators.ivm import maintain_sum_count_view
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = _read_existing(spark, path)
+        if existing is not None:
+            done = existing.agg(F.max("_batch_id")).collect()[0][0]
+            if done is not None and batch_id <= done:
+                return  # replayed batch: already folded
+            view = existing.drop("_batch_id")
+        else:
+            # typed empty view: the batch's own columns, zero rows
+            view = (
+                batch_df.select(*group_keys, *sum_cols)
+                .withColumn(count_col, F.lit(0).cast("long"))
+                .limit(0)
+            )
+        merged = maintain_sum_count_view(
+            view, batch_df, group_keys, sum_cols, count_col
+        )
+        out = _materialize(
+            merged.withColumn("_batch_id", F.lit(batch_id)), "local"
+        )
+        out.write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

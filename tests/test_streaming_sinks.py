@@ -423,3 +423,76 @@ def test_cms_sink_maintains_sketch_across_batches(spark, tmp_path):
     finally:
         q2.stop()
     assert grid() == want
+
+
+def test_retraction_view_sink_applies_updates_and_deletes(spark, tmp_path):
+    """Stream change images through the retraction sink: after two
+    micro-batches the view equals the direct aggregate of the final
+    state — including an update that moves a row between groups and
+    a delete that empties a group — and a replayed batch id folds
+    nothing twice."""
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        retraction_view_sink,
+    )
+
+    stream_dir = tmp_path / "cdf_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "cdf_view")
+    schema = "k int, g string, v long, change_type string"
+
+    def drop(name, rows):
+        staging = tmp_path / "stage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"changes-{name}.parquet")
+
+    def start():
+        return retraction_view_sink(
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            out,
+            group_keys=("g",),
+            sum_cols=("v",),
+        )
+
+    # state after b1: k1(g1,10), k2(g1,20), k3(g2,30)
+    b1 = [
+        (1, "g1", 10, "insert"),
+        (2, "g1", 20, "insert"),
+        (3, "g2", 30, "insert"),
+    ]
+    # b2: k2 value 20->25, k3 moves g2->g3 (empties g2), k1 deleted
+    b2 = [
+        (2, "g1", 20, "update_pre"),
+        (2, "g1", 25, "update_post"),
+        (3, "g2", 30, "update_pre"),
+        (3, "g3", 30, "update_post"),
+        (1, "g1", 10, "delete"),
+    ]
+    q = start()
+    try:
+        drop("000", b1)
+        q.processAllAvailable()
+        drop("001", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap():
+        return {
+            r.g: (r.v, r.n_rows)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    want = {"g1": (25, 1), "g3": (30, 1)}
+    assert snap() == want
+
+    # full no-checkpoint replay re-delivers batch ids 0 and 1: the
+    # guard must fold nothing twice
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert snap() == want
