@@ -24,7 +24,7 @@ deltas themselves.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -116,3 +116,46 @@ def maintain_sum_count_view(
         )
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def refresh_touched_groups(
+    view: DataFrame,
+    base_now: DataFrame,
+    changes: DataFrame,
+    group_keys: Sequence[str],
+    measures: Mapping[str, tuple[str, str]],
+) -> DataFrame:
+    """Partial-recompute refresh for aggregates retraction can't
+    maintain (MIN/MAX — a delete can expose an unknown second-best):
+    the groups named by the change feed are re-aggregated from the
+    CURRENT base state; every other group's view row is carried
+    over untouched. Cost is O(|view| + rows-of-touched-groups),
+    never a base rescan — the standard partial-recompute layering a
+    real IVM engine falls back to, composing with
+    :func:`maintain_sum_count_view` (additive measures) over the
+    same operators.cdc.table_changes feed.
+
+    ``measures``: ``{out_col: (agg_fn, src_col)}`` with ``agg_fn``
+    any pyspark.sql.functions aggregate name ('min', 'max', 'sum',
+    ...) or 'count' (src ignored). Groups whose rows were all
+    deleted re-aggregate to zero rows and drop out; groups
+    introduced by inserts appear. Shape: one distinct over the feed,
+    one left-semi + groupBy over the base (both shuffle on
+    ``group_keys``; with base and view bucketed on them the passes
+    co-locate), one left-anti on the view.
+    """
+    group_keys = list(group_keys)
+    touched = changes.select(*group_keys).distinct()
+    aggs = []
+    for name, (kind, src) in measures.items():
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(name))
+        else:
+            aggs.append(getattr(F, kind)(src).alias(name))
+    recomputed = (
+        base_now.join(touched, group_keys, "left_semi")
+        .groupBy(*group_keys)
+        .agg(*aggs)
+    )
+    untouched = view.join(touched, group_keys, "left_anti")
+    return untouched.unionByName(recomputed)

@@ -91,3 +91,57 @@ def test_maintain_sum_count_view_two_batches_equals_recompute(spark):
     assert got == want
     # g2 was emptied by batch 2 and must have dropped out
     assert not any(g == "g2" for g, _, _ in got)
+
+
+def test_refresh_touched_groups_minmax_equals_recompute(spark):
+    """Delete the group minimum — the case pure retraction cannot
+    maintain — plus a group move and a full-group delete; the
+    partially-recomputed view must equal a from-scratch aggregate,
+    and untouched groups' rows must carry over unrecomputed."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+    from enclaveid_data_pipeline_spark.operators.ivm import (
+        refresh_touched_groups,
+    )
+
+    s0 = spark.createDataFrame(
+        [
+            (1, "g1", 10),
+            (2, "g1", 20),
+            (3, "g2", 30),
+            (4, "g2", 5),
+            (5, "g3", 7),
+        ],
+        "k int, g string, v long",
+    )
+    # delete k=4 (g2's min), move k=5 g3->g1 (empties g3), insert k=6
+    s1 = spark.createDataFrame(
+        [
+            (1, "g1", 10),
+            (2, "g1", 20),
+            (3, "g2", 30),
+            (5, "g1", 7),
+            (6, "g4", 2),
+        ],
+        "k int, g string, v long",
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    feed = table_changes(s0, s1, ["k"])
+    got = refresh_touched_groups(
+        agg(s0),
+        s1,
+        feed,
+        ["g"],
+        {"lo": ("min", "v"), "hi": ("max", "v"), "n": ("count", "*")},
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in agg(s1).collect()
+    }
