@@ -54,11 +54,15 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN json_valid(payload)
-                          AND json_extract_string(payload, '$.k') IS NOT NULL
+           CAST(sum(CASE WHEN json_extract_string(
+                              CASE WHEN json_valid(payload)
+                                   THEN payload END, '$.k')
+                              IS NOT NULL
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
-           round(sum(CASE WHEN json_valid(payload)
-                           AND json_extract_string(payload, '$.k') IS NOT NULL
+           round(sum(CASE WHEN json_extract_string(
+                               CASE WHEN json_valid(payload)
+                                    THEN payload END, '$.k')
+                               IS NOT NULL
                           THEN 0 ELSE 1 END)::DOUBLE / count(*), 6) AS error_rate
     FROM mangled
     GROUP BY event_type
