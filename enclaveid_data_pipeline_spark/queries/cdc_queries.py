@@ -361,3 +361,98 @@ def change_feed_aggregate_refresh(
         sum_cols=["total_cents"],
         count_col="n_orders",
     )
+
+
+@register(
+    "merge_into_orders_feed",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ), s AS (
+        SELECT o_orderkey AS id,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS cents,
+               (o_orderkey % 7 = 0) AS drop_it
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), upd AS (
+        -- WHEN MATCHED AND s.drop_it THEN DELETE;
+        -- WHEN MATCHED AND s.cents > t.cents THEN UPDATE
+        SELECT t.id,
+               CASE WHEN s.cents > t.cents THEN 'bumped'
+                    ELSE t.status END AS status,
+               CASE WHEN s.cents > t.cents THEN s.cents
+                    ELSE t.cents END AS cents
+        FROM t JOIN s ON t.id = s.id
+        WHERE NOT s.drop_it
+    ), keep_t AS (
+        -- WHEN NOT MATCHED BY SOURCE AND t.status = 'P' THEN DELETE
+        SELECT t.id, t.status, t.cents
+        FROM t LEFT JOIN s ON t.id = s.id
+        WHERE s.id IS NULL AND t.status <> 'P'
+    ), ins AS (
+        -- WHEN NOT MATCHED AND s.cents >= 10000 THEN INSERT
+        SELECT s.id, 'new' AS status, s.cents
+        FROM s LEFT JOIN t ON t.id = s.id
+        WHERE t.id IS NULL AND s.cents >= 10000
+    )
+    SELECT id, status, cents FROM upd
+    UNION ALL SELECT id, status, cents FROM keep_t
+    UNION ALL SELECT id, status, cents FROM ins
+    """,
+)
+def merge_into_orders_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO (operators.cdc.merge_into) exercising every
+    clause regime in one statement — the engine form of the
+    reference's per-partition delete-then-append upsert (reference
+    assets/recent_history.py:127-178) generalized to the ANSI/Delta
+    clause algebra. Target = orders keeping keys % 5 != 0; source
+    feed = keys % 3 == 0 with a price bump and a drop flag. Clauses:
+    matched+flag → DELETE, matched+higher price → UPDATE, unmatched
+    source ≥ $100 → INSERT as 'new', unmatched target in status 'P'
+    → DELETE (purge). One full-outer key join, row-local dispatch —
+    the oracle replays each regime as its own join branch."""
+    from ..operators.cdc import When, merge_into
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    target = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        (cents + F.lit(500)).alias("cents"),
+        (F.col("o_orderkey") % 7 == 0).alias("drop_it"),
+    )
+    return merge_into(
+        target,
+        source,
+        keys=("id",),
+        matched=(
+            When("delete", condition=F.col("s.drop_it")),
+            When(
+                "update",
+                condition=F.col("s.cents") > F.col("t.cents"),
+                assign={
+                    "cents": F.col("s.cents"),
+                    "status": F.lit("bumped"),
+                },
+            ),
+        ),
+        not_matched=(
+            When(
+                "insert",
+                condition=F.col("s.cents") >= 10000,
+                assign={
+                    "id": F.col("s.id"),
+                    "status": F.lit("new"),
+                    "cents": F.col("s.cents"),
+                },
+            ),
+        ),
+        not_matched_by_source=(
+            When("delete", condition=F.col("t.status") == "P"),
+        ),
+    )

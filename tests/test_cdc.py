@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from enclaveid_data_pipeline_spark.operators.cdc import (
+    When,
+    merge_into,
     apply_changes,
     latest_snapshot,
     scd2_history,
@@ -82,3 +84,129 @@ def test_scd2_null_attribute_changes(spark):
     vs = sorted((r["version"], r["attr"]) for r in hist.collect())
     # x → NULL is a change, NULL → NULL is not, NULL → x is again
     assert vs == [(1, "x"), (2, None), (3, "x")]
+
+
+# ---- merge_into (general clause algebra) -------------------------------
+
+
+def _merge_target(spark):
+    rows = [
+        (1, "alive", 100.0),
+        (2, "alive", 50.0),
+        (3, "stale", 10.0),
+        (4, "alive", 70.0),
+    ]
+    return spark.createDataFrame(rows, "id long, status string, price double")
+
+
+def _merge_source(spark):
+    rows = [
+        (1, 120.0, False),   # matched, higher price → update
+        (2, 40.0, False),    # matched, lower price → no clause → keep
+        (4, 999.0, True),    # matched, drop flag → delete
+        (9, 80.0, False),    # unmatched → insert
+        (10, 5.0, False),    # unmatched but below floor → no insert
+    ]
+    return spark.createDataFrame(rows, "id long, price double, drop_it boolean")
+
+
+def test_merge_into_full_clause_algebra(spark):
+    out = merge_into(
+        _merge_target(spark),
+        _merge_source(spark),
+        keys=("id",),
+        matched=(
+            When("delete", condition=F.col("s.drop_it")),
+            When(
+                "update",
+                condition=F.col("s.price") > F.col("t.price"),
+                assign={"price": F.col("s.price"), "status": F.lit("bumped")},
+            ),
+        ),
+        not_matched=(
+            When(
+                "insert",
+                condition=F.col("s.price") >= 10.0,
+                assign={
+                    "id": F.col("s.id"),
+                    "status": F.lit("new"),
+                    "price": F.col("s.price"),
+                },
+            ),
+        ),
+        not_matched_by_source=(
+            When("delete", condition=F.col("t.status") == "stale"),
+        ),
+    )
+    got = {r["id"]: (r["status"], r["price"]) for r in out.collect()}
+    assert got == {
+        1: ("bumped", 120.0),  # updated by the second matched clause
+        2: ("alive", 50.0),    # matched, no clause fired → unchanged
+        9: ("new", 80.0),      # inserted
+        # 3 deleted (stale, not matched by source); 4 deleted (flag);
+        # 10 not inserted (below floor)
+    }
+
+
+def test_merge_into_clause_order_first_wins(spark):
+    # both matched clauses apply to id=1; the FIRST in order wins
+    out = merge_into(
+        _merge_target(spark),
+        _merge_source(spark).filter(F.col("id") == 1),
+        keys=("id",),
+        matched=(
+            When("update", assign={"status": F.lit("first")}),
+            When("update", assign={"status": F.lit("second")}),
+        ),
+    )
+    got = {r["id"]: r["status"] for r in out.collect()}
+    assert got[1] == "first"
+    # untouched target rows pass through a left join (no insert clauses)
+    assert got[2] == "alive" and got[3] == "stale"
+
+
+def test_merge_into_default_insert_takes_source_columns(spark):
+    tgt = spark.createDataFrame(
+        [(1, 1.0, "x")], "id long, price double, note string"
+    )
+    src = spark.createDataFrame([(2, 7.5)], "id long, price double")
+    out = merge_into(
+        tgt, src, keys=("id",), not_matched=(When("insert"),)
+    )
+    rows = {r["id"]: (r["price"], r["note"]) for r in out.collect()}
+    # insert defaults: same-named source columns, NULL where absent
+    assert rows[2] == (7.5, None)
+    assert rows[1] == (1.0, "x")
+
+
+def test_merge_into_duplicate_source_match_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    tgt = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    src = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id long, v double")
+    merged = merge_into(
+        tgt, src, keys=("id",),
+        matched=(When("update", assign={"v": F.col("s.v")}),),
+    )
+    with pytest.raises(SparkRuntimeException, match="multiple"):
+        merged.collect()
+    # and the escape hatch accepts it (arbitrary winner among dups)
+    ok = merge_into(
+        tgt, src, keys=("id",),
+        matched=(When("update", assign={"v": F.col("s.v")}),),
+        validate_source_unique=False,
+    )
+    assert ok.count() >= 1
+
+
+def test_merge_into_null_keys_never_match(spark):
+    tgt = spark.createDataFrame([(None, "t")], "id long, tag string")
+    src = spark.createDataFrame([(None, "s")], "id long, tag string")
+    out = merge_into(
+        tgt, src, keys=("id",),
+        matched=(When("update", assign={"tag": F.col("s.tag")}),),
+        not_matched=(When("insert"),),
+    )
+    # NULL keys never match: target row kept as-is, source row inserts
+    assert sorted(r["tag"] for r in out.collect()) == ["s", "t"]
