@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -235,6 +236,7 @@ def write_snapshot(
     path: str,
     max_retries: int = 64,
     backend: "CommitBackend | None" = None,
+    stats_cols: "Sequence[str] | None" = None,
 ) -> int:
     """Append a new immutable snapshot of ``df`` and commit it —
     poor-man's time travel with the three properties that matter:
@@ -279,6 +281,10 @@ def write_snapshot(
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     df.write.mode("error").parquet(staging)
+    if stats_cols:
+        # part of the snapshot, so it must land before the claim:
+        # the publish rename carries data AND stats atomically
+        _write_file_stats(df.sparkSession, staging, list(stats_cols))
 
     nxt: int | None = None
     for _ in range(max_retries):
@@ -324,6 +330,209 @@ def read_snapshot(
             f"committed); available: {snapshot_versions(path)}"
         )
     return spark.read.parquet(snap_dir)
+
+
+# ---- file-level column stats (zone maps) + reader-side pruning --------
+
+_FILE_STATS = "_file_stats.json"
+
+
+def _norm_stat(v):
+    """JSON-able, order-preserving rendering of a stats/predicate
+    value. Timestamps and dates become fixed-width ISO strings (string
+    order == time order); Decimals become floats; bools become ints."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    raise TypeError(f"unsupported stats value type {type(v).__name__}")
+
+
+def _write_file_stats(
+    spark: SparkSession, data_dir: str, cols: list[str]
+) -> None:
+    """One distributed agg over the just-written files (hot in page
+    cache): per-file min/max/null-count for ``cols`` plus row count,
+    keyed by file BASENAME (the directory gets renamed at claim time).
+    Collect is one row per data file — metadata-sized, never data.
+    The ``_``-prefixed JSON is invisible to Spark's parquet reader."""
+    import json
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"),
+        ]
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    files = {}
+    for r in rows:
+        base = os.path.basename(r["__file"].split("?", 1)[0])
+        files[base] = {
+            "n_rows": r["__n"],
+            "cols": {
+                c: {
+                    "min": _norm_stat(r[f"__mn_{c}"]),
+                    "max": _norm_stat(r[f"__mx_{c}"]),
+                    "nulls": r[f"__nu_{c}"],
+                }
+                for c in cols
+            },
+        }
+    with open(os.path.join(data_dir, _FILE_STATS), "w") as f:
+        json.dump({"cols": cols, "files": files}, f)
+
+
+def _file_survives(stats: dict, col: str, op: str, value) -> bool:
+    """Can ANY row in a file with these stats satisfy ``col op
+    value``? Conservative: missing stats keep the file."""
+    cs = stats["cols"].get(col)
+    if cs is None:
+        return True
+    if op == "isnull":
+        return cs["nulls"] > 0
+    if op == "notnull":
+        return cs["nulls"] < stats["n_rows"]
+    mn, mx = cs["min"], cs["max"]
+    if mn is None or mx is None:
+        return False  # every row NULL — no value predicate matches
+    if op == "==":
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    if op == "in":
+        return any(mn <= v <= mx for v in value)
+    raise ValueError(f"unknown prune op {op!r}")
+
+
+def pruned_files(
+    path: str,
+    predicates: "Sequence[tuple]",
+    version: int | None = None,
+    backend: "CommitBackend | None" = None,
+) -> tuple[list[str], int]:
+    """Resolve which data files of a snapshot can contain rows
+    matching ALL of ``predicates`` (each ``(col, op, value)``; ops
+    ``== < <= > >= in isnull notnull``), using the write-time
+    ``_file_stats.json`` zone maps. Returns (surviving file paths,
+    total file count). Metadata-only — no parquet footer is opened
+    for a skipped file, which is the point at 100 TB / 100k files:
+    planning cost is one small JSON, not a listing + footer read per
+    file. A snapshot written without stats prunes nothing."""
+    import json
+
+    if backend is not None:
+        v = backend.current_version(path) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        snap_dir = backend.data_dir(path, v)
+    else:
+        v = current_snapshot(path) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        snap_dir = os.path.join(path, _SNAP_FMT.format(v))
+    data = sorted(
+        n
+        for n in os.listdir(snap_dir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    stats_path = os.path.join(snap_dir, _FILE_STATS)
+    if not os.path.exists(stats_path):
+        return [os.path.join(snap_dir, n) for n in data], len(data)
+    with open(stats_path) as f:
+        manifest = json.load(f)
+    preds = [
+        (c, op, _norm_stat(val) if op != "in"
+         else [_norm_stat(x) for x in val])
+        for c, op, val in (
+            (p[0], p[1], p[2] if len(p) > 2 else None) for p in predicates
+        )
+    ]
+    keep = []
+    for n in data:
+        st = manifest["files"].get(n)
+        if st is None:
+            keep.append(n)  # file without stats: conservative
+            continue
+        if all(_file_survives(st, c, op, val) for c, op, val in preds):
+            keep.append(n)
+    return [os.path.join(snap_dir, n) for n in keep], len(data)
+
+
+def _residual_filter(predicates: "Sequence[tuple]"):
+    cond = F.lit(True)
+    for p in predicates:
+        c, op = p[0], p[1]
+        val = p[2] if len(p) > 2 else None
+        col = F.col(c)
+        if op == "==":
+            e = col == F.lit(val)
+        elif op == "<":
+            e = col < F.lit(val)
+        elif op == "<=":
+            e = col <= F.lit(val)
+        elif op == ">":
+            e = col > F.lit(val)
+        elif op == ">=":
+            e = col >= F.lit(val)
+        elif op == "in":
+            e = col.isin(list(val))
+        elif op == "isnull":
+            e = col.isNull()
+        elif op == "notnull":
+            e = col.isNotNull()
+        else:
+            raise ValueError(f"unknown prune op {op!r}")
+        cond = cond & e
+    return cond
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: "Sequence[tuple]",
+    version: int | None = None,
+    backend: "CommitBackend | None" = None,
+) -> DataFrame:
+    """Snapshot read that skips files the zone maps prove irrelevant,
+    then applies the SAME predicates as a residual filter — pruning
+    is purely a performance layer; correctness never depends on the
+    stats being right (stale or missing stats degrade to more I/O,
+    never to wrong rows). Combine with :func:`zorder_by` /
+    :func:`cluster_by` at write time: clustering is what makes the
+    per-file min/max ranges tight enough to skip."""
+    files, _total = pruned_files(
+        path, predicates, version=version, backend=backend
+    )
+    if not files:
+        # all files pruned: preserve the schema via an empty read of
+        # the full snapshot
+        full = read_snapshot(spark, path, version=version, backend=backend)
+        return full.filter(F.lit(False))
+    return spark.read.parquet(*files).filter(_residual_filter(predicates))
 
 
 def snapshot_changes(

@@ -358,3 +358,112 @@ def test_table_changes_rejects_mismatched_columns(spark):
     b = spark.createDataFrame([(1, 2)], "k int, y int")
     with pytest.raises(ValueError, match="column sets differ"):
         table_changes(a, b, ["k"])
+
+
+# ---- file-stats zone maps + pruned snapshot reads ----------------------
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        pruned_files,
+        read_snapshot,
+        read_snapshot_pruned,
+        write_snapshot,
+        zorder_by,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zoned")
+    clustered = zorder_by(events, ("user_id", "value"), partitions=16)
+    write_snapshot(clustered, path, stats_cols=["user_id", "value"])
+
+    preds = [("user_id", "==", 7)]
+    files, total = pruned_files(path, preds)
+    assert total == 16
+    assert 0 < len(files) < total  # zone maps actually skip files
+
+    got = read_snapshot_pruned(spark, path, preds)
+    want = read_snapshot(spark, path).filter(F.col("user_id") == 7)
+    assert got.count() == want.count() > 0
+    assert (
+        got.agg(F.sum("event_id")).first()[0]
+        == want.agg(F.sum("event_id")).first()[0]
+    )
+
+    # range + membership predicates compose conjunctively
+    files2, _ = pruned_files(
+        path, [("user_id", ">=", 140), ("value", "<", 5.0)]
+    )
+    got2 = read_snapshot_pruned(
+        spark, path, [("user_id", ">=", 140), ("value", "<", 5.0)]
+    )
+    want2 = read_snapshot(spark, path).filter(
+        (F.col("user_id") >= 140) & (F.col("value") < 5.0)
+    )
+    assert got2.count() == want2.count()
+    assert len(files2) < total
+
+
+def test_pruned_read_without_stats_degrades_to_full_scan(spark, sf_dir, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        pruned_files,
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "nostats")
+    write_snapshot(events.repartition(4), path)  # no stats_cols
+    files, total = pruned_files(path, [("user_id", "==", 1)])
+    assert len(files) == total == 4  # nothing pruned, nothing lost
+    got = read_snapshot_pruned(spark, path, [("user_id", "==", 1)])
+    assert got.count() == events.filter(F.col("user_id") == 1).count()
+
+
+def test_pruned_read_all_files_pruned_keeps_schema(spark, sf_dir, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "allpruned")
+    write_snapshot(events.repartition(4), path, stats_cols=["user_id"])
+    got = read_snapshot_pruned(spark, path, [("user_id", "==", -999999)])
+    assert got.count() == 0
+    assert got.columns == ["event_id", "user_id"]
+
+
+def test_pruned_read_null_ops_and_timestamps(spark, tmp_path):
+    import datetime
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        pruned_files,
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), None),
+        (2, datetime.datetime(2024, 1, 2, 0, 0, 0), 5.0),
+        (3, datetime.datetime(2024, 2, 1, 0, 0, 0), 6.0),
+        (4, datetime.datetime(2024, 2, 2, 0, 0, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz, v double")
+    path = str(tmp_path / "tsnull")
+    # one file per id → perfectly tight zone maps
+    write_snapshot(
+        df.repartitionByRange(4, "id"), path, stats_cols=["ts", "v"]
+    )
+    cut = datetime.datetime(2024, 1, 15)
+    files, total = pruned_files(path, [("ts", ">=", cut)])
+    assert total == 4 and len(files) == 2
+    got = read_snapshot_pruned(spark, path, [("ts", ">=", cut)])
+    assert sorted(r["id"] for r in got.collect()) == [3, 4]
+
+    fnull, _ = pruned_files(path, [("v", "isnull",)])
+    assert len(fnull) == 1
+    got_null = read_snapshot_pruned(spark, path, [("v", "isnull")])
+    assert [r["id"] for r in got_null.collect()] == [1]
