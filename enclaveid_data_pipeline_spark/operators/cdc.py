@@ -164,6 +164,7 @@ def table_changes(
     df_from: DataFrame,
     df_to: DataFrame,
     keys: Sequence[str],
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Change feed between two states of a keyed table: the rows an
     incremental consumer must apply to turn ``df_from`` into
@@ -186,13 +187,38 @@ def table_changes(
     struct rows. The join runs once: the four change classes are
     branches of one array expression, not four filters over a
     re-executed join.
+
+    ``schema_evolution=True`` makes the feed safe across an evolving
+    table (the Delta-CDF reading of column adds/drops): the feed's
+    schema is always ``df_to``'s; a column ADDED since ``df_from``
+    reads as NULL on the pre-image side (so a backfill of the new
+    column surfaces as updates, with ``update_pre`` carrying NULL —
+    exactly what old files report after an add-column), and a column
+    DROPPED from ``df_to`` vanishes from the feed (consumers apply
+    changes to the new schema; a drop alone emits nothing, matching
+    metadata-only drops that rewrite no data). With the flag off,
+    differing column sets stay a hard error — silent schema drift in
+    a non-evolving pipeline is a bug, not a feature.
     """
     keys = list(keys)
     non_keys = [c for c in df_to.columns if c not in keys]
-    if [c for c in df_from.columns if c not in keys] != non_keys:
-        raise ValueError(
-            "table_changes: from/to column sets differ — "
-            f"{df_from.columns} vs {df_to.columns}"
+    from_non_keys = [c for c in df_from.columns if c not in keys]
+    if from_non_keys != non_keys:
+        if not schema_evolution:
+            raise ValueError(
+                "table_changes: from/to column sets differ — "
+                f"{df_from.columns} vs {df_to.columns} "
+                "(pass schema_evolution=True if intended)"
+            )
+        to_types = {f.name: f.dataType for f in df_to.schema.fields}
+        have = set(df_from.columns)
+        df_from = df_from.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(to_types[c]).alias(c)
+                for c in non_keys
+            ],
         )
     # presence sentinels: after an equi-join ON keys the key columns
     # coalesce, and non-key columns can be legitimately NULL, so

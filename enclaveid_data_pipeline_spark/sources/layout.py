@@ -543,6 +543,7 @@ def snapshot_changes(
     *,
     keys: list[str],
     backend: "CommitBackend | None" = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Change feed between two committed snapshot versions: the
     insert/delete/update_pre/update_post rows an incremental
@@ -567,6 +568,7 @@ def snapshot_changes(
         read_snapshot(spark, path, version_from, backend=backend),
         read_snapshot(spark, path, version_to, backend=backend),
         keys,
+        schema_evolution=schema_evolution,
     )
 
 

@@ -210,3 +210,49 @@ def test_merge_into_null_keys_never_match(spark):
     )
     # NULL keys never match: target row kept as-is, source row inserts
     assert sorted(r["tag"] for r in out.collect()) == ["s", "t"]
+
+
+# ---- schema evolution across the change feed ---------------------------
+
+
+def test_table_changes_schema_evolution_added_column(spark):
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    # v2 adds `tag`: id=1 backfilled (NULL→'a' is an update), id=2
+    # untouched (NULL tag, v unchanged → NO change row), id=3 deleted,
+    # id=4 inserted with the new column populated
+    v2 = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None), (4, 40.0, "d")],
+        "id long, v double, tag string",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="schema_evolution"):
+        table_changes(v1, v2, ["id"])
+
+    feed = table_changes(v1, v2, ["id"], schema_evolution=True)
+    assert feed.columns == ["id", "v", "tag", "change_type"]
+    got = {(r["id"], r["change_type"]): (r["v"], r["tag"]) for r in feed.collect()}
+    assert got == {
+        (1, "update_pre"): (10.0, None),   # pre-image: added col reads NULL
+        (1, "update_post"): (10.0, "a"),
+        (3, "delete"): (30.0, None),
+        (4, "insert"): (40.0, "d"),
+    }
+
+
+def test_table_changes_schema_evolution_dropped_column(spark):
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y")], "id long, v double, old string"
+    )
+    v2 = spark.createDataFrame([(1, 10.0), (2, 21.0)], "id long, v double")
+    feed = table_changes(v1, v2, ["id"], schema_evolution=True)
+    # drop alone emits nothing for id=1; id=2's v change still surfaces
+    got = {(r["id"], r["change_type"]) for r in feed.collect()}
+    assert got == {(2, "update_pre"), (2, "update_post")}
+    assert "old" not in feed.columns
