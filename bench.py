@@ -630,6 +630,83 @@ def _sf10_block(spark, sf1_query: dict[str, float]) -> dict:
     }
 
 
+def _layout_block(spark) -> dict:
+    """Round 6: zone-map pruning benefit at sf1. Write the 1M-row
+    events table as a 64-file z-ordered snapshot with write-time file
+    stats, then compare a selective two-column scan through
+    ``read_snapshot_pruned`` (metadata-only file skipping + residual
+    filter) against the same filter over the full snapshot read.
+    Locally parquet row-group stats already prune within files, so
+    the wall-clock delta understates the cluster win — the headline
+    number here is files_skipped: at 100 TB those are file opens,
+    footer reads, and scheduler tasks that never happen."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        pruned_files,
+        read_snapshot,
+        read_snapshot_pruned,
+        write_snapshot,
+        zorder_by,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_zonemap_")
+    path = os.path.join(tmp, "events_z")
+    try:
+        events = read_table(spark, SF1_DIR, "events").select(
+            "event_id", "user_id", "value"
+        )
+        t0 = time.perf_counter()
+        write_snapshot(
+            zorder_by(events, ("user_id", "value"), partitions=64),
+            path,
+            stats_cols=["user_id", "value"],
+        )
+        write_s = time.perf_counter() - t0
+        preds = [
+            ("user_id", ">=", 100),
+            ("user_id", "<", 110),
+            ("value", "<", 10.0),
+        ]
+        files, total = pruned_files(path, preds)
+        residual = (
+            (F.col("user_id") >= 100)
+            & (F.col("user_id") < 110)
+            & (F.col("value") < 10.0)
+        )
+        pruned_t = full_t = None
+        pruned_n = full_n = -1
+        for _ in range(3):
+            _gc_fence(spark)
+            t0 = time.perf_counter()
+            pruned_n = read_snapshot_pruned(spark, path, preds).count()
+            dt = time.perf_counter() - t0
+            pruned_t = dt if pruned_t is None else min(pruned_t, dt)
+            t0 = time.perf_counter()
+            full_n = (
+                read_snapshot(spark, path).filter(residual).count()
+            )
+            dt = time.perf_counter() - t0
+            full_t = dt if full_t is None else min(full_t, dt)
+        assert pruned_n == full_n, (pruned_n, full_n)
+        return {
+            "rows": pruned_n,
+            "files_total": total,
+            "files_read": len(files),
+            "files_skipped": total - len(files),
+            "snapshot_write_s": round(write_s, 3),
+            "pruned_scan_s": round(pruned_t, 3),
+            "full_scan_s": round(full_t, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -690,6 +767,8 @@ def main() -> int:
             "pagerank_rounds_sf1": _pagerank_rounds_block(spark),
             # exact distributed BPE round-count stress (r5)
             "bpe_rounds": _bpe_rounds_block(spark),
+            # zone-map pruning benefit on a z-ordered snapshot (r6)
+            "layout_sf1": _layout_block(spark),
         }
         if os.path.isdir(SF10_DIR) and not os.environ.get(
             "SPARK_GRAFT_SKIP_SF10"
