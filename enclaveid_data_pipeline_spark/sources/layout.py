@@ -285,7 +285,16 @@ def write_snapshot(
         # part of the snapshot, so it must land before the claim:
         # the publish rename carries data AND stats atomically
         _write_file_stats(df.sparkSession, staging, list(stats_cols))
+    return _commit_staging(path, staging, be, max_retries)
 
+
+def _commit_staging(
+    path: str, staging: str, be: "CommitBackend", max_retries: int
+) -> int:
+    """Version-claim loop + pointer advance for a fully-prepared
+    staging dir (data files and any ``_file_stats.json`` already in
+    place). Shared by :func:`write_snapshot` and the copy-on-write
+    DML below."""
     nxt: int | None = None
     for _ in range(max_retries):
         versions = be.versions(path)
@@ -398,6 +407,43 @@ def _write_file_stats(
         }
     with open(os.path.join(data_dir, _FILE_STATS), "w") as f:
         json.dump({"cols": cols, "files": files}, f)
+
+
+def _compute_file_stats(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file stats entries for an explicit file list (the
+    rewritten subset of a copy-on-write commit) — same shape as the
+    manifest's ``files`` map."""
+    if not files:
+        return {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"),
+        ]
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        os.path.basename(r["__file"].split("?", 1)[0]): {
+            "n_rows": r["__n"],
+            "cols": {
+                c: {
+                    "min": _norm_stat(r[f"__mn_{c}"]),
+                    "max": _norm_stat(r[f"__mx_{c}"]),
+                    "nulls": r[f"__nu_{c}"],
+                }
+                for c in cols
+            },
+        }
+        for r in rows
+    }
 
 
 def _file_survives(stats: dict, col: str, op: str, value) -> bool:
@@ -533,6 +579,206 @@ def read_snapshot_pruned(
         full = read_snapshot(spark, path, version=version, backend=backend)
         return full.filter(F.lit(False))
     return spark.read.parquet(*files).filter(_residual_filter(predicates))
+
+
+# ---- fine-grained DML: copy-on-write DELETE/UPDATE/OPTIMIZE ------------
+
+
+def _link_into(src_file: str, dst_dir: str) -> None:
+    import shutil
+
+    dst = os.path.join(dst_dir, os.path.basename(src_file))
+    try:
+        os.link(src_file, dst)  # hardlink: zero-copy file reuse
+    except OSError:
+        shutil.copy2(src_file, dst)
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    path: str,
+    predicates: "Sequence[tuple]",
+    transform,
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> dict:
+    """Copy-on-write core for :func:`delete_where` /
+    :func:`update_where`: zone maps name the files that can contain
+    matching rows; ONLY those are decoded and rewritten — every other
+    file is hardlinked verbatim into the new version (the local
+    emulation of manifest-level file reuse on an object store, where
+    the new manifest would simply reference the old objects). Cost is
+    O(touched files), not O(table): with a clustered layout a
+    single-key delete over a 100k-file table rewrites a handful of
+    files. Stats for linked files carry over; stats for rewritten
+    files are recomputed from just those files.
+    """
+    import json
+    import shutil
+    import uuid
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    v = be.current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    snap_dir = be.data_dir(path, v)
+    touched, _total = pruned_files(path, predicates, version=v, backend=be)
+    touched_base = {os.path.basename(p) for p in touched}
+    all_data = sorted(
+        n
+        for n in os.listdir(snap_dir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    untouched = [n for n in all_data if n not in touched_base]
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    try:
+        for n in untouched:
+            _link_into(os.path.join(snap_dir, n), staging)
+
+        new_files: list[str] = []
+        rows_changed = 0
+        if touched:
+            df = spark.read.parquet(*touched)
+            residual = _residual_filter(predicates)
+            rows_changed = df.filter(residual).count()
+            out = transform(df, residual)
+            tmp = os.path.join(staging, ".rewrite")
+            out.write.mode("error").parquet(tmp)
+            for n in os.listdir(tmp):
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    os.rename(
+                        os.path.join(tmp, n), os.path.join(staging, n)
+                    )
+                    new_files.append(os.path.join(staging, n))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        stats_path = os.path.join(snap_dir, _FILE_STATS)
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                manifest = json.load(f)
+            kept = {
+                n: st
+                for n, st in manifest["files"].items()
+                if n in set(untouched)
+            }
+            kept.update(
+                _compute_file_stats(spark, new_files, manifest["cols"])
+            )
+            with open(os.path.join(staging, _FILE_STATS), "w") as f:
+                json.dump({"cols": manifest["cols"], "files": kept}, f)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+    new_v = _commit_staging(path, staging, be, max_retries)
+    return {
+        "version": new_v,
+        "files_rewritten": len(touched),
+        "files_linked": len(untouched),
+        "rows_matched": rows_changed,
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicates: "Sequence[tuple]",
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> dict:
+    """``DELETE FROM snapshot WHERE ...`` as a new committed version.
+    Predicates use the :func:`pruned_files` triple form; rows
+    matching ALL of them are removed. Copy-on-write at file
+    granularity — see :func:`_rewrite_where`. Returns the commit
+    report (new version, files rewritten vs linked, rows matched).
+    Time travel keeps the pre-delete version readable until vacuum —
+    a bad delete is a pointer flip away from undone."""
+    return _rewrite_where(
+        spark,
+        path,
+        predicates,
+        lambda df, residual: df.filter(~residual),
+        backend=backend,
+        max_retries=max_retries,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicates: "Sequence[tuple]",
+    assign: dict,
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> dict:
+    """``UPDATE snapshot SET ... WHERE ...`` as a new committed
+    version: rows matching every predicate get each ``assign``
+    column expression applied; every other row (including non-matching
+    rows that merely share a file) is rewritten verbatim. Same
+    copy-on-write economics as :func:`delete_where`."""
+
+    def _apply(df: DataFrame, residual) -> DataFrame:
+        out = df
+        for c, expr in assign.items():
+            out = out.withColumn(
+                c,
+                F.when(residual, expr.cast(df.schema[c].dataType)).otherwise(
+                    F.col(c)
+                ),
+            )
+        return out
+
+    return _rewrite_where(
+        spark,
+        path,
+        predicates,
+        _apply,
+        backend=backend,
+        max_retries=max_retries,
+    )
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: tuple = (),
+    partitions: int | None = None,
+    stats_cols: "Sequence[str] | None" = None,
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> int:
+    """Delta's ``OPTIMIZE [ZORDER BY]`` on the snapshot layout: read
+    the current version, re-cluster (z-order when ``zorder_cols``
+    given, else coalesce toward ``partitions`` files), and commit the
+    rewrite as a NEW version — rows unchanged, layout only. Stats
+    are recomputed (``stats_cols`` defaults to the previous
+    manifest's columns) so zone-map pruning gets the tightened
+    ranges the rewrite just bought."""
+    import json
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    v = be.current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    df = read_snapshot(spark, path, version=v, backend=be)
+    if zorder_cols:
+        df = zorder_by(df, tuple(zorder_cols), partitions=partitions)
+    elif partitions:
+        df = df.coalesce(partitions)
+    if stats_cols is None:
+        stats_path = os.path.join(be.data_dir(path, v), _FILE_STATS)
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                stats_cols = json.load(f)["cols"]
+    return write_snapshot(
+        df, path, max_retries=max_retries, backend=be, stats_cols=stats_cols
+    )
 
 
 def snapshot_changes(

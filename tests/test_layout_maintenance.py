@@ -467,3 +467,133 @@ def test_pruned_read_null_ops_and_timestamps(spark, tmp_path):
     assert len(fnull) == 1
     got_null = read_snapshot_pruned(spark, path, [("v", "isnull")])
     assert [r["id"] for r in got_null.collect()] == [1]
+
+
+# ---- copy-on-write DML: delete_where / update_where / optimize ---------
+
+
+def test_delete_where_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+        zorder_by,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "dml")
+    write_snapshot(
+        zorder_by(events, ("user_id", "value"), partitions=16),
+        path,
+        stats_cols=["user_id", "value"],
+    )
+    before = read_snapshot(spark, path)
+    n_before = before.count()
+    n_match = before.filter(F.col("user_id") == 7).count()
+    assert n_match > 0
+
+    report = delete_where(spark, path, [("user_id", "==", 7)])
+    assert report["version"] == 2
+    assert report["rows_matched"] == n_match
+    assert report["files_rewritten"] < 16  # zone maps bounded the rewrite
+    assert report["files_linked"] == 16 - report["files_rewritten"]
+
+    after = read_snapshot(spark, path)
+    assert after.count() == n_before - n_match
+    assert after.filter(F.col("user_id") == 7).count() == 0
+    # time travel: the pre-delete version still reads intact
+    assert read_snapshot(spark, path, version=1).count() == n_before
+    # the stats manifest followed the rewrite (kept + recomputed)
+    snap2 = os.path.join(path, "snap-00002")
+    manifest = json.load(open(os.path.join(snap2, "_file_stats.json")))
+    n_files = len(
+        [n for n in os.listdir(snap2)
+         if n.endswith(".parquet") and not n.startswith(("_", "."))]
+    )
+    assert len(manifest["files"]) == n_files
+    # and pruning still works on the new version
+    from enclaveid_data_pipeline_spark.sources.layout import pruned_files
+
+    files, total = pruned_files(path, [("user_id", "==", 8)])
+    assert 0 < len(files) < total
+
+
+def test_update_where_applies_assignments_in_place(spark, sf_dir, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+        update_where,
+        write_snapshot,
+        zorder_by,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "dml_upd")
+    write_snapshot(
+        zorder_by(events, ("user_id",), partitions=8),
+        path,
+        stats_cols=["user_id"],
+    )
+    before = read_snapshot(spark, path)
+    total_before = before.agg(F.sum("value")).first()[0]
+    n_match = before.filter(F.col("user_id") == 3).count()
+
+    rep = update_where(
+        spark, path, [("user_id", "==", 3)], {"value": F.lit(0.0)}
+    )
+    assert rep["rows_matched"] == n_match and rep["files_rewritten"] < 8
+
+    after = read_snapshot(spark, path)
+    assert after.count() == before.count()
+    assert after.filter((F.col("user_id") == 3) & (F.col("value") != 0.0)).count() == 0
+    # untouched rows are byte-identical: sums differ by exactly the
+    # zeroed users' old contribution
+    removed = (
+        read_snapshot(spark, path, version=1)
+        .filter(F.col("user_id") == 3)
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    got = after.agg(F.sum("value")).first()[0]
+    assert abs((total_before - removed) - got) < 1e-6
+
+
+def test_optimize_snapshot_compacts_and_preserves_rows(spark, sf_dir, tmp_path):
+    import pathlib
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        optimize_snapshot,
+        pruned_files,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "opt")
+    write_snapshot(events.repartition(32), path, stats_cols=["user_id"])
+    # unclustered: a point predicate prunes (almost) nothing
+    f0, t0 = pruned_files(path, [("user_id", "==", 5)])
+    n = read_snapshot(spark, path).count()
+
+    v2 = optimize_snapshot(
+        spark, path, zorder_cols=("user_id",), partitions=8
+    )
+    assert v2 == 2
+    assert read_snapshot(spark, path).count() == n
+    files = list(
+        (pathlib.Path(path) / "snap-00002").glob("part-*.parquet")
+    )
+    assert len(files) <= 8  # compacted
+    # stats columns carried over from the previous manifest; the
+    # clustered layout now actually prunes
+    f1, t1 = pruned_files(path, [("user_id", "==", 5)])
+    assert len(f1) / t1 < len(f0) / t0
+    assert len(f1) <= 2
