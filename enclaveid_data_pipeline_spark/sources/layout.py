@@ -237,6 +237,7 @@ def write_snapshot(
     max_retries: int = 64,
     backend: "CommitBackend | None" = None,
     stats_cols: "Sequence[str] | None" = None,
+    commit_meta: dict | None = None,
 ) -> int:
     """Append a new immutable snapshot of ``df`` and commit it —
     poor-man's time travel with the three properties that matter:
@@ -285,7 +286,37 @@ def write_snapshot(
         # part of the snapshot, so it must land before the claim:
         # the publish rename carries data AND stats atomically
         _write_file_stats(df.sparkSession, staging, list(stats_cols))
+    if commit_meta is not None:
+        import json
+
+        with open(os.path.join(staging, _COMMIT_META), "w") as f:
+            json.dump(commit_meta, f)
     return _commit_staging(path, staging, be, max_retries)
+
+
+_COMMIT_META = "_commit_meta.json"
+
+
+def read_commit_meta(
+    path: str,
+    version: int | None = None,
+    backend: "CommitBackend | None" = None,
+) -> dict | None:
+    """The ``commit_meta`` dict a writer attached to a version (e.g.
+    a streaming sink's batch id), or None when absent."""
+    import json
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    v = be.current_version(path) if version is None else version
+    if v is None:
+        return None
+    p = os.path.join(be.data_dir(path, v), _COMMIT_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def _commit_staging(

@@ -362,3 +362,81 @@ def retraction_view_sink(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def versioned_snapshot_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    seq_cols: tuple[str, ...],
+    checkpoint_dir: str | None = None,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("D",),
+    stats_cols: tuple[str, ...] | None = None,
+    backend=None,
+) -> StreamingQuery:
+    """Stream → time-travelable table: every micro-batch folds into
+    the keyed snapshot (operators.cdc.apply_changes — inserts appear,
+    newer updates win, tombstones drop the key) and commits as a NEW
+    snapshot version under the layout's atomic commit protocol. The
+    result is a continuously-maintained table where
+
+    - readers always see a complete committed version (never a
+      half-written batch),
+    - every trigger's pre-state stays readable (``read_snapshot(...,
+      version=v)``) and auditable (``snapshot_changes`` between any
+      two versions reconstructs exactly what the stream changed),
+    - ``stats_cols`` zone maps are refreshed per commit, so pruned
+      point reads stay fast as the stream grows the table,
+    - retention is an offline ``vacuum_snapshots``, decoupled from
+      ingest.
+
+    Replay safety: the batch id rides in the version's
+    ``_commit_meta.json``; a redelivered batch (crash between commit
+    and checkpoint) sees its own id at the current version and
+    skips, so at-least-once delivery folds at-most-once — same
+    discipline as ``rollup_sink``, moved into the commit metadata so
+    the TABLE stays clean of bookkeeping columns. Per-trigger cost is
+    O(|snapshot| + |batch|) like ``cdc_snapshot_sink``; the price of
+    history is old versions on disk (bounded by vacuum), not extra
+    compute."""
+    from ..operators.cdc import apply_changes, latest_snapshot
+    from ..sources.layout import read_commit_meta, read_snapshot, write_snapshot
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta = read_commit_meta(path, backend=backend)
+        if meta is not None and batch_id <= meta.get("batch_id", -1):
+            return  # replayed batch: this version already holds it
+        try:
+            current = read_snapshot(spark, path, backend=backend)
+        except FileNotFoundError:
+            current = None
+        if current is None:
+            merged = latest_snapshot(
+                batch_df, keys, seq_cols, op_col=op_col, delete_ops=delete_ops
+            )
+            if op_col is not None:
+                merged = merged.drop(op_col)
+        else:
+            merged = apply_changes(
+                current,
+                batch_df,
+                keys,
+                seq_cols,
+                op_col=op_col,
+                delete_ops=delete_ops,
+            )
+        out = _materialize(merged, "local")
+        write_snapshot(
+            out,
+            path,
+            backend=backend,
+            stats_cols=list(stats_cols) if stats_cols else None,
+            commit_meta={"batch_id": batch_id},
+        )
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
