@@ -82,3 +82,68 @@ def test_delta_join_identity_any_split(spark, a_keys, b_keys, am, bm):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# ---- merge_into vs a dict referee --------------------------------------
+
+#: target rows: key → (flag, value); source rows: key → (flag, value)
+_table = st.dictionaries(
+    st.integers(0, 7),
+    st.tuples(st.booleans(), st.integers(-5, 5)),
+    max_size=8,
+)
+
+
+def _merge_truth(tgt, src):
+    """Referee replay of the fixed clause set used below:
+    matched & s.flag           → DELETE
+    matched & s.v > t.v        → UPDATE v=s.v
+    not matched & not s.flag   → INSERT
+    not matched by source & t.flag → DELETE
+    """
+    out = {}
+    for k, (tf, tv) in tgt.items():
+        if k in src:
+            sf, sv = src[k]
+            if sf:
+                continue  # matched delete
+            out[k] = (tf, sv) if sv > tv else (tf, tv)
+        else:
+            if tf:
+                continue  # not-matched-by-source delete
+            out[k] = (tf, tv)
+    for k, (sf, sv) in src.items():
+        if k not in tgt and not sf:
+            out[k] = (sf, sv)  # insert (default: source columns)
+    return out
+
+
+@given(tgt=_table, src=_table)
+@_SLOW
+def test_merge_into_equals_referee(spark, tgt, src):
+    from enclaveid_data_pipeline_spark.operators.cdc import When, merge_into
+
+    tdf = spark.createDataFrame(
+        [(k, f, v) for k, (f, v) in sorted(tgt.items())] or [],
+        "k long, flag boolean, v long",
+    )
+    sdf = spark.createDataFrame(
+        [(k, f, v) for k, (f, v) in sorted(src.items())] or [],
+        "k long, flag boolean, v long",
+    )
+    got = merge_into(
+        tdf,
+        sdf,
+        keys=("k",),
+        matched=(
+            When("delete", condition=F.col("s.flag")),
+            When(
+                "update",
+                condition=F.col("s.v") > F.col("t.v"),
+                assign={"v": F.col("s.v")},
+            ),
+        ),
+        not_matched=(When("insert", condition=~F.col("s.flag")),),
+        not_matched_by_source=(When("delete", condition=F.col("t.flag")),),
+    ).collect()
+    assert {r.k: (r.flag, r.v) for r in got} == _merge_truth(tgt, src)
