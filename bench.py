@@ -65,6 +65,7 @@ HEADLINE = (
     "packed_sequences_64",
     "duplicated_ngram_fraction",
     "cdc_merge_upsert",
+    "merge_into_orders_feed",
     "bloom_membership_probe",
     "token_pmi_top20",
     "dedup_span_removal",
