@@ -456,3 +456,73 @@ def merge_into_orders_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             When("delete", condition=F.col("t.status") == "P"),
         ),
     )
+
+
+@register(
+    "minmax_view_partial_refresh",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round((o_totalprice
+                    + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                    * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT o_custkey,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           count(*) AS n_orders
+    FROM t GROUP BY o_custkey
+    """,
+)
+def minmax_view_partial_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The partial-recompute IVM layer (operators.ivm.
+    refresh_touched_groups) driver-gated: MIN/MAX are not
+    retractable (a delete can expose an unknown second-best), so the
+    view refreshes by re-aggregating ONLY the groups the A→B change
+    feed names from the CURRENT base — every untouched group's row
+    carries over without its base rows being read. The oracle
+    recomputes state B's MIN/MAX/COUNT directly, pinning partial ==
+    full recompute across deleted group-minima, moved keys, emptied
+    and newly created groups. Same derived states as
+    change_feed_aggregate_refresh, so the two IVM layers are
+    checked against the same change classes."""
+    from ..operators.cdc import table_changes
+    from ..operators.ivm import refresh_touched_groups
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents_f = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_t = F.round(
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        * 100
+    ).cast("long")
+    state_f = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", cents_f.alias("cents")
+    )
+    state_t = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", cents_t.alias("cents")
+    )
+    view = state_f.groupBy("o_custkey").agg(
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    feed = table_changes(state_f, state_t, ["o_orderkey"])
+    return refresh_touched_groups(
+        view,
+        state_t,
+        feed,
+        group_keys=["o_custkey"],
+        measures={
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+            "n_orders": ("count", ""),
+        },
+    )
