@@ -88,6 +88,7 @@ def zorder_by(
     cols: tuple[str, ...],
     bits: int = 12,
     partitions: int | None = None,
+    scaling: str = "minmax",
 ) -> DataFrame:
     """Z-order (Morton-curve) clustering across MULTIPLE columns —
     the multi-dimensional upgrade of :func:`cluster_by`: range
@@ -100,25 +101,55 @@ def zorder_by(
     Columns are min-max scaled to ``2^bits`` rank space (one tiny agg
     to fetch the bounds — scalars, not data, on the driver), bit
     interleaved, then range-partitioned + sorted on the key. Row
-    content is untouched; only layout changes. For heavily skewed
-    columns substitute a quantile-based scaling — the key builder
-    only needs ints in ``[0, 2^bits)``.
+    content is untouched; only layout changes.
+
+    ``scaling="minmax"`` (default) maps values linearly between the
+    column's bounds — right when values spread evenly. Under heavy
+    skew (power-law ids, long-tail amounts) it collapses most rows
+    into a few low codes, so most files share the same min/max and
+    zone maps stop pruning in exactly the dense region queries hit;
+    ``scaling="quantile"`` instead ranks values against ≤256 approx
+    quantile cuts (one ``approxQuantile`` pass, cut list lives in a
+    literal array — scalars on the driver, never data), giving every
+    code ~equal row mass no matter the distribution. The rank is
+    ``size(filter(cuts, c -> c <= x))`` — a flat single-level HOF
+    over a literal array (the nested-lambda codegen trap from round
+    5 doesn't apply), and this is a write-time op besides.
     """
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
-    bounds = df.agg(*aggs).first()
     top = (1 << bits) - 1
     scaled = []
-    for c in cols:
-        mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
-        span = (mx - mn) or 1
-        scaled.append(
-            F.least(
-                F.lit(top),
-                ((F.col(c) - F.lit(mn)) / F.lit(span) * top).cast("long"),
+    if scaling == "quantile":
+        n_q = min(1 << bits, 256)
+        probs = [i / n_q for i in range(1, n_q)]
+        all_cuts = df.stat.approxQuantile(list(cols), probs, 0.001)
+        for c, cuts in zip(cols, all_cuts):
+            uniq = sorted(set(cuts))
+            arr = F.array(*[F.lit(float(x)) for x in uniq])
+            rank = F.size(
+                F.filter(arr, lambda x: x <= F.col(c).cast("double"))
             )
-        )
+            scaled.append(
+                F.least(
+                    F.lit(top),
+                    (rank * top / max(len(uniq), 1)).cast("long"),
+                )
+            )
+    elif scaling == "minmax":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        bounds = df.agg(*aggs).first()
+        for c in cols:
+            mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+            span = (mx - mn) or 1
+            scaled.append(
+                F.least(
+                    F.lit(top),
+                    ((F.col(c) - F.lit(mn)) / F.lit(span) * top).cast("long"),
+                )
+            )
+    else:
+        raise ValueError(f"unknown scaling {scaling!r}")
     keyed = df.withColumn("__z", zorder_key(scaled, bits))
     rp = (
         keyed.repartitionByRange(partitions, "__z")

@@ -597,3 +597,54 @@ def test_optimize_snapshot_compacts_and_preserves_rows(spark, sf_dir, tmp_path):
     f1, t1 = pruned_files(path, [("user_id", "==", 5)])
     assert len(f1) / t1 < len(f0) / t0
     assert len(f1) <= 2
+
+
+def test_quantile_zorder_prunes_skewed_dense_region(spark, tmp_path):
+    """Power-law column: min-max scaling collapses ~all rows into a
+    few low codes, so files overlap in the dense region and zone maps
+    stop pruning there; quantile scaling gives every code equal row
+    mass and keeps point predicates at O(1) files."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        pruned_files,
+        read_snapshot,
+        write_snapshot,
+        zorder_by,
+    )
+
+    # v = id^3 (99% of the value range in the top 1% of rows) beside
+    # a uniform column u. Under min-max scaling the dense region
+    # collapses to v-code 0, the z-key degenerates to u-only there,
+    # and the dense rows scatter across ~every file — a selective v
+    # predicate prunes (almost) nothing. Quantile codes give v equal
+    # row mass per code, so the interleave stays genuinely 2-D.
+    # (One skewed column ALONE degenerates to range clustering,
+    # where mass-adaptive range partitioning hides the collapse —
+    # the failure mode needs the multi-column interleave.)
+    base = spark.range(1, 20001).select(
+        F.col("id"),
+        (F.xxhash64("id") % 10000).alias("u"),
+        (F.col("id") * F.col("id") * F.col("id")).alias("v"),
+    )
+    pred = [("v", "<=", 1_000_000)]  # the dense region: v of id<=100
+
+    mm_path = str(tmp_path / "mm")
+    write_snapshot(
+        zorder_by(base, ("u", "v"), partitions=16),
+        mm_path,
+        stats_cols=["u", "v"],
+    )
+    q_path = str(tmp_path / "q")
+    write_snapshot(
+        zorder_by(base, ("u", "v"), partitions=16, scaling="quantile"),
+        q_path,
+        stats_cols=["u", "v"],
+    )
+    mm_files, total = pruned_files(mm_path, pred)
+    q_files, _ = pruned_files(q_path, pred)
+    assert total == 16
+    assert len(q_files) < len(mm_files)  # quantile wins where it matters
+    assert len(q_files) <= 4
+    # both layouts return identical rows (clustering never drops data)
+    a = read_snapshot(spark, mm_path).filter(F.col("v") <= 1_000_000).count()
+    b = read_snapshot(spark, q_path).filter(F.col("v") <= 1_000_000).count()
+    assert a == b == 100
