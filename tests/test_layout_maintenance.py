@@ -642,8 +642,9 @@ def test_quantile_zorder_prunes_skewed_dense_region(spark, tmp_path):
     mm_files, total = pruned_files(mm_path, pred)
     q_files, _ = pruned_files(q_path, pred)
     assert total == 16
+    assert len(mm_files) >= 8  # min-max collapse: dense rows everywhere
     assert len(q_files) < len(mm_files)  # quantile wins where it matters
-    assert len(q_files) <= 4
+    assert len(q_files) <= 6
     # both layouts return identical rows (clustering never drops data)
     a = read_snapshot(spark, mm_path).filter(F.col("v") <= 1_000_000).count()
     b = read_snapshot(spark, q_path).filter(F.col("v") <= 1_000_000).count()
