@@ -649,3 +649,119 @@ def test_quantile_zorder_prunes_skewed_dense_region(spark, tmp_path):
     a = read_snapshot(spark, mm_path).filter(F.col("v") <= 1_000_000).count()
     b = read_snapshot(spark, q_path).filter(F.col("v") <= 1_000_000).count()
     assert a == b == 100
+
+
+def test_optimize_is_change_feed_invisible(spark, sf_dir, tmp_path):
+    """A rewrite commit (OPTIMIZE) changes layout, not rows — the
+    change feed across it must be empty, so downstream incremental
+    consumers do zero work when compaction runs."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        optimize_snapshot,
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "opt_cdf")
+    write_snapshot(events.repartition(16), path, stats_cols=["user_id"])
+    optimize_snapshot(spark, path, zorder_cols=("user_id",), partitions=4)
+    feed = snapshot_changes(spark, path, 1, 2, keys=["event_id"])
+    assert feed.count() == 0
+
+
+def test_vacuum_keeps_hardlinked_files_alive(spark, sf_dir, tmp_path):
+    """delete_where hardlinks untouched files from the previous
+    version; vacuuming that previous version unlinks ITS names but
+    the shared inodes survive — the current version must stay fully
+    readable afterwards."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        delete_where,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+        zorder_by,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "vac_link")
+    write_snapshot(
+        zorder_by(events, ("user_id",), partitions=8),
+        path,
+        stats_cols=["user_id"],
+    )
+    rep = delete_where(spark, path, [("user_id", "==", 7)])
+    assert rep["files_linked"] > 0
+    want = read_snapshot(spark, path).count()
+    removed = vacuum_snapshots(path, keep_last=1)
+    assert removed == [1]
+    assert read_snapshot(spark, path).count() == want  # links held
+
+
+def test_lakehouse_end_to_end(spark, tmp_path):
+    """Integration: stream ingest through versioned commits →
+    OPTIMIZE → targeted DELETE → audit via the change feed →
+    vacuum, with the table correct at every step."""
+    import shutil as _sh
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        current_snapshot,
+        delete_where,
+        optimize_snapshot,
+        read_snapshot,
+        snapshot_changes,
+        vacuum_snapshots,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        versioned_snapshot_sink,
+    )
+
+    stream_dir = tmp_path / "e2e_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "e2e_table")
+    schema = "k int, v long, seq long"
+
+    def drop(name, rows):
+        staging = tmp_path / "e2estage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        _sh.copy(part, stream_dir / f"b-{name}.parquet")
+
+    q = versioned_snapshot_sink(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        out,
+        keys=("k",),
+        seq_cols=("seq",),
+        stats_cols=("k",),
+        checkpoint_dir=str(tmp_path / "e2e_ck"),
+    )
+    try:
+        drop("000", [(i, i * 10, i) for i in range(1, 51)])
+        q.processAllAvailable()
+        drop("001", [(i, i * 10 + 1, 100 + i) for i in range(40, 61)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert current_snapshot(out) == 2
+    assert read_snapshot(spark, out).count() == 60
+
+    v_opt = optimize_snapshot(spark, out, zorder_cols=("k",), partitions=4)
+    assert v_opt == 3
+    assert snapshot_changes(spark, out, 2, 3, keys=["k"]).count() == 0
+
+    rep = delete_where(spark, out, [("k", "<=", 10)])
+    assert rep["rows_matched"] == 10 and rep["version"] == 4
+    tbl = read_snapshot(spark, out)
+    assert tbl.count() == 50 and tbl.filter("k <= 10").count() == 0
+    feed = snapshot_changes(spark, out, 3, 4, keys=["k"])
+    assert {r.change_type for r in feed.collect()} == {"delete"}
+    assert feed.count() == 10
+
+    vacuum_snapshots(out, keep_last=2)
+    assert read_snapshot(spark, out).count() == 50
+    assert read_snapshot(spark, out, version=3).count() == 60
