@@ -287,6 +287,7 @@ def merge_into(
     not_matched: Sequence[When] = (),
     not_matched_by_source: Sequence[When] = (),
     validate_source_unique: bool = True,
+    broadcast_source: bool = False,
 ) -> DataFrame:
     """ANSI/Delta-shaped MERGE INTO as ONE join and a row-local
     clause dispatch — the general upsert primitive the reference
@@ -320,6 +321,13 @@ def merge_into(
     source is a small feed, and with both sides bucketed by ``keys``
     it runs exchange-free — the snapshot never rewrites wholesale,
     which is the point of MERGE at 100 TB.
+
+    ``broadcast_source`` forces the broadcast when the feed is small
+    but above Spark's auto-broadcast threshold (the common
+    apply-a-feed shape: gigabyte target, megabyte source). Only
+    legal without NOT MATCHED clauses — a full-outer equi-join
+    cannot build a broadcast side — so it raises rather than letting
+    Catalyst silently drop the hint.
     """
     for cl in matched:
         if cl.action not in _MATCHED_OK:
@@ -353,6 +361,13 @@ def merge_into(
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else cond & eq
     how = "left_outer" if not not_matched else "full_outer"
+    if broadcast_source:
+        if not_matched:
+            raise ValueError(
+                "broadcast_source: NOT MATCHED clauses force a "
+                "full-outer join, which cannot broadcast a side"
+            )
+        s = F.broadcast(s)
     joined = t.join(s, cond, how)
 
     t_in = F.col("t.__t_present").isNotNull()

@@ -256,3 +256,26 @@ def test_table_changes_schema_evolution_dropped_column(spark):
     got = {(r["id"], r["change_type"]) for r in feed.collect()}
     assert got == {(2, "update_pre"), (2, "update_post")}
     assert "old" not in feed.columns
+
+
+def test_merge_into_broadcast_source_hint(spark):
+    import pytest
+
+    tgt = _merge_target(spark)
+    src = _merge_source(spark).filter(~F.col("drop_it"))
+    merged = merge_into(
+        tgt, src, keys=("id",),
+        matched=(When("update", assign={"price": F.col("s.price")}),),
+        broadcast_source=True,
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["id"]: r["price"] for r in merged.collect()}
+    assert got[1] == 120.0 and got[3] == 10.0
+    # illegal with insert clauses: full-outer cannot broadcast
+    with pytest.raises(ValueError, match="full-outer"):
+        merge_into(
+            tgt, src, keys=("id",),
+            not_matched=(When("insert"),),
+            broadcast_source=True,
+        )
