@@ -643,6 +643,156 @@ def read_snapshot_pruned(
     return spark.read.parquet(*files).filter(_residual_filter(predicates))
 
 
+# ---- write-audit-publish (WAP) -----------------------------------------
+
+
+def write_snapshot_audited(
+    df: DataFrame,
+    path: str,
+    rules: list,
+    max_retries: int = 64,
+    backend: "CommitBackend | None" = None,
+    stats_cols: "Sequence[str] | None" = None,
+    commit_meta: dict | None = None,
+):
+    """Iceberg's write-audit-publish on the snapshot layout: stage
+    the data, audit THE STAGED FILES with a declarative expectation
+    suite (operators.expectations — one aggregation pass), and
+    publish only on a clean verdict. The bytes audited are exactly
+    the bytes published (the audit re-reads the staging dir, not the
+    input plan — a nondeterministic upstream can't slip a different
+    result into the commit), and a failed audit leaves the pointer
+    untouched: readers never see the bad version, the staging dir
+    stays on disk for debugging (named in the error; reaped by
+    ``vacuum_snapshots`` like any crashed-writer debris).
+
+    Returns ``(version, verdicts)`` where verdicts is the one-row-
+    per-rule frame. Raises ``ExpectationError`` (with the staging
+    path appended) when any rule fails.
+    """
+    import uuid
+
+    from ..operators.expectations import ExpectationError, check_expectations
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(staging)
+
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    verdicts = check_expectations(staged, rules)
+    failed = [
+        (r["rule"], r["n_violations"])
+        for r in verdicts.collect()
+        if not r["passed"]
+    ]
+    if failed:
+        raise ExpectationError(
+            "write_snapshot_audited: refusing to publish — "
+            + ", ".join(f"{n} ({v} violations)" for n, v in failed)
+            + f"; staged data kept at {staging}"
+        )
+    if stats_cols:
+        _write_file_stats(spark, staging, list(stats_cols))
+    if commit_meta is not None:
+        import json
+
+        with open(os.path.join(staging, _COMMIT_META), "w") as f:
+            json.dump(commit_meta, f)
+    return _commit_staging(path, staging, be, max_retries), verdicts
+
+
+# ---- change-feed follower (checkpointed incremental consumer) ----------
+
+
+def follow_snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    process,
+    checkpoint_file: str,
+    poll_interval_s: float = 1.0,
+    idle_timeout_s: float | None = 0.0,
+    max_batches: int | None = None,
+    backend: "CommitBackend | None" = None,
+) -> int:
+    """Tail a snapshot table's committed versions and deliver each
+    one's change feed to ``process(feed_df, version)`` exactly once
+    per offset advance — the consumer half of the change-feed story
+    (the Kafka-less CDC loop: the table's version history IS the
+    log). The first committed version delivers as all-inserts; every
+    later one as ``snapshot_changes(prev, v)``. The offset (last
+    delivered version) persists in ``checkpoint_file`` via atomic
+    rename AFTER ``process`` returns, so a crash between process and
+    checkpoint redelivers that version — at-least-once, with the
+    version number as the consumer's idempotence key (the same
+    discipline the streaming sinks use with batch ids).
+
+    Returns the number of versions delivered. ``idle_timeout_s=0``
+    (default) drains what's available and returns — the batch/cron
+    mode; a positive value keeps polling until the table goes quiet
+    that long; ``None`` polls forever (pair with ``max_batches``).
+    """
+    import json
+    import time
+    import uuid
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+
+    def _offset() -> int | None:
+        try:
+            with open(checkpoint_file) as f:
+                return json.load(f)["version"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _commit_offset(v: int) -> None:
+        tmp = f"{checkpoint_file}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, checkpoint_file)
+
+    delivered = 0
+    idle_since = time.monotonic()
+    while True:
+        cur = be.current_version(path)
+        off = _offset()
+        pending = [
+            v
+            for v in be.versions(path)
+            if (cur is not None and v <= cur) and (off is None or v > off)
+        ]
+        if not pending:
+            if max_batches is not None and delivered >= max_batches:
+                return delivered
+            if idle_timeout_s is not None and (
+                time.monotonic() - idle_since >= idle_timeout_s
+            ):
+                return delivered
+            time.sleep(poll_interval_s)
+            continue
+        for v in sorted(pending):
+            prev = _offset()
+            if prev is None:
+                feed = read_snapshot(spark, path, v, backend=be).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            else:
+                feed = snapshot_changes(
+                    spark, path, prev, v, keys=keys, backend=be
+                )
+            process(feed, v)
+            _commit_offset(v)
+            delivered += 1
+            if max_batches is not None and delivered >= max_batches:
+                return delivered
+        idle_since = time.monotonic()
+
+
 # ---- fine-grained DML: copy-on-write DELETE/UPDATE/OPTIMIZE ------------
 
 

@@ -765,3 +765,96 @@ def test_lakehouse_end_to_end(spark, tmp_path):
     vacuum_snapshots(out, keep_last=2)
     assert read_snapshot(spark, out).count() == 50
     assert read_snapshot(spark, out, version=3).count() == 60
+
+
+def test_write_snapshot_audited_publishes_only_clean(spark, tmp_path):
+    """WAP: a failing expectation leaves the pointer untouched and
+    names the staging dir; a clean suite publishes and returns the
+    verdict frame."""
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.expectations import (
+        ExpectationError,
+        in_range,
+        not_null,
+    )
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        current_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot_audited,
+    )
+
+    path = str(tmp_path / "wap")
+    good = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0)], "id long, v double"
+    )
+    v, verdicts = write_snapshot_audited(
+        good, path, [not_null("v"), in_range("v", 0.0, 10.0)]
+    )
+    assert v == 1 and current_snapshot(path) == 1
+    assert all(r["passed"] for r in verdicts.collect())
+
+    bad = spark.createDataFrame(
+        [(3, 50.0), (4, None)], "id long, v double"
+    )
+    with pytest.raises(ExpectationError, match="staged data kept"):
+        write_snapshot_audited(
+            bad, path, [not_null("v"), in_range("v", 0.0, 10.0)]
+        )
+    # pointer untouched, table still the clean version
+    assert current_snapshot(path) == 1
+    assert read_snapshot(spark, path).count() == 2
+    # the refused staging dir is crashed-writer debris for vacuum
+    vacuum_snapshots(path, keep_last=1)
+    import pathlib as _pl
+
+    assert not list(_pl.Path(path).glob(".staging-*"))
+    assert read_snapshot(spark, path).count() == 2
+
+
+def test_follow_snapshot_changes_delivers_each_version_once(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        delete_where,
+        follow_snapshot_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "follow")
+    ckpt = str(tmp_path / "follow.offset")
+    write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        path,
+        stats_cols=["k"],
+    )
+    write_snapshot(
+        spark.createDataFrame([(1, 11), (3, 30)], "k long, v long"), path
+    )
+
+    seen = []
+
+    def collect(feed, version):
+        seen.append(
+            (version, sorted((r.k, r.change_type) for r in feed.collect()))
+        )
+
+    n = follow_snapshot_changes(
+        spark, path, ["k"], collect, ckpt, idle_timeout_s=0.0
+    )
+    assert n == 2
+    assert seen[0] == (1, [(1, "insert"), (2, "insert")])
+    assert seen[1] == (
+        2,
+        [(1, "update_post"), (1, "update_pre"), (2, "delete"), (3, "insert")],
+    )
+
+    # nothing new → drains zero; a new DML commit delivers exactly it
+    assert follow_snapshot_changes(
+        spark, path, ["k"], collect, ckpt, idle_timeout_s=0.0
+    ) == 0
+    delete_where(spark, path, [("k", "==", 3)])
+    n = follow_snapshot_changes(
+        spark, path, ["k"], collect, ckpt, idle_timeout_s=0.0
+    )
+    assert n == 1
+    assert seen[-1] == (3, [(3, "delete")])
