@@ -356,7 +356,25 @@ def _commit_staging(
     """Version-claim loop + pointer advance for a fully-prepared
     staging dir (data files and any ``_file_stats.json`` already in
     place). Shared by :func:`write_snapshot` and the copy-on-write
-    DML below."""
+    DML below. Every commit is stamped with ``committed_at`` (UTC
+    ISO) in its meta so :func:`read_snapshot_as_of` can time-travel
+    by timestamp, not just version number."""
+    import datetime
+    import json
+
+    meta_path = os.path.join(staging, _COMMIT_META)
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        meta = {}
+    meta.setdefault(
+        "committed_at",
+        datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    )
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
     nxt: int | None = None
     for _ in range(max_retries):
         versions = be.versions(path)
@@ -641,6 +659,53 @@ def read_snapshot_pruned(
         full = read_snapshot(spark, path, version=version, backend=backend)
         return full.filter(F.lit(False))
     return spark.read.parquet(*files).filter(_residual_filter(predicates))
+
+
+def read_snapshot_as_of(
+    spark: SparkSession,
+    path: str,
+    as_of,
+    backend: "CommitBackend | None" = None,
+) -> DataFrame:
+    """Timestamp time travel (Delta's ``timestampAsOf``): read the
+    newest version committed at or before ``as_of`` (a datetime;
+    naive values are taken as UTC). Commit instants come from the
+    ``committed_at`` stamp every commit carries; versions older than
+    the stamping (or written by other tools) fall back to the data
+    dir's mtime — a conservative proxy that can only be LATER than
+    the true commit instant, so as-of reads never return a version
+    that didn't exist yet."""
+    import datetime
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    if as_of.tzinfo is None:
+        as_of = as_of.replace(tzinfo=datetime.timezone.utc)
+    cur = be.current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    best = None
+    for v in be.versions(path):
+        if v > cur:
+            continue  # claimed-but-unpointed: never committed
+        meta = read_commit_meta(path, version=v, backend=be)
+        if meta and "committed_at" in meta:
+            t = datetime.datetime.fromisoformat(meta["committed_at"])
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=datetime.timezone.utc)
+        else:
+            t = datetime.datetime.fromtimestamp(
+                os.path.getmtime(be.data_dir(path, v)),
+                tz=datetime.timezone.utc,
+            )
+        if t <= as_of and (best is None or v > best):
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot at {path} committed at or before {as_of}"
+        )
+    return read_snapshot(spark, path, version=best, backend=be)
 
 
 # ---- write-audit-publish (WAP) -----------------------------------------

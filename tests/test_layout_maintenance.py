@@ -858,3 +858,39 @@ def test_follow_snapshot_changes_delivers_each_version_once(spark, tmp_path):
     )
     assert n == 1
     assert seen[-1] == (3, [(3, "delete")])
+
+
+def test_read_snapshot_as_of_timestamp(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_commit_meta,
+        read_snapshot_as_of,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "asof")
+    write_snapshot(spark.range(0, 3).toDF("id"), path)
+    t1 = datetime.datetime.fromisoformat(
+        read_commit_meta(path, version=1)["committed_at"]
+    )
+    write_snapshot(spark.range(0, 7).toDF("id"), path)
+    t2 = datetime.datetime.fromisoformat(
+        read_commit_meta(path, version=2)["committed_at"]
+    )
+    assert t2 >= t1  # every commit auto-stamped
+
+    assert read_snapshot_as_of(spark, path, t1).count() == 3
+    assert read_snapshot_as_of(spark, path, t2).count() == 7
+    assert (
+        read_snapshot_as_of(
+            spark, path, t2 + datetime.timedelta(hours=1)
+        ).count()
+        == 7
+    )
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_snapshot_as_of(
+            spark, path, t1 - datetime.timedelta(hours=1)
+        )
