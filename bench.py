@@ -81,6 +81,9 @@ HEADLINE = (
 #: per decade when 10× more queries each scan 10× more data; the
 #: twins fix the workload, which is the production model).
 SCALE_TWINS = (
+    # round-6: the general MERGE clause algebra, decade-measured
+    # (one equi-join + projection — the ratio should read ~linear)
+    "merge_into_orders_feed",
     "ppjoin_jaccard_dups",
     "session_merge_banded",
     "skewed_merge_banded_hotkey",
