@@ -25,24 +25,46 @@ def asof_join_union(
     on: str,
     by: str,
     value_cols: tuple[str, ...],
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` group (NULLs when
-    no predecessor). Ties on ``on`` resolve to the right row (the
-    union sorts right rows before left at equal timestamps).
+    """For every left row, attach the as-of matching right row within
+    the same ``by`` group (NULLs when no match):
+
+    - ``backward`` (default): most recent right row with
+      ``right.on <= left.on``;
+    - ``forward``: earliest right row with ``right.on >= left.on``;
+    - ``nearest``: whichever of the two is closer on ``on``; equal
+      gaps resolve to the backward match (pd.merge_asof parity).
+
+    ``tolerance`` (optional) bounds the match distance in the
+    ``on`` column's native units — MICROSECONDS for timestamps,
+    raw difference for numerics; a nearest-but-too-far match becomes
+    NULL (pd.merge_asof tolerance semantics: tolerance never falls
+    back to the second-nearest row). Equal timestamps match in every
+    direction (gap 0).
 
     Output: all left columns + ``asof_<c>`` for each value column.
 
-    The right side rides as ONE struct column and the window carries
-    ``last(struct) IGNORE NULLS`` — all ``asof_*`` outputs come from
-    the SAME matched right row. (Per-column last-ignorenulls would
-    backfill a NULL field of the true match from an older right row,
-    diverging from pd.merge_asof / :func:`asof_join_pandas`, which
-    return the matched row's NULL.)
+    The right side rides as ONE struct column (carrying its own
+    ``on`` value for gap math) and the window fills
+    ``last/first(struct) IGNORE NULLS`` — all ``asof_*`` outputs
+    come from the SAME matched right row. (Per-column fill would
+    backfill a NULL field of the true match from a different right
+    row, diverging from pd.merge_asof / :func:`asof_join_pandas`,
+    which return the matched row's NULL.)
+
+    Scale shape: still no join — one shuffle of the unioned frame on
+    ``by``; ``nearest`` adds a second sort (opposite tie order)
+    within the same partitioning, not a second shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
+    on_type = left.schema[on].dataType
     struct_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+        [T.StructField("__on", on_type)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     tagged_left = left.select(
         F.col(by),
@@ -60,17 +82,63 @@ def asof_join_union(
             for c in lcols
             if c not in (by, on)
         ],
-        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+        F.struct(
+            F.col(on).alias("__on"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__asof")
-    )
+
+    def _scalar(c):
+        # gap math in the on-column's native units (µs for both
+        # timestamp flavors; unix_micros only takes TIMESTAMP, so
+        # NTZ casts through — the shift is a constant, gaps cancel)
+        if isinstance(on_type, T.TimestampNTZType):
+            c = c.cast("timestamp")
+        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(c)
+        return c
+
+    filled = unioned
+    if direction in ("backward", "nearest"):
+        # right sorts BEFORE left at equal on → equal-ts rows match
+        w_b = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = filled.withColumn(
+            "__back", F.last(F.col("__r"), ignorenulls=True).over(w_b)
+        )
+    if direction in ("forward", "nearest"):
+        # left sorts BEFORE right at equal on → equal-ts rows land in
+        # the [current, following] frame
+        w_f = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = filled.withColumn(
+            "__fwd", F.first(F.col("__r"), ignorenulls=True).over(w_f)
+        )
+
+    if direction == "backward":
+        chosen = F.col("__back")
+    elif direction == "forward":
+        chosen = F.col("__fwd")
+    else:
+        gap_b = _scalar(F.col(on)) - _scalar(F.col("__back.__on"))
+        gap_f = _scalar(F.col("__fwd.__on")) - _scalar(F.col(on))
+        chosen = (
+            F.when(F.col("__fwd").isNull(), F.col("__back"))
+            .when(F.col("__back").isNull(), F.col("__fwd"))
+            .when(gap_b <= gap_f, F.col("__back"))
+            .otherwise(F.col("__fwd"))
+        )
+    if tolerance is not None:
+        gap = F.abs(_scalar(F.col(on)) - _scalar(chosen["__on"]))
+        chosen = F.when(gap <= F.lit(tolerance), chosen)
+    filled = filled.withColumn("__asof", chosen)
     return (
         filled.filter(F.col("__side") == 1)
         .select(
@@ -87,9 +155,12 @@ def asof_join_pandas(
     by: str,
     value_cols: tuple[str, ...],
     tolerance: pd.Timedelta | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """pd.merge_asof per ``by`` group (cogroup applyInPandas) — richer
-    semantics (tolerance windows), per-group single-worker bound."""
+    """pd.merge_asof per ``by`` group (cogroup applyInPandas) — the
+    reference-semantics twin (tolerance windows, backward/forward/
+    nearest) used to cross-check :func:`asof_join_union`;
+    per-group single-worker bound."""
     out_schema = T.StructType(
         list(left.schema.fields)
         + [
@@ -107,7 +178,7 @@ def asof_join_pandas(
             l_sorted,
             r_sorted,
             on=on,
-            direction="backward",
+            direction=direction,
             tolerance=tolerance,
         )
         return merged

@@ -1,0 +1,253 @@
+"""Materialized-view rollup rewrite: answer a coarser aggregate
+query from a stored, finer-grained aggregate table instead of the
+base fact table.
+
+This is the optimizer-level feature warehouses call *MV query
+rewrite* (and OLAP engines call *aggregate navigation*): a
+materialized view at grouping grain G can answer any query whose
+grouping columns are a subset of G, whose filters touch only columns
+of G, and whose aggregates are derivable from the stored measures —
+SUM rolls up by summing partial sums, COUNT by summing partial
+counts, MIN/MAX by re-min/maxing, AVG from stored SUM+COUNT. The
+rewrite is *provably* answered from the view: the returned plan
+scans only the MV storage, never the base table (tests assert the
+base path is absent from the optimized plan).
+
+Reference parity note: the reference pipeline materializes rollups
+as Postgres tables and rewrites reads by hand at call sites
+(enclaveid_data_pipeline/utils: ad-hoc aggregate caches); here the
+subsumption check + rollup derivation is a reusable operator over
+any Spark DataFrame, with the MV stored through the snapshot layer
+(sources/layout.py) so it is versioned and atomically refreshable.
+
+At 100 TB the economics are the whole point: the fact table is
+O(rows), the MV is O(|G| domain| ) — usually 10^3–10^6 rows — so a
+dashboard-grain query that would scan 100 TB scans megabytes. The
+rollup re-aggregation shuffles only MV rows, and every stored
+measure re-aggregates with a map-side partial, so the rewrite plan
+is a broadcast-free two-stage agg over a tiny scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# measure kinds that can be stored in an MV and re-aggregated
+_STORED_KINDS = ("sum", "count", "min", "max")
+# aggregate functions a query may request
+_QUERY_FNS = ("sum", "count", "min", "max", "avg")
+
+_FILTER_OPS = ("=", "<", "<=", ">", ">=", "in", "between")
+
+
+def _storage_col(kind: str, col: str) -> str:
+    return f"{kind}__{'rows' if col == '*' else col}"
+
+
+@dataclass(frozen=True)
+class MViewSpec:
+    """Grain + stored measures of a materialized rollup.
+
+    ``group_cols`` is the view's grouping grain; ``measures`` the
+    stored partial aggregates as ``(kind, src_col)`` pairs with
+    ``kind`` in sum/count/min/max and ``src_col`` ``"*"`` only for
+    count. Storage column names are ``{kind}__{src_col}`` (``rows``
+    for ``*``), so a spec is reconstructible from the MV schema.
+    """
+
+    group_cols: tuple[str, ...]
+    measures: tuple[tuple[str, str], ...]
+
+    def has(self, kind: str, col: str) -> bool:
+        return (kind, col) in self.measures
+
+
+def plan_mview(
+    group_cols: Sequence[str],
+    measures: Sequence[tuple[str, str]],
+) -> MViewSpec:
+    """Normalize a measure request into a storage spec.
+
+    ``avg`` requests expand to stored ``sum`` + ``count`` of the
+    same column; duplicates collapse. Raises on unknown kinds so a
+    typo fails at definition time, not at rewrite time.
+    """
+    stored: list[tuple[str, str]] = []
+    for kind, col in measures:
+        if kind == "avg":
+            expanded = [("sum", col), ("count", col)]
+        elif kind in _STORED_KINDS:
+            expanded = [(kind, col)]
+        else:
+            raise ValueError(
+                f"unsupported measure kind {kind!r}; "
+                f"stored kinds: {_STORED_KINDS} (+ avg, which expands)"
+            )
+        for m in expanded:
+            if m[1] == "*" and m[0] != "count":
+                raise ValueError(f"'*' is only valid for count, got {m[0]}")
+            if m not in stored:
+                stored.append(m)
+    return MViewSpec(group_cols=tuple(group_cols), measures=tuple(stored))
+
+
+def build_mview(
+    df: DataFrame,
+    spec: MViewSpec,
+    exprs: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Compute the MV frame at ``spec``'s grain from the base frame.
+
+    ``exprs`` optionally maps a measure/grouping column name to a
+    derivation expression (e.g. ``{"ship_month": F.month(...)}`` or
+    a decimal cast for exact money sums); names not in ``exprs``
+    read the base column as-is. The result is what you pass to
+    ``write_snapshot`` — storing it is the caller's choice of sink.
+    """
+    exprs = dict(exprs or {})
+
+    def _src(col: str) -> Column:
+        return exprs[col] if col in exprs else F.col(col)
+
+    keys = [_src(c).alias(c) for c in spec.group_cols]
+    aggs = []
+    for kind, col in spec.measures:
+        name = _storage_col(kind, col)
+        if kind == "count":
+            e = F.count(F.lit(1)) if col == "*" else F.count(_src(col))
+        else:
+            e = getattr(F, kind)(_src(col))
+        aggs.append(e.alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _filter_col(mv: DataFrame, col: str, op: str, value) -> Column:
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
+    if op == "between":
+        lo, hi = value
+        return c.between(F.lit(lo), F.lit(hi))
+    raise ValueError(f"unsupported filter op {op!r}; ops: {_FILTER_OPS}")
+
+
+def _derive(spec: MViewSpec, fn: str, col: str) -> Column | None:
+    """The re-aggregation expression for ``fn(col)`` over MV rows,
+    or None when the stored measures can't produce it."""
+    if fn == "sum":
+        if spec.has("sum", col):
+            return F.sum(F.col(_storage_col("sum", col)))
+    elif fn == "count":
+        # count(*) and count(col) are DIFFERENT measures (null
+        # handling); each requires its own stored partial count.
+        if spec.has("count", col):
+            return F.sum(F.col(_storage_col("count", col)))
+    elif fn in ("min", "max"):
+        if spec.has(fn, col):
+            return getattr(F, fn)(F.col(_storage_col(fn, col)))
+    elif fn == "avg":
+        if spec.has("sum", col) and spec.has("count", col):
+            return F.sum(F.col(_storage_col("sum", col))) / F.sum(
+                F.col(_storage_col("count", col))
+            )
+    elif fn not in _QUERY_FNS:
+        raise ValueError(f"unsupported query fn {fn!r}; fns: {_QUERY_FNS}")
+    return None
+
+
+def rewrite_rollup(
+    mv: DataFrame,
+    spec: MViewSpec,
+    group_cols: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]] = (),
+) -> DataFrame | None:
+    """Answer ``groupBy(group_cols).agg(aggs)`` with ``filters``
+    from the MV, or return None when subsumption fails.
+
+    Subsumption requires: every query grouping column is a view
+    grouping column; every filter touches only view grouping columns
+    (a filter on a non-grouped column would need base rows the view
+    already collapsed); every aggregate derives from stored
+    measures. ``aggs`` maps output name → ``(fn, col)``; the output
+    column carries exactly that name on both the rewrite and any
+    fallback, so callers (and oracles) see one schema.
+    """
+    gset = set(spec.group_cols)
+    if not set(group_cols) <= gset:
+        return None
+    if any(col not in gset for col, _op, _v in filters):
+        return None
+    derived: dict[str, Column] = {}
+    for out, (fn, col) in aggs.items():
+        e = _derive(spec, fn, col)
+        if e is None:
+            return None
+        derived[out] = e.alias(out)
+
+    out_df = mv
+    for col, op, value in filters:
+        out_df = out_df.filter(_filter_col(out_df, col, op, value))
+    agg_list = [derived[k] for k in aggs]
+    if group_cols:
+        return out_df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_list)
+    return out_df.agg(*agg_list)
+
+
+def answer_rollup(
+    base: DataFrame,
+    mv: DataFrame,
+    spec: MViewSpec,
+    group_cols: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]] = (),
+    exprs: Mapping[str, Column] | None = None,
+) -> tuple[DataFrame, bool]:
+    """Transparent rewrite: the MV answer when subsumed, else the
+    same query computed from the base frame. Returns ``(frame,
+    used_mv)`` so callers can assert which path served them.
+
+    The fallback applies ``exprs`` (the same derivations used at MV
+    build) so a grouping column like ``ship_month`` exists on the
+    base path too — both paths produce one schema.
+    """
+    rewritten = rewrite_rollup(mv, spec, group_cols, aggs, filters)
+    if rewritten is not None:
+        return rewritten, True
+
+    exprs = dict(exprs or {})
+
+    def _src(col: str) -> Column:
+        return exprs[col] if col in exprs else F.col(col)
+
+    out_df = base
+    for col, op, value in filters:
+        out_df = out_df.filter(_filter_col(out_df, col, op, value))
+    agg_list = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            e = F.count(F.lit(1)) if col == "*" else F.count(_src(col))
+        else:
+            e = getattr(F, fn)(_src(col))
+        agg_list.append(e.alias(out))
+    if group_cols:
+        out_df = out_df.groupBy(
+            *[_src(c).alias(c) for c in group_cols]
+        ).agg(*agg_list)
+    else:
+        out_df = out_df.agg(*agg_list)
+    return out_df, False

@@ -59,6 +59,131 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_click_after_error",
+    oracle="""
+    WITH errors AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    ), clicks AS (
+        SELECT user_id, ts, event_id AS click_event_id FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT e.user_id,
+           e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts_s,
+           c.click_event_id AS asof_click_event_id
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts >= e.ts
+    """,
+)
+def asof_next_click_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators.asof.asof_join_union
+    direction="forward"): for every error, the user's earliest click
+    at or after it — "did the user recover?" Engine side is the same
+    union+window rewrite run with the opposite frame
+    ([current, unboundedFollowing], FIRST IGNORE NULLS) and the
+    opposite tie order; still zero join operators, one shuffle on
+    user_id. Checked against DuckDB's native forward ASOF JOIN."""
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join_union(
+        errors,
+        clicks,
+        on="ts",
+        by="user_id",
+        value_cols=("click_event_id",),
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts_s"),
+        "asof_click_event_id",
+    )
+
+
+_NEAREST_TOL_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "asof_nearest_view_10m",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+        SELECT user_id, ts, event_id AS view_event_id FROM events
+        WHERE event_type = 'view'
+    ), both_dirs AS (
+        SELECT c.user_id, c.event_id, c.ts,
+               b.ts AS bts, b.view_event_id AS bid,
+               f.ts AS fts, f.view_event_id AS fid
+        FROM clicks c
+        ASOF LEFT JOIN views b
+          ON c.user_id = b.user_id AND b.ts <= c.ts
+        ASOF LEFT JOIN views f
+          ON c.user_id = f.user_id AND f.ts >= c.ts
+    ), chosen AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN fts IS NULL THEN bid
+                    WHEN bts IS NULL THEN fid
+                    WHEN epoch_us(ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(ts) THEN bid
+                    ELSE fid END AS cand_id,
+               CASE WHEN fts IS NULL THEN epoch_us(ts) - epoch_us(bts)
+                    WHEN bts IS NULL THEN epoch_us(fts) - epoch_us(ts)
+                    WHEN epoch_us(ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(ts)
+                         THEN epoch_us(ts) - epoch_us(bts)
+                    ELSE epoch_us(fts) - epoch_us(ts) END AS cand_gap
+        FROM both_dirs
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+           CASE WHEN cand_gap <= {_NEAREST_TOL_US} THEN cand_id END
+               AS asof_view_event_id
+    FROM chosen
+    """,
+)
+def asof_nearest_view_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with a tolerance window
+    (operators.asof.asof_join_union direction="nearest",
+    tolerance=10min): for every click, the closest view event either
+    direction, NULL when the nearest is over 10 minutes away —
+    pd.merge_asof semantics (tolerance never falls back to the
+    second-nearest; equal gaps resolve backward). Engine side runs
+    BOTH window fills over one shuffle (the two sorts share the
+    user_id partitioning) and picks per-row by gap; the oracle
+    replays it as two native ASOF joins + the same gap CASE."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    joined = asof_join_union(
+        clicks,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=("view_event_id",),
+        direction="nearest",
+        tolerance=_NEAREST_TOL_US,
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        "asof_view_event_id",
+    )
+
+
+@register(
     "approx_distinct_parts",
     oracle="""
     SELECT l_returnflag,

@@ -1,0 +1,149 @@
+"""Materialized-view rollup-rewrite queries.
+
+Each query ANSWERS FROM THE VIEW: the base fact table is aggregated
+once to the MV grain (operators.mview.build_mview), and the reported
+result is produced by :func:`~..operators.mview.rewrite_rollup` —
+the subsumption check + measure re-derivation — never by re-scanning
+base rows at query grain. The DuckDB oracle computes the same answer
+directly from the base table, so a hash match proves the rewrite
+algebra (SUM of partial sums, SUM of partial counts, re-MIN/MAX,
+AVG = ΣSUM/ΣCOUNT) is exact. The MV-storage isolation proof (the
+rewritten plan scans only snapshot files, zero base lineage) lives
+in tests/test_mview.py::test_rewrite_plan_scans_only_mv — the
+registered form builds the view in-frame so the driver harness stays
+scratch-free.
+
+Money/quantity math is DECIMAL at MV build time and stays DECIMAL
+through both aggregation levels (registry convention: float sums are
+order-dependent; decimal partials re-aggregate bit-exactly), cast to
+DOUBLE only in the final projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mview import plan_mview, build_mview, rewrite_rollup
+from ..sources.readers import read_table
+from .registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+_PRICING_SPEC = plan_mview(
+    group_cols=["l_returnflag", "l_linestatus", "ship_month"],
+    measures=[
+        ("sum", "l_quantity"),
+        ("count", "l_quantity"),
+        ("count", "*"),
+        ("max", "l_discount"),
+        ("min", "l_shipdate"),
+    ],
+)
+
+def _pricing_exprs():
+    # built lazily: Column construction needs an active session
+    return {
+        "ship_month": F.month("l_shipdate"),
+        "l_quantity": F.col("l_quantity").cast("decimal(12,2)"),
+        "l_discount": F.col("l_discount").cast("decimal(8,4)"),
+    }
+
+
+def _pricing_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = read_table(spark, sf_dir, "lineitem")
+    return build_mview(base, _PRICING_SPEC, _pricing_exprs())
+
+
+@register(
+    "mv_rollup_pricing_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(l_quantity), 6) AS avg_qty,
+           CAST(max(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS max_disc,
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship_s
+    FROM lineitem
+    WHERE month(l_shipdate) BETWEEN 3 AND 9
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def mv_rollup_pricing_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV query rewrite, subset-grain rollup: the view holds partial
+    aggregates at (returnflag, linestatus, ship_month); the query
+    wants (returnflag, linestatus) with a month-range filter. The
+    rewrite filters MV rows on the grouping column and re-aggregates
+    ~|grain| rows — at 100 TB that is a megabyte-scale scan standing
+    in for a full fact-table pass. Derivations exercised: SUM (sum
+    of sums), COUNT(*) (sum of counts), AVG (ΣSUM/ΣCOUNT of the
+    column's own null-aware count), MAX, MIN-of-timestamp. A failed
+    subsumption raises — a silent base-table fallback would let the
+    oracle pass without testing the rewrite."""
+    mv = _pricing_mview(spark, sf_dir)
+    out = rewrite_rollup(
+        mv,
+        _PRICING_SPEC,
+        ["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "*"),
+            "avg_qty": ("avg", "l_quantity"),
+            "max_disc": ("max", "l_discount"),
+            "min_ship": ("min", "l_shipdate"),
+        },
+        filters=[("ship_month", "between", (3, 9))],
+    )
+    if out is None:
+        raise RuntimeError("MV rewrite unexpectedly rejected subsumption")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").alias("n_rows"),
+        F.round(F.col("avg_qty").cast("double"), 6).alias("avg_qty"),
+        F.col("max_disc").cast("double").alias("max_disc"),
+        F.date_format("min_ship", _TS_FMT).alias("min_ship_s"),
+    )
+
+
+@register(
+    "mv_rollup_global_filtered",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(max(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS max_disc
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND month(l_shipdate) IN (1, 2, 12)
+    """,
+)
+def mv_rollup_global_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV rewrite to the GLOBAL grain (empty grouping set) with
+    equality + IN filters on view grouping columns — the other
+    rollup path (``agg`` without ``groupBy``). Winter-months 'R'
+    rows collapse to one output row; the filter runs on MV rows, so
+    work is O(|grain|) regardless of fact-table size."""
+    mv = _pricing_mview(spark, sf_dir)
+    out = rewrite_rollup(
+        mv,
+        _PRICING_SPEC,
+        [],
+        aggs={
+            "n_rows": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "max_disc": ("max", "l_discount"),
+        },
+        filters=[
+            ("l_returnflag", "=", "R"),
+            ("ship_month", "in", (1, 2, 12)),
+        ],
+    )
+    if out is None:
+        raise RuntimeError("MV rewrite unexpectedly rejected subsumption")
+    return out.select(
+        F.col("n_rows").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_disc").cast("double").alias("max_disc"),
+    )

@@ -113,3 +113,89 @@ def test_replicate_for_salt(spark):
     out = replicate_for_salt(df, buckets=4).collect()
     # dunder-prefixed names need item access (Row.__getattr__ guards)
     assert sorted(r["__salt"] for r in out) == [0, 1, 2, 3]
+
+
+def test_asof_union_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        r.event_id: r.asof_err
+        for r in asof_join_union(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            value_cols=("err",),
+            direction="forward",
+        ).collect()
+    }
+    assert out[102] == 900  # t5 → next err t8
+    assert out[100] == 901  # t10 → next err t20
+    assert out[101] == 901  # tie at t20 counts (>= semantics)
+    assert out[200] == 902  # t30 → err t40
+
+
+def test_asof_union_nearest_tiebreak_and_tolerance(spark):
+    left, right = _frames(spark)
+    # nearest: t10 is 2min after t8 and 10min before t20 → backward
+    out = {
+        r.event_id: r.asof_err
+        for r in asof_join_union(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            value_cols=("err",),
+            direction="nearest",
+        ).collect()
+    }
+    assert out[102] == 900  # only forward exists (3min away)
+    assert out[100] == 900  # 2min back beats 10min fwd
+    assert out[101] == 901  # exact tie gap 0
+    assert out[200] == 902  # only forward exists
+    # tolerance 150s: every gap >150s becomes NULL
+    tol = {
+        r.event_id: r.asof_err
+        for r in asof_join_union(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            value_cols=("err",),
+            direction="nearest",
+            tolerance=150_000_000,
+        ).collect()
+    }
+    assert tol[102] is None  # 3min > 150s
+    assert tol[100] == 900  # 2min ≤ 150s
+    assert tol[101] == 901  # gap 0
+    assert tol[200] is None  # 10min > 150s
+
+
+def test_asof_union_matches_pandas_all_directions(spark):
+    left, right = _frames(spark)
+    for direction in ("backward", "forward", "nearest"):
+        a = {
+            r.event_id: r.asof_err
+            for r in asof_join_union(
+                left,
+                right,
+                on="ts",
+                by="user_id",
+                value_cols=("err",),
+                direction=direction,
+                tolerance=600_000_000,
+            ).collect()
+        }
+        b = {
+            r.event_id: r.asof_err
+            for r in asof_join_pandas(
+                left,
+                right,
+                on="ts",
+                by="user_id",
+                value_cols=("err",),
+                direction=direction,
+                tolerance=pd.Timedelta(minutes=10),
+            ).collect()
+        }
+        assert a == b, direction

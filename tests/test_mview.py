@@ -1,0 +1,160 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.operators.mview import (
+    answer_rollup,
+    build_mview,
+    plan_mview,
+    rewrite_rollup,
+)
+from enclaveid_data_pipeline_spark.sources.layout import (
+    read_snapshot,
+    write_snapshot,
+)
+from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, keys):
+    return sorted(
+        [tuple(r[k] for k in keys) for r in df.collect()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+@pytest.fixture(scope="module")
+def mv_setup(spark, tmp_path_factory):
+    """Lineitem MV at (returnflag, linestatus, ship_month) grain,
+    stored through the snapshot layer and read back — so rewrite
+    plans genuinely scan MV files, not base lineage."""
+    base = read_table(spark, SF, "lineitem")
+    spec = plan_mview(
+        group_cols=["l_returnflag", "l_linestatus", "ship_month"],
+        measures=[
+            ("sum", "l_quantity"),
+            ("count", "*"),
+            ("avg", "l_quantity"),  # expands to sum+count of the col
+            ("max", "l_discount"),
+            ("min", "l_shipdate"),
+        ],
+    )
+    exprs = {"ship_month": F.month("l_shipdate")}
+    mv_path = str(tmp_path_factory.mktemp("mv") / "lineitem_monthly")
+    write_snapshot(build_mview(base, spec, exprs), mv_path)
+    mv = read_snapshot(spark, mv_path, None)
+    return base, mv, spec, exprs, mv_path
+
+
+def test_spec_dedups_avg_expansion():
+    spec = plan_mview(
+        ["a"], [("avg", "x"), ("sum", "x"), ("count", "x"), ("count", "*")]
+    )
+    assert spec.measures == (("sum", "x"), ("count", "x"), ("count", "*"))
+
+
+def test_spec_rejects_bad_kinds():
+    with pytest.raises(ValueError):
+        plan_mview(["a"], [("median", "x")])
+    with pytest.raises(ValueError):
+        plan_mview(["a"], [("sum", "*")])
+
+
+def test_rewrite_matches_base_subset_grouping(mv_setup):
+    base, mv, spec, exprs, _ = mv_setup
+    aggs = {
+        "sum_qty": ("sum", "l_quantity"),
+        "n_rows": ("count", "*"),
+        "avg_qty": ("avg", "l_quantity"),
+        "max_disc": ("max", "l_discount"),
+        "min_ship": ("min", "l_shipdate"),
+    }
+    got = rewrite_rollup(mv, spec, ["l_returnflag"], aggs)
+    assert got is not None
+    want, used = answer_rollup(
+        base.limit(0), mv, spec, ["l_returnflag"], aggs
+    )
+    assert used
+    truth = base.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.max("l_discount").alias("max_disc"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    keys = ["l_returnflag", "sum_qty", "n_rows", "max_disc", "min_ship"]
+    assert _rows(got, keys) == _rows(truth, keys)
+    # avg compared with rounding (float division order differs)
+    g = {r["l_returnflag"]: r["avg_qty"] for r in got.collect()}
+    t = {r["l_returnflag"]: r["avg_qty"] for r in truth.collect()}
+    assert g.keys() == t.keys()
+    for k in g:
+        assert g[k] == pytest.approx(t[k], rel=1e-9)
+
+
+def test_rewrite_global_grain_with_filter(mv_setup):
+    base, mv, spec, exprs, _ = mv_setup
+    aggs = {"n_rows": ("count", "*"), "sum_qty": ("sum", "l_quantity")}
+    filters = [("ship_month", "between", (3, 9)), ("l_returnflag", "=", "R")]
+    got = rewrite_rollup(mv, spec, [], aggs, filters)
+    assert got is not None
+    truth = (
+        base.filter(F.month("l_shipdate").between(3, 9))
+        .filter(F.col("l_returnflag") == "R")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+    assert _rows(got, ["n_rows", "sum_qty"]) == _rows(
+        truth, ["n_rows", "sum_qty"]
+    )
+
+
+def test_rewrite_plan_scans_only_mv(mv_setup):
+    _base, mv, spec, _exprs, mv_path = mv_setup
+    got = rewrite_rollup(
+        mv, spec, ["l_linestatus"], {"n_rows": ("count", "*")}
+    )
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan
+    files = got.inputFiles()
+    assert files and all(os.path.basename(mv_path) in f for f in files)
+
+
+def test_subsumption_rejections(mv_setup):
+    base, mv, spec, exprs, _ = mv_setup
+    ok = {"n_rows": ("count", "*")}
+    # grouping col outside the view grain
+    assert rewrite_rollup(mv, spec, ["l_orderkey"], ok) is None
+    # filter on a non-grouping col (view already collapsed it)
+    assert (
+        rewrite_rollup(mv, spec, [], ok, [("l_quantity", ">", 10)]) is None
+    )
+    # aggregate not derivable from stored measures
+    assert rewrite_rollup(mv, spec, [], {"s": ("sum", "l_tax")}) is None
+    # count(col) is NOT answerable by count(*) (null semantics)
+    assert rewrite_rollup(mv, spec, [], {"c": ("count", "l_tax")}) is None
+    # but count(l_quantity) IS stored (avg expansion)
+    assert (
+        rewrite_rollup(mv, spec, [], {"c": ("count", "l_quantity")})
+        is not None
+    )
+
+
+def test_fallback_computes_from_base(mv_setup):
+    base, mv, spec, exprs, _ = mv_setup
+    aggs = {"sum_tax": ("sum", "l_tax")}  # not stored → fallback
+    got, used = answer_rollup(
+        base, mv, spec, ["l_returnflag", "ship_month"], aggs, exprs=exprs
+    )
+    assert not used
+    truth = base.groupBy(
+        "l_returnflag", F.month("l_shipdate").alias("ship_month")
+    ).agg(F.sum("l_tax").alias("sum_tax"))
+    keys = ["l_returnflag", "ship_month", "sum_tax"]
+    assert _rows(got, keys) == _rows(truth, keys)
