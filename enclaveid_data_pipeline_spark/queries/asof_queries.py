@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.timeutils import epoch_micros
 from ..operators.asof import asof_join_union
 from ..operators.skew import salted_count_by_key
+from ..operators.timeseries import interpolate_linear_fixedpoint, locf
 from ..sources.readers import read_table
 from .registry import register
 
@@ -396,4 +397,142 @@ def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+_GRID_SQL = """
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(min(ts) AS DATE) AS d0,
+               CAST(max(ts) AS DATE) AS d1
+        FROM events GROUP BY user_id
+    ), spine AS (
+        SELECT b.user_id, CAST(unnest(generate_series(b.d0, b.d1,
+                          INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds b
+    ), obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(max(value), 4) AS obs
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.user_id, s.day, o.obs
+        FROM spine s
+        LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+    )
+"""
+
+
+def _purchase_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (user, day) grid over each user's active span with the
+    day's max purchase value where one happened, NULL elsewhere —
+    the spine shape both gap-fills run on. MAX (order-independent)
+    keeps the observed values bit-identical across engines."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"),
+        F.to_date(F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.max("value"), 4).alias("obs"))
+    )
+    return spine.join(obs, on=["user_id", "day"], how="left")
+
+
+@register(
+    "locf_daily_purchase_value",
+    oracle=_GRID_SQL
+    + """
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day_s,
+           CAST(obs AS DOUBLE) AS observed,
+           CAST(last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS filled
+    FROM grid
+    """,
+)
+def locf_daily_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (operators.timeseries.locf — the hypertable
+    ``time_bucket_gapfill`` + ``locf`` shape): each user's daily
+    purchase value carried forward over no-purchase days; days
+    before the first purchase stay NULL (LOCF never extrapolates
+    backward). One window pass per user over the generated grid —
+    linear, one shuffle on user_id."""
+    grid = _purchase_grid(spark, sf_dir)
+    filled = locf(grid, by="user_id", order="day", cols=["obs"])
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("obs").alias("observed"),
+        F.col("obs_locf").alias("filled"),
+    )
+
+
+@register(
+    "linear_interp_daily_value",
+    oracle=_GRID_SQL
+    + """
+    , g4 AS (
+        SELECT user_id, day,
+               CAST(round(obs * 10000) AS BIGINT) AS obs_x4
+        FROM grid
+    ), w AS (
+        SELECT user_id, day, obs_x4,
+               last_value(obs_x4 IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN obs_x4 IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER wb AS prev_d,
+               first_value(obs_x4 IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN obs_x4 IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER wf AS next_d
+        FROM g4
+        WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day_s,
+           CAST(CASE
+               WHEN obs_x4 IS NOT NULL THEN obs_x4
+               WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+               ELSE (2 * (prev_v * (next_d - day) + next_v * (day - prev_d))
+                     + (next_d - prev_d)) // (2 * (next_d - prev_d))
+           END AS BIGINT) AS v_interp_x4
+    FROM w
+    """,
+)
+def linear_interp_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation gap-fill
+    (operators.timeseries.interpolate_linear_fixedpoint —
+    TimescaleDB ``interpolate`` semantics): interior no-purchase
+    days get the straight line between the nearest observed
+    neighbors; leading/trailing gaps stay NULL (no extrapolation).
+    Two window fills (backward carries prev value+position, forward
+    carries next) over ONE user_id partitioning — the second pass is
+    a sort, not a shuffle; the weighted average is row-local. Output
+    is fixed-point ×10⁴ (registry convention: exact integers over
+    engine-dependent float rounding — the float form of this query
+    differed from DuckDB by 1 ulp on a .5-boundary midpoint)."""
+    grid = _purchase_grid(spark, sf_dir)
+    g4 = grid.withColumn(
+        "obs_x4", F.round(F.col("obs") * 10000).cast("long")
+    )
+    out = interpolate_linear_fixedpoint(
+        g4,
+        by="user_id",
+        order="day",
+        col="obs_x4",
+        pos=F.unix_date(F.col("day")).cast("long"),
+        out_col="v_interp_x4",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("v_interp_x4").cast("long").alias("v_interp_x4"),
     )
