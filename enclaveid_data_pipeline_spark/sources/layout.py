@@ -1058,6 +1058,59 @@ def optimize_snapshot(
     )
 
 
+def restore_snapshot(
+    path: str,
+    version: int,
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> int:
+    """Delta-style ``RESTORE TABLE ... TO VERSION``: commit a NEW
+    version whose content is exactly ``version``'s — history is
+    preserved (the bad commits stay readable for forensics), readers
+    flip forward to the restored state atomically, and the change
+    feed (:func:`snapshot_changes` / :func:`follow_snapshot_changes`)
+    emits the restore as an ordinary delta because it is state-based,
+    not log-based.
+
+    Zero data movement: every data file (and the zone-map manifest)
+    of the source version is hardlinked into the new commit — the
+    same trick the copy-on-write DML uses for untouched files — so a
+    restore of a multi-TB table is O(files) metadata work. The
+    commit meta records ``restored_from`` for audit. Vacuum safety:
+    hardlinked files survive removal of the source version (inode
+    refcount, tested in test_layout_maintenance's vacuum-hardlink
+    case). Returns the new version number.
+    """
+    import json
+    import shutil
+    import uuid
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    src_dir = be.data_dir(path, version)
+    if not os.path.isdir(src_dir):
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (vacuumed or "
+            f"never committed); available: {be.versions(path)}"
+        )
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    try:
+        for name in os.listdir(src_dir):
+            if name == _COMMIT_META:
+                continue  # the restore commit gets its own meta
+            src = os.path.join(src_dir, name)
+            if os.path.isfile(src):
+                _link_into(src, staging)
+        with open(os.path.join(staging, _COMMIT_META), "w") as f:
+            json.dump({"restored_from": version}, f)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return _commit_staging(path, staging, be, max_retries)
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,

@@ -894,3 +894,56 @@ def test_read_snapshot_as_of_timestamp(spark, tmp_path):
         read_snapshot_as_of(
             spark, path, t1 - datetime.timedelta(hours=1)
         )
+
+
+def test_restore_snapshot_rolls_back_as_new_commit(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        current_snapshot,
+        read_commit_meta,
+        read_snapshot,
+        restore_snapshot,
+        snapshot_changes,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "restoreme")
+    v1 = write_snapshot(spark.range(0, 5).toDF("id"), path)
+    v2 = write_snapshot(spark.range(100, 103).toDF("id"), path)  # "bad"
+    v3 = restore_snapshot(path, v1)
+    assert v3 == v2 + 1
+    assert current_snapshot(path) == v3
+    # restored content == v1's, history intact
+    assert sorted(
+        r.id for r in read_snapshot(spark, path).collect()
+    ) == [0, 1, 2, 3, 4]
+    assert sorted(
+        r.id for r in read_snapshot(spark, path, version=v2).collect()
+    ) == [100, 101, 102]
+    meta = read_commit_meta(path, v3)
+    assert meta["restored_from"] == v1
+    assert "committed_at" in meta  # auto-stamped for as-of travel
+    # the change feed sees the restore as an ordinary state delta
+    feed = snapshot_changes(spark, path, v2, v3, keys=["id"])
+    kinds = {(r["id"], r["change_type"]) for r in feed.collect()}
+    assert (100, "delete") in kinds
+    assert (0, "insert") in kinds
+    # vacuum of the source version leaves hardlinked files readable
+    vacuum_snapshots(path, keep_last=1)
+    assert sorted(
+        r.id for r in read_snapshot(spark, path).collect()
+    ) == [0, 1, 2, 3, 4]
+
+
+def test_restore_snapshot_missing_version_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        restore_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "restoremiss")
+    write_snapshot(spark.range(0, 3).toDF("id"), path)
+    with _pytest.raises(FileNotFoundError):
+        restore_snapshot(path, 99)
