@@ -1,0 +1,165 @@
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from enclaveid_data_pipeline_spark.sources.catalog import (
+    CatalogConflict,
+    SnapshotCatalog,
+)
+from enclaveid_data_pipeline_spark.sources.layout import write_snapshot
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).toDF("id")
+
+
+def _vals(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_two_table_commit_is_atomic_to_catalog_readers(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    v1 = cat.commit({"fact": _ids(spark, 0, 5), "rollup": _ids(spark, 0, 2)})
+    assert v1 == 1
+    assert _vals(cat.read(spark, "fact")) == [0, 1, 2, 3, 4]
+    assert _vals(cat.read(spark, "rollup")) == [0, 1]
+
+    # a crashed transaction: table data lands, catalog publish never
+    # runs -> catalog readers still see the v1 pair
+    write_snapshot(_ids(spark, 100, 103), cat.table_path("fact"))
+    assert _vals(cat.read(spark, "fact")) == [0, 1, 2, 3, 4]
+    assert cat.current_version() == v1
+
+    # the next successful transaction publishes both tables at once
+    v2 = cat.commit(
+        {"fact": _ids(spark, 10, 13), "rollup": _ids(spark, 10, 11)}
+    )
+    assert _vals(cat.read(spark, "fact")) == [10, 11, 12]
+    assert _vals(cat.read(spark, "rollup")) == [10]
+    # time travel: the v1 pair is still consistently readable
+    assert _vals(cat.read(spark, "fact", catalog_version=v1)) == [
+        0,
+        1,
+        2,
+        3,
+        4,
+    ]
+    assert _vals(cat.read(spark, "rollup", catalog_version=v1)) == [0, 1]
+    assert cat.mapping(v2).keys() == {"fact", "rollup"}
+
+
+def test_disjoint_concurrent_commits_both_land(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat2"))
+    cat.commit({"a": _ids(spark, 0, 1), "b": _ids(spark, 0, 1)})
+
+    # both workers capture the same base catalog, then race to
+    # publish disjoint tables: rebase must merge, not conflict.
+    # (Frames are pre-written on the main thread; the threads race
+    # only the pure-python publish step.)
+    va = write_snapshot(_ids(spark, 10, 12), cat.table_path("a"))
+    vb = write_snapshot(_ids(spark, 20, 23), cat.table_path("b"))
+    base_v = cat.current_version()
+    base_map = cat.mapping(base_v)
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def publish(updates):
+        try:
+            barrier.wait()
+            cat._publish(base_v, dict(base_map), updates, max_retries=64)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=publish, args=({"a": va},))
+    t2 = threading.Thread(target=publish, args=({"b": vb},))
+    t1.start(), t2.start(), t1.join(), t2.join()
+    assert not errs
+    final = cat.mapping()
+    assert final["a"] == va and final["b"] == vb
+    assert _vals(cat.read(spark, "a")) == [10, 11]
+    assert _vals(cat.read(spark, "b")) == [20, 21, 22]
+
+
+def test_overlapping_concurrent_commit_conflicts(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat3"))
+    cat.commit({"t": _ids(spark, 0, 2)})
+    base_v = cat.current_version()
+    base_map = cat.mapping(base_v)
+    # txn A publishes t
+    va = write_snapshot(_ids(spark, 10, 11), cat.table_path("t"))
+    cat._publish(base_v, dict(base_map), {"t": va}, max_retries=8)
+    # txn B also started at base_v and touches the SAME table
+    vb = write_snapshot(_ids(spark, 20, 21), cat.table_path("t"))
+    with pytest.raises(CatalogConflict):
+        cat._publish(base_v, dict(base_map), {"t": vb}, max_retries=8)
+    # the conflicting write never became visible
+    assert _vals(cat.read(spark, "t")) == [10]
+
+
+def test_vacuum_drops_unreferenced_versions_keeps_live(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat4"))
+    cat.commit({"t": _ids(spark, 0, 2)})
+    cat.commit({"t": _ids(spark, 10, 12)})
+    # crashed-txn orphan that no catalog references (and is older
+    # than the table pointer once the next commit lands)
+    write_snapshot(_ids(spark, 90, 91), cat.table_path("t"))
+    v3 = cat.commit({"t": _ids(spark, 20, 22)})
+    dropped = cat.vacuum_unreferenced(keep_last=1)
+    assert set(dropped["t"]) == {1, 2, 3}  # v1, v2, the orphan
+    assert cat.versions() == [v3]
+    assert _vals(cat.read(spark, "t")) == [20, 21]
+    # direct (non-catalog) read of the table still works
+    from enclaveid_data_pipeline_spark.sources.layout import read_snapshot
+
+    assert _vals(read_snapshot(spark, cat.table_path("t"))) == [20, 21]
+
+
+def test_read_unknown_table_raises(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat5"))
+    cat.commit({"t": _ids(spark, 0, 1)})
+    with pytest.raises(KeyError):
+        cat.read(spark, "nope")
+
+
+def test_commit_with_stats_cols_writes_zone_maps(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat6"))
+    cat.commit(
+        {"t": _ids(spark, 0, 100)}, stats_cols={"t": ["id"]}
+    )
+    v = cat.mapping()["t"]
+    stats = os.path.join(
+        cat.be.data_dir(cat.table_path("t"), v), "_file_stats.json"
+    )
+    assert os.path.exists(stats)
+
+
+def test_six_disjoint_writers_all_land(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat7"))
+    names = [f"t{i}" for i in range(6)]
+    cat.commit({n: _ids(spark, 0, 1) for n in names})
+    written = {
+        n: write_snapshot(_ids(spark, 10 * i, 10 * i + 2), cat.table_path(n))
+        for i, n in enumerate(names)
+    }
+    base_v = cat.current_version()
+    base_map = cat.mapping(base_v)
+    barrier = threading.Barrier(6)
+    errs = []
+
+    def publish(n):
+        try:
+            barrier.wait()
+            cat._publish(base_v, dict(base_map), {n: written[n]}, 128)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=publish, args=(n,)) for n in names]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    final = cat.mapping()
+    assert {n: final[n] for n in names} == written
+    assert cat.current_version() == base_v + 6
