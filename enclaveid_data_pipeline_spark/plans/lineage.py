@@ -1,0 +1,155 @@
+"""Column-level lineage extraction from the logical plan.
+
+Answers the governance question every warehouse eventually gets
+asked — "which SOURCE columns feed this output column?" — by walking
+the analyzed logical plan driver-side (py4j TreeNode metadata;
+nothing executes, the same zero-job discipline as
+``functions/partitioning.ensure_parallelism``'s plan probe).
+
+The walk is a bottom-up dataflow over Catalyst expression ids:
+
+- leaf relations seed each output attribute with a ``(source,
+  column)`` descriptor (parquet root path or catalog table when
+  resolvable, node name otherwise);
+- ``Project`` / ``Aggregate`` / ``Window`` / ``Generate`` map each
+  produced NamedExpression to the union of its referenced
+  attributes' lineages (an aliased ``a+b`` carries both; a window
+  function carries its argument columns — partition/order keys are
+  CONTROL dependencies, not data lineage, and are excluded, matching
+  the usual lineage-tool convention);
+- ``Union`` merges children positionally (output attr i derives
+  from every child's column i);
+- everything else (Filter, Join, Sort, Limit, SubqueryAlias, …)
+  passes attribute ids through unchanged.
+
+Unknown node types degrade CONSERVATIVELY: any output attribute the
+merge can't resolve maps to the union of all child leaf columns —
+over-approximation, never a silent miss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _seq(jseq):
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _attr_refs(jexpr):
+    """Attributes referenced by an expression (AttributeSet→list)."""
+    return _seq(jexpr.references().toSeq())
+
+
+def _leaf_desc(node) -> str:
+    """Best-effort human-readable source name for a leaf node."""
+    try:
+        ct = node.catalogTable()
+        if ct.isDefined():
+            return ct.get().identifier().unquotedString()
+    except Exception:
+        pass
+    try:
+        paths = node.relation().location().rootPaths()
+        if paths.size() > 0:
+            return paths.apply(0).toString()
+    except Exception:
+        pass
+    return node.nodeName()
+
+
+def _named_outputs(node):
+    """The NamedExpression list a node PRODUCES, or None for
+    pass-through nodes."""
+    name = node.nodeName()
+    if name == "Project":
+        return _seq(node.projectList())
+    if name == "Aggregate":
+        return _seq(node.aggregateExpressions())
+    if name == "Window":
+        return _seq(node.windowExpressions())
+    return None
+
+
+def _walk(node) -> dict[int, frozenset[tuple[str, str]]]:
+    children = node.children()
+    n_children = children.size()
+    if n_children == 0:
+        desc = _leaf_desc(node)
+        return {
+            a.exprId().id(): frozenset({(desc, a.name())})
+            for a in _seq(node.output())
+        }
+
+    merged: dict[int, frozenset[tuple[str, str]]] = {}
+    child_maps = []
+    for i in range(n_children):
+        m = _walk(children.apply(i))
+        child_maps.append(m)
+        merged.update(m)
+
+    name = node.nodeName()
+
+    if name == "Union":
+        # output attr i derives from every child's column i (the
+        # output reuses the first child's exprIds, so resolve
+        # positionally across ALL children)
+        out = _seq(node.output())
+        child_outputs = [
+            _seq(children.apply(i).output()) for i in range(n_children)
+        ]
+        for i, a in enumerate(out):
+            lin: frozenset = frozenset()
+            for cm, co in zip(child_maps, child_outputs):
+                lin |= cm.get(co[i].exprId().id(), frozenset())
+            merged[a.exprId().id()] = lin
+        return merged
+
+    produced = _named_outputs(node)
+    if produced is not None:
+        for ne in produced:
+            lin: frozenset = frozenset()
+            for ref in _attr_refs(ne):
+                lin |= merged.get(ref.exprId().id(), frozenset())
+            merged[ne.exprId().id()] = lin
+        return merged
+
+    if name == "Generate":
+        # explode/posexplode/inline: generator outputs derive from
+        # the generator's argument columns
+        gen_refs = _seq(node.generator().references().toSeq())
+        lin = frozenset()
+        for ref in gen_refs:
+            lin |= merged.get(ref.exprId().id(), frozenset())
+        for a in _seq(node.generatorOutput()):
+            merged[a.exprId().id()] = lin
+        return merged
+
+    # pass-through (Filter, Join, Sort, Limit, SubqueryAlias, …):
+    # outputs keep child exprIds. Conservative fallback for any
+    # output this node invented that the merge can't resolve.
+    unresolved = [
+        a
+        for a in _seq(node.output())
+        if a.exprId().id() not in merged
+    ]
+    if unresolved:
+        everything = frozenset().union(*child_maps[0].values()) if child_maps[0] else frozenset()
+        for m in child_maps[1:]:
+            if m:
+                everything |= frozenset().union(*m.values())
+        for a in unresolved:
+            merged[a.exprId().id()] = everything
+    return merged
+
+
+def column_lineage(df: DataFrame) -> dict[str, frozenset[tuple[str, str]]]:
+    """Map each output column of ``df`` to the set of ``(source,
+    column)`` leaf columns it derives from. Driver-side plan walk —
+    zero jobs, safe to call on any frame."""
+    plan = df._jdf.queryExecution().analyzed()
+    table = _walk(plan)
+    return {
+        a.name(): table.get(a.exprId().id(), frozenset())
+        for a in _seq(plan.output())
+    }
