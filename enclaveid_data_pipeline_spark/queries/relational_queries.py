@@ -212,6 +212,46 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_totalprice
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Explicit GROUPING SETS (the asymmetric sets CUBE/ROLLUP can't
+    express: detail + status-only + grand total, skipping
+    priority-only) with ``grouping_id`` disambiguating a rolled-up
+    dimension from a genuine NULL value — the standard cube-lattice
+    pitfall. Spark plans ONE Expand (3 replicas carrying only the
+    grouping columns) + a single partial-aggregated shuffle; at
+    100 TB the replication factor is |sets|, not 2^dims, which is
+    exactly why the asymmetric form matters."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    )
+
+
+@register(
     "value_outliers_2sigma",
     oracle="""
     WITH stats AS (
