@@ -76,16 +76,31 @@ class SnapshotCatalog:
     def versions(self) -> list[int]:
         return self.be.versions(self.cat_dir)
 
+    def _payload(self, version: int | None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {"tables": {}, "meta": {}}
+        p = os.path.join(self.be.data_dir(self.cat_dir, v), _CATALOG_JSON)
+        with open(p) as f:
+            raw = json.load(f)
+        if "tables" in raw:
+            return {
+                "tables": {k: int(x) for k, x in raw["tables"].items()},
+                "meta": raw.get("meta", {}),
+            }
+        # pre-meta catalogs stored the bare mapping
+        return {"tables": {k: int(x) for k, x in raw.items()}, "meta": {}}
+
     def mapping(self, version: int | None = None) -> dict[str, int]:
         """The table→snapshot-version mapping at a catalog version
         (default: current). Empty mapping when no catalog commit
         exists yet."""
-        v = self.current_version() if version is None else version
-        if v is None:
-            return {}
-        p = os.path.join(self.be.data_dir(self.cat_dir, v), _CATALOG_JSON)
-        with open(p) as f:
-            return {k: int(x) for k, x in json.load(f).items()}
+        return self._payload(version)["tables"]
+
+    def commit_meta(self, version: int | None = None) -> dict:
+        """The metadata dict attached to a catalog commit (e.g. a
+        streaming sink's batch id). Empty for meta-less commits."""
+        return self._payload(version)["meta"]
 
     def read(
         self,
@@ -115,9 +130,12 @@ class SnapshotCatalog:
         tables: dict[str, DataFrame],
         stats_cols: dict[str, list[str]] | None = None,
         max_retries: int = 64,
+        meta: dict | None = None,
     ) -> int:
         """Atomically publish new versions of every frame in
-        ``tables``. Returns the new catalog version. Raises
+        ``tables``. ``meta`` rides in the catalog commit (never in
+        the tables — the streaming sink's batch-id replay guard
+        lives here). Returns the new catalog version. Raises
         :class:`CatalogConflict` when a concurrent transaction
         committed an overlapping table (retry the whole transaction:
         recompute from fresh reads, commit again)."""
@@ -134,7 +152,7 @@ class SnapshotCatalog:
             )
             for name, df in tables.items()
         }
-        return self._publish(base_v, base_map, written, max_retries)
+        return self._publish(base_v, base_map, written, max_retries, meta)
 
     def _publish(
         self,
@@ -142,6 +160,7 @@ class SnapshotCatalog:
         base_map: dict[str, int],
         updates: dict[str, int],
         max_retries: int,
+        meta: dict | None = None,
     ) -> int:
         os.makedirs(self.cat_dir, exist_ok=True)
         for _ in range(max_retries):
@@ -175,7 +194,11 @@ class SnapshotCatalog:
             won = False
             try:
                 with open(os.path.join(staging, _CATALOG_JSON), "w") as f:
-                    json.dump(merged, f, sort_keys=True)
+                    json.dump(
+                        {"tables": merged, "meta": meta or {}},
+                        f,
+                        sort_keys=True,
+                    )
                 # cand derives from the SAME versions read the rebase
                 # used — re-reading here would let a rival claim slip
                 # between rebase and claim and be skipped over (its

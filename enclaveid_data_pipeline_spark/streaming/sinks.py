@@ -440,3 +440,60 @@ def versioned_snapshot_sink(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def catalog_txn_sink(
+    stream_df: DataFrame,
+    catalog,
+    build_tables: Callable[[DataFrame, dict[str, DataFrame]], dict[str, DataFrame]],
+    checkpoint_dir: str | None = None,
+    stats_cols: dict[str, list[str]] | None = None,
+) -> StreamingQuery:
+    """Stream → MULTI-TABLE exactly-once: every micro-batch derives
+    N table states (e.g. the appended fact AND its maintained
+    rollup) and publishes them in ONE atomic catalog transaction
+    (sources.catalog.SnapshotCatalog) — a reader resolving versions
+    through the catalog can never observe the fact without its
+    rollup or vice versa, the multi-table consistency single-table
+    commits (versioned_snapshot_sink) cannot give.
+
+    ``build_tables(batch_df, current)`` receives the micro-batch and
+    the current committed state of every catalog table (``{}``-less:
+    absent tables simply missing) and returns the FULL next state per
+    table — the fold is the caller's (append, retraction IVM,
+    apply_changes, …), the atomicity is the sink's.
+
+    Replay safety: the batch id rides in the CATALOG commit meta —
+    one guard for the whole transaction, so a redelivered batch
+    (crash between catalog publish and checkpoint write) skips every
+    table at once; per-table guards could tear (table A folded,
+    crash, table B not). At-least-once delivery therefore folds
+    at-most-once across ALL tables jointly.
+
+    Per-trigger cost: O(Σ|table| + |batch|) plus one O(tables)
+    metadata publish. History: every trigger's consistent table-set
+    is one catalog version — time-travel reads reconstruct the exact
+    cross-table state any downstream job saw.
+    """
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= catalog.commit_meta().get("batch_id", -1):
+            return  # replayed batch: this catalog version holds it
+        current = {}
+        for t in catalog.mapping():
+            current[t] = catalog.read(spark, t)
+        nxt = build_tables(batch_df, current)
+        # cut lineage before the commit: each table's parquet write
+        # must not re-read the pre-commit state it is replacing
+        nxt = {k: _materialize(v, "local") for k, v in nxt.items()}
+        catalog.commit(
+            nxt,
+            stats_cols=stats_cols,
+            meta={"batch_id": batch_id},
+        )
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

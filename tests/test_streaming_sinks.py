@@ -575,3 +575,93 @@ def test_versioned_snapshot_sink_commits_versions_with_history(spark, tmp_path):
         q2.stop()
     assert current_snapshot(out) == 2
     assert {r.k: r.v for r in read_snapshot(spark, out).collect()} == cur
+
+
+def test_catalog_txn_sink_multi_table_exactly_once(spark, tmp_path):
+    """Each micro-batch publishes the appended fact table AND its
+    per-key rollup in ONE atomic catalog transaction: every catalog
+    version's rollup equals a recompute from that version's fact
+    (cross-table consistency at every point in history), and a
+    no-checkpoint replay folds nothing twice — the batch-id guard
+    lives on the catalog, one guard for the whole transaction."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.catalog import (
+        SnapshotCatalog,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        catalog_txn_sink,
+    )
+
+    stream_dir = tmp_path / "txn_in"
+    stream_dir.mkdir()
+    cat = SnapshotCatalog(str(tmp_path / "txn_cat"))
+    schema = "k int, amount long"
+
+    def drop(name, rows):
+        staging = tmp_path / "tstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    def build(batch_df, current):
+        fact = (
+            current["fact"].unionByName(batch_df)
+            if "fact" in current
+            else batch_df
+        )
+        rollup = fact.groupBy("k").agg(
+            F.sum("amount").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return {"fact": fact, "rollup": rollup}
+
+    def start(ckpt):
+        return catalog_txn_sink(
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            cat,
+            build,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    q = start("ck1")
+    try:
+        drop("000", [(1, 10), (2, 20)])
+        q.processAllAvailable()
+        drop("001", [(1, 5), (3, 7)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert cat.current_version() == 2
+    # every catalog version is cross-table consistent: rollup ==
+    # recompute from the SAME version's fact
+    for cv in cat.versions():
+        fact = cat.read(spark, "fact", catalog_version=cv)
+        rollup = {
+            r.k: (r.total, r.n)
+            for r in cat.read(spark, "rollup", catalog_version=cv).collect()
+        }
+        truth = {
+            r.k: (r.total, r.n)
+            for r in fact.groupBy("k")
+            .agg(F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert rollup == truth, cv
+    assert {
+        r.k: r.total
+        for r in cat.read(spark, "rollup").collect()
+    } == {1: 15, 2: 20, 3: 7}
+
+    # full replay with a FRESH checkpoint: both batches redeliver,
+    # the catalog batch-id guard skips them jointly
+    q2 = start("ck2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert cat.current_version() == 2
+    assert cat.read(spark, "fact").count() == 4
