@@ -208,6 +208,83 @@ def rewrite_rollup(
     return out_df.agg(*agg_list)
 
 
+def refresh_mview_incremental(
+    mv: DataFrame,
+    spec: MViewSpec,
+    changes: DataFrame,
+    exprs: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Maintain the MV from a change feed (operators.cdc
+    ``table_changes`` images) WITHOUT touching the base table —
+    the IVM layer under the rewrite layer: sum/count storage is
+    retraction-maintainable (insert/update_post credit,
+    delete/update_pre debit; operators.ivm.maintain_sum_count_view
+    does the fold), so the view that answers rollup queries stays
+    fresh at delta cost.
+
+    Requirements, checked up front: every stored measure is sum or
+    count (MIN/MAX retraction can expose an unknown second-best —
+    use operators.ivm.refresh_touched_groups with base access, or
+    rebuild); the spec stores ``count(*)`` (the row count detects
+    emptied groups). Caveat: a group whose sum column is entirely
+    NULL stores NULL from a rebuild but 0 from incremental
+    maintenance — keep sum measures non-null (the usual
+    NOT NULL-measure discipline).
+
+    ``exprs`` are the SAME derivations used at ``build_mview`` time,
+    applied here to the feed's row images. Returns the refreshed MV
+    (same schema), so refreshes compose across feed batches.
+    """
+    from .ivm import maintain_sum_count_view
+
+    bad = [k for k, _c in spec.measures if k in ("min", "max")]
+    if bad:
+        raise ValueError(
+            "incremental MV refresh maintains only sum/count storage; "
+            f"spec stores {bad} — refresh those via "
+            "ivm.refresh_touched_groups or rebuild_mview"
+        )
+    if not spec.has("count", "*"):
+        raise ValueError(
+            "incremental MV refresh needs a stored count(*) row count "
+            "to detect emptied groups — add ('count', '*') to the spec"
+        )
+    exprs = dict(exprs or {})
+
+    def _src(col: str) -> Column:
+        return exprs[col] if col in exprs else F.col(col)
+
+    count_col = _storage_col("count", "*")
+    mv_types = {f.name: f.dataType for f in mv.schema.fields}
+    contribs = []
+    sum_storage = []
+    for kind, col in spec.measures:
+        name = _storage_col(kind, col)
+        if (kind, col) == ("count", "*"):
+            continue  # maintain_sum_count_view's own row count
+        if kind == "sum":
+            e = _src(col)
+        else:  # count(col): null-aware per-row 0/1
+            e = F.when(_src(col).isNotNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        contribs.append(e.cast(mv_types[name]).alias(name))
+        sum_storage.append(name)
+    prepped = changes.select(
+        F.col("change_type"),
+        *[_src(c).alias(c) for c in spec.group_cols],
+        *contribs,
+    )
+    view = mv.select(*spec.group_cols, *sum_storage, count_col)
+    return maintain_sum_count_view(
+        view,
+        prepped,
+        group_keys=spec.group_cols,
+        sum_cols=sum_storage,
+        count_col=count_col,
+    )
+
+
 def answer_rollup(
     base: DataFrame,
     mv: DataFrame,

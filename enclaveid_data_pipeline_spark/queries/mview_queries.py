@@ -147,3 +147,66 @@ def mv_rollup_global_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("max_disc").cast("double").alias("max_disc"),
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round((o_totalprice
+                    + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                    * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT o_custkey,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(cents) AS BIGINT) AS n_vals,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM b GROUP BY o_custkey
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under the rewrite layer
+    (operators.mview.refresh_mview_incremental): the MV built at
+    state A is retraction-maintained through the table_changes feed
+    A→B and must equal a rebuild at state B — the oracle computes
+    straight from B, so a hash match proves the fold crossed every
+    change class (A drops keys %5, B drops %3 and bumps %4's price:
+    inserts, deletes, updates, group-emptying and group-creating
+    churn, the snapshot_change_feed fixture states). Exact integer
+    cents (registry convention: retraction re-sums in a different
+    order than a rebuild; floats would drift)."""
+    from ..operators.cdc import table_changes
+    from ..operators.mview import refresh_mview_incremental
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents_a = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_b = F.round(
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        * 100
+    ).cast("long")
+    state_a = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", cents_a.alias("cents")
+    )
+    state_b = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", cents_b.alias("cents")
+    )
+    spec = plan_mview(
+        ["o_custkey"],
+        [("sum", "cents"), ("count", "cents"), ("count", "*")],
+    )
+    mv_a = build_mview(state_a, spec)
+    feed = table_changes(state_a, state_b, ["o_orderkey"])
+    refreshed = refresh_mview_incremental(mv_a, spec, feed)
+    return refreshed.select(
+        "o_custkey",
+        F.col("sum__cents").cast("long").alias("sum_cents"),
+        F.col("count__cents").cast("long").alias("n_vals"),
+        F.col("count__rows").cast("long").alias("n_rows"),
+    )

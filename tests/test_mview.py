@@ -158,3 +158,58 @@ def test_fallback_computes_from_base(mv_setup):
     ).agg(F.sum("l_tax").alias("sum_tax"))
     keys = ["l_returnflag", "ship_month", "sum_tax"]
     assert _rows(got, keys) == _rows(truth, keys)
+
+
+def test_incremental_refresh_equals_rebuild(spark):
+    """IVM under the rewrite layer: retraction-maintain the MV from a
+    table_changes feed, compare against a full rebuild at the new
+    base state — including a group emptied by deletes and a group
+    created by inserts."""
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        refresh_mview_incremental,
+    )
+
+    base_v1 = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("c", 9, 7)],
+        "g string, sub int, x long",
+    )
+    # v2: group c emptied, group d born, one a-row updated, one moved
+    base_v2 = spark.createDataFrame(
+        [("a", 1, 11), ("b", 2, 20), ("b", 1, 5), ("d", 4, 40)],
+        "g string, sub int, x long",
+    )
+    spec = plan_mview(
+        ["g"], [("sum", "x"), ("count", "x"), ("count", "*")]
+    )
+    mv1 = build_mview(base_v1, spec)
+    feed = table_changes(base_v1, base_v2, ["g", "sub"])
+    refreshed = refresh_mview_incremental(mv1, spec, feed)
+    rebuilt = build_mview(base_v2, spec)
+    key = lambda df: {  # noqa: E731
+        r["g"]: (r["sum__x"], r["count__x"], r["count__rows"])
+        for r in df.collect()
+    }
+    assert key(refreshed) == key(rebuilt)
+    # and the refreshed view still answers rewrites correctly
+    out = rewrite_rollup(
+        refreshed, spec, [], {"total": ("sum", "x"), "n": ("count", "*")}
+    )
+    row = out.collect()[0]
+    assert (row["total"], row["n"]) == (76, 4)
+
+
+def test_incremental_refresh_guards(spark):
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        refresh_mview_incremental,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, x long")
+    with_minmax = plan_mview(["g"], [("max", "x"), ("count", "*")])
+    no_rowcount = plan_mview(["g"], [("sum", "x")])
+    mv = build_mview(df, with_minmax)
+    with pytest.raises(ValueError, match="min/max|sum/count"):
+        refresh_mview_incremental(mv, with_minmax, df)
+    mv2 = build_mview(df, no_rowcount)
+    with pytest.raises(ValueError, match="count"):
+        refresh_mview_incremental(mv2, no_rowcount, df)
