@@ -661,3 +661,62 @@ def personalized_pagerank_fixed(
         else:
             out = _release_on_gc(out, e)
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_mode: str | None = None,
+) -> DataFrame:
+    """k-core peeling for a FIXED round count: each round drops every
+    node whose current degree is below ``k`` and removes its edges,
+    cascading degree loss to its neighbors. Output: one row per
+    surviving node with its final degree and a ``converged`` flag —
+    true iff another peel would be a no-op (every survivor still has
+    degree ≥ k), so a fixed-round run self-certifies whether it
+    reached the true k-core. Deterministic by construction (peeling
+    is order-independent within a round), hence replayable as
+    unrolled SQL by the oracle — the same fixed-round discipline as
+    ``pagerank_fixed``.
+
+    Expects the symmetrized edge list the other graph ops use (every
+    undirected edge present in both directions), so out-degree IS
+    degree. Per round: one groupBy + two left-semi joins, all
+    hash-partitioned on the node id; RollingBoundary releases round
+    r−1's edge set when round r's lands, so storage stays O(|E|)
+    regardless of round count. At 100 TB: each round strictly shrinks
+    the edge set, and convergence for real k is typically a handful
+    of rounds — the cost profile of ``bfs_levels``, not PageRank.
+    """
+    from ..materialize import RollingBoundary
+
+    boundary = RollingBoundary()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = boundary(e, mode=materialize_mode)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(
+            F.col("src").alias("node")
+        )
+        e = (
+            e.join(
+                keep.withColumnRenamed("node", "src"), "src", "left_semi"
+            ).join(
+                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+        )
+        e = boundary(e, mode=materialize_mode)
+    final_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+    flag = final_deg.agg(
+        F.coalesce(
+            F.min((F.col("deg") >= k).cast("int")) == 1, F.lit(True)
+        ).alias("converged")
+    )
+    return final_deg.crossJoin(F.broadcast(flag))

@@ -448,3 +448,63 @@ def ppr_related_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_s").desc(), "node")
         .limit(20)
     )
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        rounds.append(
+            f"""
+    k{r} AS (
+        SELECT src AS node FROM (
+            SELECT src, count(*) AS deg FROM e{r} GROUP BY src
+        ) WHERE deg >= {_KCORE_K}
+    ), e{r + 1} AS (
+        SELECT x.src, x.dst FROM e{r} x
+        JOIN k{r} a ON x.src = a.node
+        JOIN k{r} b ON x.dst = b.node
+    )"""
+        )
+    return (
+        _GRAPH_CTE
+        + ", e0 AS (SELECT src, dst FROM e),"
+        + ",".join(rounds)
+        + f"""
+    , final AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e{_KCORE_ROUNDS} GROUP BY src
+    ), conv AS (
+        SELECT coalesce(
+            min(CASE WHEN deg >= {_KCORE_K} THEN 1 ELSE 0 END) = 1, true
+        ) AS converged FROM final
+    )
+    SELECT f.node, f.deg, c.converged
+    FROM final f CROSS JOIN conv c
+    """
+    )
+
+
+@register("kcore_peel_k8", oracle=_kcore_oracle())
+def kcore_peel_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators.graph.kcore_peel): 3 fixed rounds of
+    dropping degree-<8 nodes from the customer↔supplier graph with
+    cascading edge loss, plus a self-certifying ``converged`` flag
+    (true iff a 4th round would change nothing — it does converge on
+    this graph, so the output IS the 8-core). The oracle unrolls the
+    identical rounds in SQL; peeling is order-independent within a
+    round, so fixed-round replay is exact with no fixed-point
+    arithmetic needed. Iterates on packed long ids like every graph
+    query (r6); labels rebuilt arithmetically at the end."""
+    from ..operators.graph import kcore_peel
+
+    edges = _cust_supp_edges_packed(spark, sf_dir)
+    out = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return out.select(
+        _unpack_label(F.col("node")).alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+        "converged",
+    )

@@ -295,3 +295,30 @@ def test_walks_register_neighbor_cache_in_ring(spark):
     assert out.count() == 2
     assert len(G._EDGE_CACHE_RING) == 1
     G._EDGE_CACHE_RING.clear()
+
+
+def test_kcore_peel_cascade_and_convergence(spark):
+    from enclaveid_data_pipeline_spark.operators.graph import kcore_peel
+
+    # path a-b-c-d plus a triangle x-y-z: 2-core = the triangle only,
+    # but the path peels one endpoint pair per round (a,d first, then
+    # b,c) — a genuine cascade needing 2 rounds
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(
+        und + [(t, s) for s, t in und], "src string, dst string"
+    )
+    done = kcore_peel(edges, k=2, rounds=2)
+    rows = {r.node: (r.deg, r.converged) for r in done.collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert all(v == (2, True) for v in rows.values())
+
+    # one round is NOT enough: b,c survive round 1 (degree 2 before
+    # a,d vanish) but the flag self-certifies non-convergence
+    partial = kcore_peel(edges, k=2, rounds=1)
+    rows1 = {r.node: (r.deg, r.converged) for r in partial.collect()}
+    assert set(rows1) == {"b", "c", "x", "y", "z"}
+    assert rows1["b"] == (1, False)
+
+    # peel-to-empty: converged (vacuously) with zero rows
+    empty = kcore_peel(edges, k=4, rounds=2)
+    assert empty.count() == 0
