@@ -711,6 +711,98 @@ def _layout_block(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _mview_block(spark) -> dict:
+    """Round 6: materialized-view rewrite economics at sf1. Build the
+    (returnflag, linestatus, ship_month) MV over the 6M-row sf1
+    lineitem once (the amortized cost), store it through the
+    snapshot layer, then answer the month-filtered rollup BOTH ways:
+    from the base table and via the MV rewrite. The rewrite scans
+    ~72 grain rows instead of 6M — locally the delta is bounded by
+    fixed overheads; at 100 TB the base path is a full fact scan the
+    MV path never pays."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        build_mview,
+        plan_mview,
+        rewrite_rollup,
+    )
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_mview_")
+    path = os.path.join(tmp, "lineitem_monthly")
+    try:
+        spec = plan_mview(
+            ["l_returnflag", "l_linestatus", "ship_month"],
+            [("sum", "l_quantity"), ("count", "*")],
+        )
+        exprs = {
+            "ship_month": F.month("l_shipdate"),
+            "l_quantity": F.col("l_quantity").cast("decimal(12,2)"),
+        }
+        base = read_table(spark, SF1_DIR, "lineitem")
+        _gc_fence(spark)
+        t0 = time.perf_counter()
+        write_snapshot(build_mview(base, spec, exprs), path)
+        build_s = round(time.perf_counter() - t0, 3)
+        mv = read_snapshot(spark, path)
+        aggs = {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "*"),
+        }
+        filters = [("ship_month", "between", (3, 9))]
+
+        def _base_path():
+            return (
+                base.filter(F.month("l_shipdate").between(3, 9))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum(
+                        F.col("l_quantity").cast("decimal(12,2)")
+                    ).alias("sum_qty"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+            )
+
+        def _mv_path():
+            return rewrite_rollup(
+                mv, spec, ["l_returnflag", "l_linestatus"], aggs, filters
+            )
+
+        out = {"mv_build_and_store_s": build_s}
+        for label, fn in (("base_scan_s", _base_path), ("mv_rewrite_s", _mv_path)):
+            best = None
+            for _ in range(3):
+                _gc_fence(spark)
+                t0 = time.perf_counter()
+                fn().collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[label] = round(best, 3)
+        out["speedup"] = (
+            round(out["base_scan_s"] / out["mv_rewrite_s"], 1)
+            if out["mv_rewrite_s"] > 0
+            else None
+        )
+        print(
+            f"# [sf1-mview] build {out['mv_build_and_store_s']}s, "
+            f"base {out['base_scan_s']}s, rewrite {out['mv_rewrite_s']}s "
+            f"({out['speedup']}x)",
+            file=sys.stderr,
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -773,6 +865,8 @@ def main() -> int:
             "bpe_rounds": _bpe_rounds_block(spark),
             # zone-map pruning benefit on a z-ordered snapshot (r6)
             "layout_sf1": _layout_block(spark),
+            # MV rewrite economics: rollup from view vs base (r6)
+            "mview_sf1": _mview_block(spark),
         }
         if os.path.isdir(SF10_DIR) and not os.environ.get(
             "SPARK_GRAFT_SKIP_SF10"
