@@ -110,6 +110,16 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
             "ann_recall_at_5",
             "length_filter_p5_p95",
             "incremental_dedup_batch",
+            # r6 second-half additions — all pure-JVM by design
+            "mv_rollup_pricing_by_flag",
+            "mv_rollup_global_filtered",
+            "mv_incremental_refresh",
+            "asof_next_click_after_error",
+            "asof_nearest_view_10m",
+            "locf_daily_purchase_value",
+            "linear_interp_daily_value",
+            "grouping_sets_priority_status",
+            "kcore_peel_k8",
         )
     ]
     for name in relational:
