@@ -47,11 +47,17 @@ from pyspark.sql import DataFrame, SparkSession
 from .layout import read_snapshot, write_snapshot
 
 _CATALOG_JSON = "catalog.json"
+_MAIN = "main"
 
 
 class CatalogConflict(RuntimeError):
     """Another transaction committed one of this transaction's
     tables between its start and its publish."""
+
+
+class MergeConflict(RuntimeError):
+    """A table changed on BOTH sides since the branch point — the
+    merge cannot pick a side mechanically."""
 
 
 class SnapshotCatalog:
@@ -71,6 +77,14 @@ class SnapshotCatalog:
         return os.path.join(self.root, "tables", name)
 
     def current_version(self) -> int | None:
+        # main is a ref like any branch; _CURRENT is kept as a
+        # monotonic mirror (main heads strictly increase numerically
+        # — commits claim above the global max, and a fast-forward
+        # target was claimed after the branch point) for readers of
+        # the raw snapshot layout
+        h = self.branch_head(_MAIN)
+        if h is not None:
+            return h
         return self.be.current_version(self.cat_dir)
 
     def versions(self) -> list[int]:
@@ -79,7 +93,7 @@ class SnapshotCatalog:
     def _payload(self, version: int | None) -> dict:
         v = self.current_version() if version is None else version
         if v is None:
-            return {"tables": {}, "meta": {}}
+            return {"tables": {}, "meta": {}, "parent": None}
         p = os.path.join(self.be.data_dir(self.cat_dir, v), _CATALOG_JSON)
         with open(p) as f:
             raw = json.load(f)
@@ -87,9 +101,14 @@ class SnapshotCatalog:
             return {
                 "tables": {k: int(x) for k, x in raw["tables"].items()},
                 "meta": raw.get("meta", {}),
+                "parent": raw.get("parent"),
             }
         # pre-meta catalogs stored the bare mapping
-        return {"tables": {k: int(x) for k, x in raw.items()}, "meta": {}}
+        return {
+            "tables": {k: int(x) for k, x in raw.items()},
+            "meta": {},
+            "parent": None,
+        }
 
     def mapping(self, version: int | None = None) -> dict[str, int]:
         """The table→snapshot-version mapping at a catalog version
@@ -123,6 +142,68 @@ class SnapshotCatalog:
             spark, self.table_path(table), version=m[table], backend=self.be
         )
 
+    # ---- branch refs ----------------------------------------------
+
+    def _ref_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad branch name {name!r}")
+        return os.path.join(self.cat_dir, f"_ref-{name}")
+
+    def branch_head(self, name: str) -> int | None:
+        try:
+            with open(self._ref_path(name)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _ref_cas(self, name: str, expect: int | None, new: int) -> bool:
+        """Move a branch ref iff it still reads ``expect`` — the
+        flock-serialized read-check-replace the main pointer uses,
+        but with an arbitrary expected value (branch refs move to
+        merge results and are not monotonic in version number)."""
+        import fcntl
+
+        path = self._ref_path(name)
+        with open(path + ".lock", "a") as lf:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+            try:
+                cur = self.branch_head(name)
+                if cur != expect:
+                    return False
+                tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(str(new))
+                os.replace(tmp, path)
+                return True
+            finally:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        """Point a new branch at a catalog version (default: the
+        main head). Branch commits then diverge from main until
+        :meth:`merge_branch`."""
+        v = self.current_version() if at_version is None else at_version
+        if v is None:
+            raise ValueError("cannot branch an empty catalog")
+        if not self._ref_cas(name, None, v):
+            raise CatalogConflict(f"branch {name!r} already exists")
+        return v
+
+    def branches(self) -> dict[str, int]:
+        try:
+            names = os.listdir(self.cat_dir)
+        except OSError:
+            return {}
+        out = {}
+        for n in names:
+            if n.startswith("_ref-") and not n.endswith(
+                (".lock", ".tmp")
+            ) and ".tmp-" not in n:
+                head = self.branch_head(n[len("_ref-"):])
+                if head is not None:
+                    out[n[len("_ref-"):]] = head
+        return out
+
     # ---- transaction commit -------------------------------------
 
     def commit(
@@ -131,15 +212,25 @@ class SnapshotCatalog:
         stats_cols: dict[str, list[str]] | None = None,
         max_retries: int = 64,
         meta: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """Atomically publish new versions of every frame in
         ``tables``. ``meta`` rides in the catalog commit (never in
         the tables — the streaming sink's batch-id replay guard
-        lives here). Returns the new catalog version. Raises
-        :class:`CatalogConflict` when a concurrent transaction
-        committed an overlapping table (retry the whole transaction:
-        recompute from fresh reads, commit again)."""
-        base_v = self.current_version()
+        lives here). ``branch`` targets a branch ref instead of the
+        main pointer: main readers see nothing until
+        :meth:`merge_branch` — the lakehouse WAP/feature-branch
+        workflow at catalog granularity. Returns the new catalog
+        version. Raises :class:`CatalogConflict` when a concurrent
+        transaction committed an overlapping table on the same ref
+        (retry the whole transaction: recompute from fresh reads,
+        commit again)."""
+        if branch is None:
+            base_v = self.current_version()
+        else:
+            base_v = self.branch_head(branch)
+            if base_v is None:
+                raise KeyError(f"no branch {branch!r}; create_branch first")
         base_map = self.mapping(base_v)
         stats_cols = stats_cols or {}
         written = {
@@ -152,7 +243,142 @@ class SnapshotCatalog:
             )
             for name, df in tables.items()
         }
-        return self._publish(base_v, base_map, written, max_retries, meta)
+        if branch is None:
+            return self._publish(base_v, base_map, written, max_retries, meta)
+        return self._publish_to_ref(
+            branch, base_v, base_map, written, max_retries, meta
+        )
+
+    def _claim_payload(
+        self, merged: dict[str, int], meta: dict | None, parent: int | None
+    ) -> int | None:
+        """Stage + claim one catalog version (global number space);
+        None when the claim raced out."""
+        claimed = self.be.versions(self.cat_dir)
+        ptr = self.current_version()
+        cands = claimed + ([ptr] if ptr is not None else [])
+        cand = (max(cands) if cands else 0) + 1
+        staging = os.path.join(self.cat_dir, f".staging-{uuid.uuid4().hex}")
+        os.makedirs(staging)
+        won = False
+        try:
+            with open(os.path.join(staging, _CATALOG_JSON), "w") as f:
+                json.dump(
+                    {"tables": merged, "meta": meta or {}, "parent": parent},
+                    f,
+                    sort_keys=True,
+                )
+            won = self.be.claim_version(self.cat_dir, cand, staging)
+            return cand if won else None
+        finally:
+            if not won:
+                shutil.rmtree(staging, ignore_errors=True)
+
+    def _publish_to_ref(
+        self,
+        branch: str,
+        base_v: int,
+        base_map: dict[str, int],
+        updates: dict[str, int],
+        max_retries: int,
+        meta: dict | None = None,
+    ) -> int:
+        """Branch-ref variant of :meth:`_publish`: versions still
+        claim from the GLOBAL number space (claims only serialize
+        numbers), but visibility is the branch ref's CAS — same-ref
+        rivals are detected by the CAS failing, rebased or
+        conflicted exactly like main; other refs' commits are
+        irrelevant to this branch's mapping and are simply skipped
+        over in the number space. A claimed version whose ref CAS
+        lost is an orphan (vacuum reclaims it) — it is NEVER reused,
+        its mapping was computed against a stale head."""
+        for _ in range(max_retries):
+            head = self.branch_head(branch)
+            if head != base_v:
+                head_map = self.mapping(head)
+                for t in updates:
+                    if head_map.get(t) != base_map.get(t):
+                        raise CatalogConflict(
+                            f"table {t!r} was committed concurrently on "
+                            f"branch {branch!r} ({base_v} → {head}); "
+                            "retry the transaction from fresh reads"
+                        )
+                base_v, base_map = head, head_map
+            merged = {**base_map, **updates}
+            cand = self._claim_payload(merged, meta, parent=base_v)
+            if cand is None:
+                continue  # global number race; re-read and retry
+            if self._ref_cas(branch, base_v, cand):
+                return cand
+            # same-branch rival won the ref: orphan our claim, retry
+        raise RuntimeError(
+            f"branch {branch!r} publish lost the race {max_retries} "
+            f"times at {self.cat_dir} — writer storm, raise max_retries"
+        )
+
+    # ---- merge ----------------------------------------------------
+
+    def _ancestors(self, v: int | None) -> list[int]:
+        out = []
+        seen = set()
+        while v is not None and v not in seen:
+            out.append(v)
+            seen.add(v)
+            v = self._payload(v)["parent"]
+        return out
+
+    def merge_branch(
+        self, name: str, max_retries: int = 64, meta: dict | None = None
+    ) -> int:
+        """Merge a branch into main. Fast-forward when main hasn't
+        moved since the branch point (the branch head becomes the
+        main head — safe for the monotonic pointer because global
+        version numbers strictly increase, so a branch head is
+        always numerically above its branch point). Otherwise a
+        three-way merge on table mappings: tables changed only on
+        the branch take the branch's version, tables changed only on
+        main keep main's, a table changed on BOTH sides raises
+        :class:`MergeConflict` (re-derive the branch from fresh main
+        and retry — mapping-level merges cannot reconcile row-level
+        divergence). The merge commit records both parents' story in
+        its meta."""
+        b_head = self.branch_head(name)
+        if b_head is None:
+            raise KeyError(f"no branch {name!r}")
+        m_head = self.current_version()
+        b_anc = set(self._ancestors(b_head))
+        base = next(
+            (v for v in self._ancestors(m_head) if v in b_anc), None
+        )
+        base_map = self.mapping(base) if base is not None else {}
+        b_map = self.mapping(b_head)
+        changed = {
+            t: v for t, v in b_map.items() if base_map.get(t) != v
+        }
+        if m_head == base:
+            # fast-forward: main catches up to the branch head
+            if not self._ref_cas(_MAIN, m_head, b_head):
+                raise CatalogConflict(
+                    "main moved during the merge; re-run merge_branch"
+                )
+            self.be.advance_pointer(self.cat_dir, b_head)
+            return b_head
+        m_map = self.mapping(m_head)
+        for t in changed:
+            if m_map.get(t) != base_map.get(t):
+                raise MergeConflict(
+                    f"table {t!r} changed on both main and branch "
+                    f"{name!r} since {base}; rebase the branch"
+                )
+        merge_meta = {
+            **(meta or {}),
+            "merged_from": name,
+            "branch_head": b_head,
+            "merge_base": base,
+        }
+        return self._publish(
+            m_head, m_map, changed, max_retries, merge_meta
+        )
 
     def _publish(
         self,
@@ -162,64 +388,17 @@ class SnapshotCatalog:
         max_retries: int,
         meta: dict | None = None,
     ) -> int:
-        os.makedirs(self.cat_dir, exist_ok=True)
-        for _ in range(max_retries):
-            # rebase against the highest CLAIMED version, not the
-            # pointer: a rival that has claimed but not yet advanced
-            # the pointer is already committed (claims are total-
-            # ordered by the CAS; pointer advance is monotonic max),
-            # and merging against the stale pointer would silently
-            # drop its table updates
-            claimed = self.be.versions(self.cat_dir)
-            ptr = self.current_version()
-            cands = claimed + ([ptr] if ptr is not None else [])
-            cur = max(cands) if cands else None
-            if cur != base_v:
-                # rebase: merge mappings that landed since our start,
-                # but an overlapping-table commit is a real conflict
-                cur_map = self.mapping(cur)
-                for t in updates:
-                    if cur_map.get(t) != base_map.get(t):
-                        raise CatalogConflict(
-                            f"table {t!r} was committed concurrently "
-                            f"(catalog {base_v} → {cur}); retry the "
-                            "transaction from fresh reads"
-                        )
-                base_v, base_map = cur, cur_map
-            merged = {**base_map, **updates}
-            staging = os.path.join(
-                self.cat_dir, f".staging-{uuid.uuid4().hex}"
-            )
-            os.makedirs(staging)
-            won = False
-            try:
-                with open(os.path.join(staging, _CATALOG_JSON), "w") as f:
-                    json.dump(
-                        {"tables": merged, "meta": meta or {}},
-                        f,
-                        sort_keys=True,
-                    )
-                # cand derives from the SAME versions read the rebase
-                # used — re-reading here would let a rival claim slip
-                # between rebase and claim and be skipped over (its
-                # mapping silently dropped). With cand = cur + 1, any
-                # such rival makes THIS claim fail, and the retry
-                # rebases onto it.
-                cand = (cur if cur is not None else 0) + 1
-                won = self.be.claim_version(self.cat_dir, cand, staging)
-                if won:
-                    self.be.advance_pointer(self.cat_dir, cand)
-                    return cand
-            finally:
-                if not won:
-                    # NEVER on success: a manifest-style backend's
-                    # claim leaves the data living in staging
-                    shutil.rmtree(staging, ignore_errors=True)
-            # lost the claim race: loop re-reads, rebases, retries
-        raise RuntimeError(
-            f"catalog publish lost the version race {max_retries} times "
-            f"at {self.cat_dir} — writer storm, raise max_retries"
+        """Main publish = branch publish to the ``main`` ref. The ref
+        CAS is the linearization point (a rival that moved the ref
+        makes ours fail → rebase retry; one that claimed a number but
+        hasn't moved the ref yet will fail ITS CAS and rebase onto
+        us — no mapping is ever silently dropped), and _CURRENT
+        mirrors the ref monotonically for raw-layout readers."""
+        out = self._publish_to_ref(
+            _MAIN, base_v, base_map, updates, max_retries, meta
         )
+        self.be.advance_pointer(self.cat_dir, out)
+        return out
 
     # ---- maintenance ---------------------------------------------
 
@@ -232,9 +411,16 @@ class SnapshotCatalog:
         while no writer is active (standard vacuum caveat). Returns
         the dropped versions per table."""
         cat_versions = self.versions()
-        keep_cats = cat_versions[-keep_last:] if keep_last else []
+        keep_cats = set(cat_versions[-keep_last:] if keep_last else [])
+        # live branch heads (and the main pointer) are ALWAYS
+        # retained, whatever their version number — a branch parked
+        # on an old number must survive main racing ahead
+        keep_cats.update(self.branches().values())
+        ptr = self.current_version()
+        if ptr is not None:
+            keep_cats.add(ptr)
         referenced: dict[str, set[int]] = {}
-        for cv in keep_cats:
+        for cv in sorted(keep_cats):
             for t, tv in self.mapping(cv).items():
                 referenced.setdefault(t, set()).add(tv)
         dropped: dict[str, list[int]] = {}

@@ -162,4 +162,98 @@ def test_six_disjoint_writers_all_land(spark, tmp_path):
     assert not errs
     final = cat.mapping()
     assert {n: final[n] for n in names} == written
-    assert cat.current_version() == base_v + 6
+    # six publishes landed (claim numbers may be sparse: a loser
+    # whose ref CAS raced out burns its claimed number — vacuumable)
+    assert cat.current_version() > base_v
+    head_parents = set()
+    v = cat.current_version()
+    while v is not None:
+        head_parents.add(v)
+        v = cat._payload(v)["parent"]
+    assert base_v in head_parents and len(head_parents) >= 7
+
+
+def test_branch_commit_invisible_to_main_then_fast_forward(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "br1"))
+    v1 = cat.commit({"t": _ids(spark, 0, 3)})
+    cat.create_branch("dev")
+    b1 = cat.commit({"t": _ids(spark, 10, 12)}, branch="dev")
+    b2 = cat.commit({"u": _ids(spark, 20, 21)}, branch="dev")
+    # main untouched by branch commits
+    assert cat.current_version() == v1
+    assert _vals(cat.read(spark, "t")) == [0, 1, 2]
+    assert cat.branch_head("dev") == b2
+    assert _vals(cat.read(spark, "t", catalog_version=b2)) == [10, 11]
+    # main never moved -> fast-forward
+    merged = cat.merge_branch("dev")
+    assert merged == b2
+    assert cat.current_version() == b2
+    assert _vals(cat.read(spark, "t")) == [10, 11]
+    assert _vals(cat.read(spark, "u")) == [20]
+
+
+def test_three_way_merge_disjoint_and_conflict(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.catalog import MergeConflict
+
+    cat = SnapshotCatalog(str(tmp_path / "br2"))
+    cat.commit({"a": _ids(spark, 0, 1), "b": _ids(spark, 0, 1)})
+    cat.create_branch("dev")
+    cat.commit({"a": _ids(spark, 10, 12)}, branch="dev")  # branch: a
+    cat.commit({"b": _ids(spark, 20, 23)})  # main: b
+    merged = cat.merge_branch("dev")
+    # three-way result: branch's a + main's b
+    assert _vals(cat.read(spark, "a", catalog_version=merged)) == [10, 11]
+    assert _vals(cat.read(spark, "b", catalog_version=merged)) == [
+        20,
+        21,
+        22,
+    ]
+    meta = cat.commit_meta(merged)
+    assert meta["merged_from"] == "dev"
+
+    # both sides touch the SAME table -> conflict
+    cat.create_branch("dev2")
+    cat.commit({"a": _ids(spark, 30, 31)}, branch="dev2")
+    cat.commit({"a": _ids(spark, 40, 41)})  # main moves a too
+    with pytest.raises(MergeConflict):
+        cat.merge_branch("dev2")
+
+
+def test_branch_same_ref_rivals_conflict_or_rebase(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.catalog import (
+        CatalogConflict,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "br3"))
+    cat.commit({"t": _ids(spark, 0, 1), "u": _ids(spark, 0, 1)})
+    cat.create_branch("dev")
+    base = cat.branch_head("dev")
+    base_map = cat.mapping(base)
+    # rival A lands t on the branch
+    va = write_snapshot(_ids(spark, 10, 11), cat.table_path("t"))
+    cat._publish_to_ref("dev", base, dict(base_map), {"t": va}, 8)
+    # rival B from the same base: overlapping table -> conflict
+    vb = write_snapshot(_ids(spark, 20, 21), cat.table_path("t"))
+    with pytest.raises(CatalogConflict):
+        cat._publish_to_ref("dev", base, dict(base_map), {"t": vb}, 8)
+    # disjoint table from the same stale base -> rebases and lands
+    vu = write_snapshot(_ids(spark, 30, 33), cat.table_path("u"))
+    cat._publish_to_ref("dev", base, dict(base_map), {"u": vu}, 8)
+    head_map = cat.mapping(cat.branch_head("dev"))
+    assert head_map["t"] == va and head_map["u"] == vu
+
+
+def test_vacuum_retains_branch_heads(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "br4"))
+    cat.commit({"t": _ids(spark, 0, 2)})
+    cat.create_branch("dev")
+    cat.commit({"t": _ids(spark, 10, 12)}, branch="dev")
+    bh = cat.branch_head("dev")
+    # main races ahead with higher-numbered versions
+    for lo in (20, 30, 40):
+        cat.commit({"t": _ids(spark, lo, lo + 2)})
+    cat.vacuum_unreferenced(keep_last=1)
+    # the parked branch head and its table version survived
+    assert cat.branch_head("dev") == bh
+    assert _vals(cat.read(spark, "t", catalog_version=bh)) == [10, 11]
+    assert _vals(cat.read(spark, "t")) == [40, 41]
