@@ -182,12 +182,42 @@ class SnapshotCatalog:
         """Point a new branch at a catalog version (default: the
         main head). Branch commits then diverge from main until
         :meth:`merge_branch`."""
+        if name.startswith("tag-") or name == _MAIN:
+            raise ValueError(f"reserved ref name {name!r}")
         v = self.current_version() if at_version is None else at_version
         if v is None:
             raise ValueError("cannot branch an empty catalog")
         if not self._ref_cas(name, None, v):
             raise CatalogConflict(f"branch {name!r} already exists")
         return v
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """An immutable named version (release/audit pin). Tags live
+        in the same ref namespace prefixed ``tag-``, so they are
+        vacuum-retained like branch heads, but :meth:`commit` and
+        :meth:`merge_branch` never move them."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError("cannot tag an empty catalog")
+        if not self._ref_cas(f"tag-{name}", None, v):
+            raise CatalogConflict(f"tag {name!r} already exists")
+        return v
+
+    def tag_version(self, name: str) -> int | None:
+        return self.branch_head(f"tag-{name}")
+
+    def version_as_of(self, ts: str) -> int | None:
+        """Newest MAIN-chain version committed at or before an ISO
+        UTC timestamp — catalog-level time travel (the cross-table
+        twin of layout.read_snapshot_as_of). Walks the main parent
+        chain, so branch versions never leak into main's history."""
+        v = self.current_version()
+        while v is not None:
+            at = self.commit_meta(v).get("committed_at")
+            if at is not None and at <= ts:
+                return v
+            v = self._payload(v)["parent"]
+        return None
 
     def branches(self) -> dict[str, int]:
         try:
@@ -228,6 +258,11 @@ class SnapshotCatalog:
         if branch is None:
             base_v = self.current_version()
         else:
+            if branch.startswith("tag-") or branch == _MAIN:
+                raise ValueError(
+                    f"{branch!r} is not a commitable branch (tags are "
+                    "immutable; main is the default target)"
+                )
             base_v = self.branch_head(branch)
             if base_v is None:
                 raise KeyError(f"no branch {branch!r}; create_branch first")
@@ -254,6 +289,8 @@ class SnapshotCatalog:
     ) -> int | None:
         """Stage + claim one catalog version (global number space);
         None when the claim raced out."""
+        import datetime
+
         claimed = self.be.versions(self.cat_dir)
         ptr = self.current_version()
         cands = claimed + ([ptr] if ptr is not None else [])
@@ -261,10 +298,15 @@ class SnapshotCatalog:
         staging = os.path.join(self.cat_dir, f".staging-{uuid.uuid4().hex}")
         os.makedirs(staging)
         won = False
+        meta = dict(meta or {})
+        meta.setdefault(
+            "committed_at",
+            datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        )
         try:
             with open(os.path.join(staging, _CATALOG_JSON), "w") as f:
                 json.dump(
-                    {"tables": merged, "meta": meta or {}, "parent": parent},
+                    {"tables": merged, "meta": meta, "parent": parent},
                     f,
                     sort_keys=True,
                 )

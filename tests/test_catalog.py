@@ -257,3 +257,37 @@ def test_vacuum_retains_branch_heads(spark, tmp_path):
     assert cat.branch_head("dev") == bh
     assert _vals(cat.read(spark, "t", catalog_version=bh)) == [10, 11]
     assert _vals(cat.read(spark, "t")) == [40, 41]
+
+
+def test_tags_and_timestamp_as_of(spark, tmp_path):
+    from enclaveid_data_pipeline_spark.sources.catalog import (
+        CatalogConflict,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "tags"))
+    v1 = cat.commit({"t": _ids(spark, 0, 2)})
+    t1 = cat.commit_meta(v1)["committed_at"]
+    cat.create_tag("rel-1.0")
+    v2 = cat.commit({"t": _ids(spark, 10, 12)})
+    # tag pins v1 forever
+    assert cat.tag_version("rel-1.0") == v1
+    assert _vals(
+        cat.read(spark, "t", catalog_version=cat.tag_version("rel-1.0"))
+    ) == [0, 1]
+    # tags are immutable: no committing to them, no duplicates
+    with pytest.raises(ValueError):
+        cat.commit({"t": _ids(spark, 0, 1)}, branch="tag-rel-1.0")
+    with pytest.raises(CatalogConflict):
+        cat.create_tag("rel-1.0")
+    with pytest.raises(ValueError):
+        cat.create_branch("main")
+    # timestamp time travel on the main chain
+    assert cat.version_as_of(t1) == v1
+    assert cat.version_as_of("9999-01-01") == v2
+    assert cat.version_as_of("1970-01-01") is None
+    # tagged version survives vacuum even after main races ahead
+    cat.commit({"t": _ids(spark, 20, 22)})
+    cat.vacuum_unreferenced(keep_last=1)
+    assert _vals(
+        cat.read(spark, "t", catalog_version=cat.tag_version("rel-1.0"))
+    ) == [0, 1]
