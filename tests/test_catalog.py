@@ -291,3 +291,31 @@ def test_tags_and_timestamp_as_of(spark, tmp_path):
     assert _vals(
         cat.read(spark, "t", catalog_version=cat.tag_version("rel-1.0"))
     ) == [0, 1]
+
+
+def test_branch_disjoint_threaded_rivals_both_land(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "br5"))
+    cat.commit({"a": _ids(spark, 0, 1), "b": _ids(spark, 0, 1)})
+    cat.create_branch("dev")
+    base = cat.branch_head("dev")
+    base_map = cat.mapping(base)
+    va = write_snapshot(_ids(spark, 10, 12), cat.table_path("a"))
+    vb = write_snapshot(_ids(spark, 20, 23), cat.table_path("b"))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def publish(updates):
+        try:
+            barrier.wait()
+            cat._publish_to_ref("dev", base, dict(base_map), updates, 64)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=publish, args=({"a": va},))
+    t2 = threading.Thread(target=publish, args=({"b": vb},))
+    t1.start(), t2.start(), t1.join(), t2.join()
+    assert not errs
+    head_map = cat.mapping(cat.branch_head("dev"))
+    assert head_map["a"] == va and head_map["b"] == vb
+    # main untouched by the whole race
+    assert cat.mapping()["a"] != va
