@@ -406,12 +406,18 @@ class SnapshotCatalog:
             self.be.advance_pointer(self.cat_dir, b_head)
             return b_head
         m_map = self.mapping(m_head)
-        for t in changed:
-            if m_map.get(t) != base_map.get(t):
+        for t, v in changed.items():
+            if m_map.get(t) != base_map.get(t) and m_map.get(t) != v:
+                # both sides moved the table AND disagree; identical
+                # versions on both sides (e.g. re-merging an already
+                # merged branch) are not a conflict
                 raise MergeConflict(
                     f"table {t!r} changed on both main and branch "
                     f"{name!r} since {base}; rebase the branch"
                 )
+        effective = {t: v for t, v in changed.items() if m_map.get(t) != v}
+        if not effective:
+            return m_head  # nothing main doesn't already have
         merge_meta = {
             **(meta or {}),
             "merged_from": name,
@@ -419,7 +425,7 @@ class SnapshotCatalog:
             "merge_base": base,
         }
         return self._publish(
-            m_head, m_map, changed, max_retries, merge_meta
+            m_head, m_map, effective, max_retries, merge_meta
         )
 
     def _publish(

@@ -319,3 +319,18 @@ def test_branch_disjoint_threaded_rivals_both_land(spark, tmp_path):
     assert head_map["a"] == va and head_map["b"] == vb
     # main untouched by the whole race
     assert cat.mapping()["a"] != va
+
+
+def test_remerge_is_idempotent_not_conflicting(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "br6"))
+    cat.commit({"a": _ids(spark, 0, 1), "b": _ids(spark, 0, 1)})
+    cat.create_branch("dev")
+    cat.commit({"a": _ids(spark, 10, 12)}, branch="dev")
+    cat.commit({"b": _ids(spark, 20, 21)})  # force three-way
+    m1 = cat.merge_branch("dev")
+    assert cat.mapping(m1)["a"] == cat.mapping(cat.branch_head("dev"))["a"]
+    # merging the unchanged branch again: both sides already hold the
+    # branch's version of a — no conflict, no new commit
+    m2 = cat.merge_branch("dev")
+    assert m2 == m1
+    assert cat.current_version() == m1
