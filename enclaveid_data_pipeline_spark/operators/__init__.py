@@ -3,6 +3,8 @@ from .cdc import apply_changes, latest_snapshot, scd2_history
 from .expectations import check_expectations
 from .graph import pagerank_fixed
 from .ivm import incremental_join
+from .mview import build_mview, plan_mview, rewrite_rollup
+from .timeseries import interpolate_linear, locf
 from .recency import recency_split
 from .sessionize import chunk_ids, session_gaps, sessionize
 from .thresholds import group_percentile, winsorize, with_group_threshold
@@ -17,6 +19,11 @@ __all__ = [
     "with_group_threshold",
     "winsorize",
     "latest_snapshot",
+    "build_mview",
+    "plan_mview",
+    "rewrite_rollup",
+    "interpolate_linear",
+    "locf",
     "apply_changes",
     "scd2_history",
     "incremental_join",
