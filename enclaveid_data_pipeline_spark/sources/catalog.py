@@ -366,7 +366,10 @@ class SnapshotCatalog:
         while v is not None and v not in seen:
             out.append(v)
             seen.add(v)
-            v = self._payload(v)["parent"]
+            try:
+                v = self._payload(v)["parent"]
+            except OSError:
+                break  # history vacuumed below this point
         return out
 
     def merge_branch(
@@ -456,8 +459,15 @@ class SnapshotCatalog:
         versions), plus the older catalog versions themselves.
         Orphans from crashed transactions (table versions that never
         made it into any catalog) are reclaimed here too. Run only
-        while no writer is active (standard vacuum caveat). Returns
-        the dropped versions per table."""
+        while no writer is active (standard vacuum caveat).
+
+        Open-branch caveat: vacuum keeps every live ref HEAD but not
+        its full ancestry, so a later merge whose merge-base was
+        vacuumed degrades honestly — ancestry walks stop at the gap,
+        the merge sees no common base, and anything main also
+        touched raises :class:`MergeConflict` instead of guessing.
+        Merge long-lived branches before deep vacuums. Returns the
+        dropped versions per table."""
         cat_versions = self.versions()
         keep_cats = set(cat_versions[-keep_last:] if keep_last else [])
         # live branch heads (and the main pointer) are ALWAYS
