@@ -448,6 +448,7 @@ def catalog_txn_sink(
     build_tables: Callable[[DataFrame, dict[str, DataFrame]], dict[str, DataFrame]],
     checkpoint_dir: str | None = None,
     stats_cols: dict[str, list[str]] | None = None,
+    branch: str | None = None,
 ) -> StreamingQuery:
     """Stream → MULTI-TABLE exactly-once: every micro-batch derives
     N table states (e.g. the appended fact AND its maintained
@@ -456,6 +457,14 @@ def catalog_txn_sink(
     through the catalog can never observe the fact without its
     rollup or vice versa, the multi-table consistency single-table
     commits (versioned_snapshot_sink) cannot give.
+
+    ``branch`` streams into a catalog BRANCH instead of main —
+    streaming write-audit-publish at catalog granularity: ingest
+    accumulates invisibly, an offline audit inspects the branch
+    head, and one ``merge_branch`` (fast-forward when main hasn't
+    moved) exposes the whole ingest window to main readers
+    atomically. The replay guard then reads the BRANCH head's meta,
+    so a branch restream stays at-most-once without consulting main.
 
     ``build_tables(batch_df, current)`` receives the micro-batch and
     the current committed state of every catalog table (``{}``-less:
@@ -476,13 +485,27 @@ def catalog_txn_sink(
     cross-table state any downstream job saw.
     """
 
+    def _head_version():
+        if branch is None:
+            return None  # commit_meta default = main head
+        return catalog.branch_head(branch)
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id <= catalog.commit_meta().get("batch_id", -1):
+        head = _head_version()
+        if branch is not None and head is None:
+            catalog.create_branch(branch)
+            head = catalog.branch_head(branch)
+        meta = (
+            catalog.commit_meta()
+            if branch is None
+            else catalog.commit_meta(head)
+        )
+        if batch_id <= meta.get("batch_id", -1):
             return  # replayed batch: this catalog version holds it
         current = {}
-        for t in catalog.mapping():
-            current[t] = catalog.read(spark, t)
+        for t in catalog.mapping(head):
+            current[t] = catalog.read(spark, t, catalog_version=head)
         nxt = build_tables(batch_df, current)
         # cut lineage before the commit: each table's parquet write
         # must not re-read the pre-commit state it is replacing
@@ -491,6 +514,7 @@ def catalog_txn_sink(
             nxt,
             stats_cols=stats_cols,
             meta={"batch_id": batch_id},
+            branch=branch,
         )
 
     w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")

@@ -665,3 +665,85 @@ def test_catalog_txn_sink_multi_table_exactly_once(spark, tmp_path):
         q2.stop()
     assert cat.current_version() == 2
     assert cat.read(spark, "fact").count() == 4
+
+
+def test_catalog_txn_sink_streams_into_branch_then_merge(spark, tmp_path):
+    """Streaming WAP at catalog granularity: micro-batches accumulate
+    on a branch (main readers see nothing), one merge exposes the
+    whole ingest window atomically, and a branch restream with a
+    fresh checkpoint folds nothing twice."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.catalog import (
+        SnapshotCatalog,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        catalog_txn_sink,
+    )
+
+    stream_dir = tmp_path / "br_in"
+    stream_dir.mkdir()
+    cat = SnapshotCatalog(str(tmp_path / "br_cat"))
+    schema = "k int, amount long"
+    seed = cat.commit(
+        {"fact": spark.createDataFrame([(0, 1)], schema)}
+    )
+
+    def drop(name, rows):
+        staging = tmp_path / "brstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    def build(batch_df, current):
+        fact = (
+            current["fact"].unionByName(batch_df)
+            if "fact" in current
+            else batch_df
+        )
+        rollup = fact.groupBy("k").agg(F.sum("amount").alias("total"))
+        return {"fact": fact, "rollup": rollup}
+
+    def start(ckpt):
+        return catalog_txn_sink(
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            cat,
+            build,
+            checkpoint_dir=str(tmp_path / ckpt),
+            branch="ingest",
+        )
+
+    q = start("bck1")
+    try:
+        drop("000", [(1, 10)])
+        q.processAllAvailable()
+        drop("001", [(1, 5), (2, 7)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # main never moved; the branch holds the folded state
+    assert cat.current_version() == seed
+    assert "rollup" not in cat.mapping()
+    bh = cat.branch_head("ingest")
+    assert {
+        r.k: r.total
+        for r in cat.read(spark, "rollup", catalog_version=bh).collect()
+    } == {0: 1, 1: 15, 2: 7}
+
+    # publish: one merge exposes fact+rollup to main atomically
+    cat.merge_branch("ingest")
+    assert {
+        r.k: r.total for r in cat.read(spark, "rollup").collect()
+    } == {0: 1, 1: 15, 2: 7}
+
+    # branch restream from a fresh checkpoint folds nothing twice
+    q2 = start("bck2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert cat.branch_head("ingest") == bh
+    assert cat.read(spark, "fact", catalog_version=bh).count() == 4
