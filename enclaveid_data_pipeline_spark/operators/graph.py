@@ -684,33 +684,48 @@ def kcore_peel(
 
     Expects the symmetrized edge list the other graph ops use (every
     undirected edge present in both directions), so out-degree IS
-    degree. Per round: one groupBy + two left-semi joins, all
-    hash-partitioned on the node id; RollingBoundary releases round
-    r−1's edge set when round r's lands, so storage stays O(|E|)
-    regardless of round count. At 100 TB: each round strictly shrinks
-    the edge set, and convergence for real k is typically a handful
-    of rounds — the cost profile of ``bfs_levels``, not PageRank.
+    degree.
+
+    Scale shape (the pagerank_fixed discipline): the BIG edge table
+    is persisted ONCE and never copied — per-round state is the
+    SMALL alive-node set (RollingBoundary releases round r−1's when
+    round r's lands), and each round recomputes degrees as
+    edges ⋈semi alive(src) ⋈semi alive(dst) → groupBy. Materializing
+    the shrinking edge set instead (the obvious formulation) holds
+    O(rounds × |E|) copies in memory — at the sf10 fixture (117M
+    symmetrized edges in one 8g local JVM) that dies in GC before
+    round 2; iterating on nodes costs one extra edge pass per round
+    and keeps memory at |E| + O(|V|).
     """
     from ..materialize import RollingBoundary
 
     boundary = RollingBoundary()
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = boundary(e, mode=materialize_mode)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+        .persist()
+    )
+    alive = None  # None = every node (round 0 reads e unfiltered)
     for _ in range(rounds):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select(
+        cur = e
+        if alive is not None:
+            cur = cur.join(
+                alive.withColumnRenamed("node", "src"), "src", "left_semi"
+            ).join(
+                alive.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select(
             F.col("src").alias("node")
         )
-        e = (
-            e.join(
-                keep.withColumnRenamed("node", "src"), "src", "left_semi"
-            ).join(
-                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
-            )
-        )
-        e = boundary(e, mode=materialize_mode)
+        alive = boundary(alive, mode=materialize_mode)
+    final_e = e.join(
+        alive.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
     final_deg = (
-        e.groupBy("src")
+        final_e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), "deg")
     )
@@ -719,4 +734,13 @@ def kcore_peel(
             F.min((F.col("deg") >= k).cast("int")) == 1, F.lit(True)
         ).alias("converged")
     )
-    return final_deg.crossJoin(F.broadcast(flag))
+    out = final_deg.crossJoin(F.broadcast(flag))
+    from ..materialize import resolve_mode
+
+    if resolve_mode(materialize_mode) != "none":
+        # eager boundary: out stops reading e (and the last alive
+        # set), so the 2×|E| cache can release immediately
+        out = boundary(out, mode=materialize_mode)
+        e.unpersist()
+        return out
+    return _release_on_gc(out, e)
