@@ -747,3 +747,93 @@ def test_catalog_txn_sink_streams_into_branch_then_merge(spark, tmp_path):
         q2.stop()
     assert cat.branch_head("ingest") == bh
     assert cat.read(spark, "fact", catalog_version=bh).count() == 4
+
+
+def test_catalog_txn_sink_crash_between_tables_and_publish(spark, tmp_path):
+    """Crash injection: the transaction dies AFTER its table
+    snapshots land but BEFORE the catalog publish. Catalog readers
+    never see the torn state (both tables stay at the previous
+    version), and a restart re-folds the batch cleanly — the orphan
+    table versions are inert and vacuumable."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.catalog import (
+        SnapshotCatalog,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        catalog_txn_sink,
+    )
+
+    stream_dir = tmp_path / "crash_in"
+    stream_dir.mkdir()
+    cat = SnapshotCatalog(str(tmp_path / "crash_cat"))
+    schema = "k int, amount long"
+    cat.commit(
+        {
+            "fact": spark.createDataFrame([(0, 1)], schema),
+            "rollup": spark.createDataFrame(
+                [(0, 1, 1)], "k int, total long, n long"
+            ),
+        }
+    )
+    v0 = cat.current_version()
+
+    def drop(name, rows):
+        staging = tmp_path / "cstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    def build(batch_df, current):
+        fact = current["fact"].unionByName(batch_df)
+        rollup = fact.groupBy("k").agg(
+            F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        return {"fact": fact, "rollup": rollup}
+
+    # crash injection: tables write, catalog publish dies
+    real_publish = cat._publish_to_ref
+
+    def dying_publish(*a, **kw):
+        raise RuntimeError("injected crash before catalog publish")
+
+    cat._publish_to_ref = dying_publish
+    drop("000", [(1, 10), (2, 20)])
+    q = catalog_txn_sink(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        cat,
+        build,
+        checkpoint_dir=str(tmp_path / "cck1"),
+    )
+    try:
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # torn state invisible: catalog still serves the v0 pair
+    assert cat.current_version() == v0
+    assert cat.read(spark, "fact").count() == 1
+    assert cat.read(spark, "rollup").count() == 1
+
+    # restart with the publish healed: the SAME batch re-folds once
+    cat._publish_to_ref = real_publish
+    q2 = catalog_txn_sink(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        cat,
+        build,
+        checkpoint_dir=str(tmp_path / "cck2"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert {
+        r.k: r.total for r in cat.read(spark, "rollup").collect()
+    } == {0: 1, 1: 10, 2: 20}
+    assert cat.read(spark, "fact").count() == 3
+    # the crashed attempt's orphan table versions are reclaimable
+    dropped = cat.vacuum_unreferenced(keep_last=2)
+    assert dropped  # at least the orphans went
+    assert cat.read(spark, "fact").count() == 3
