@@ -344,11 +344,11 @@ def label_propagation(
     return _release_on_gc(out, e)
 
 
-def count_triangles(
+def _triangle_corners(
     edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    group_cols: tuple[str, ...] = (),
+    src: str,
+    dst: str,
+    group_cols: tuple[str, ...],
 ) -> DataFrame:
     """Triangle count over an undirected edge table (input rows in
     either direction; duplicates and self-loops are cleaned here),
@@ -439,14 +439,83 @@ def count_triangles(
     closing = oriented.select(
         *g, F.col("lo").alias("v"), F.col("hi").alias("w")
     )
-    tri = wedges.select(*g, "v", "w").join(
+    return wedges.select(*g, "u", "v", "w").join(
         closing, on=[*g, "v", "w"], how="leftsemi"
     )
+
+
+def count_triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Total (or per-group) triangle count — the aggregate view of
+    :func:`_triangle_corners` (see there for the degree-orientation
+    skew bound)."""
+    g = list(group_cols)
+    tri = _triangle_corners(edges, src, dst, tuple(g))
     if g:
         return tri.groupBy(*g).agg(
             F.count(F.lit(1)).alias("n_triangles")
         )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Local clustering coefficient per node (deg ≥ 2):
+    ``2·triangles(v) / (deg(v)·(deg(v)−1))`` — the per-node
+    tight-clique signal whose corpus-level census
+    :func:`count_triangles` aggregates. Per-node triangle counts
+    come from exploding each triangle's three corners (one
+    generate over the triangle set — tiny next to the wedge join
+    that produced it); degrees are the same one-shuffle aggregate
+    the orientation already needs. Output: group cols + node, deg,
+    n_tri, lcc (raw double; callers round for cross-engine
+    parity)."""
+    g = list(group_cols)
+    tri = _triangle_corners(edges, src, dst, tuple(g))
+    corners = tri.select(
+        *g, F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    tcount = corners.groupBy(*g, "node").agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    e = (
+        edges.select(*g, F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            *g,
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(*g, F.col("a").alias("node"))
+        .unionByName(e.select(*g, F.col("b").alias("node")))
+        .groupBy(*g, "node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = deg.filter(F.col("deg") >= 2).join(
+        tcount, on=[*g, "node"], how="left"
+    )
+    return out.select(
+        *g,
+        "node",
+        F.col("deg"),
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        (
+            2.0
+            * F.coalesce("n_tri", F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1))
+        ).alias("lcc"),
+    )
 
 
 def deterministic_random_walks(

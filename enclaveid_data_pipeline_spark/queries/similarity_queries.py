@@ -694,3 +694,70 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
     return count_triangles(edges, group_cols=("label",))
+
+
+@register(
+    "neardup_local_clustering",
+    oracle=_PAIRS_ORACLE_CTE
+    + f"""
+    , edges AS (
+        SELECT label, left_id AS a, right_id AS b
+        FROM pairs WHERE sim >= {_NEAR_DUP_THRESHOLD}
+    ), tri AS (
+        SELECT e1.label, e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2
+          ON e2.label = e1.label AND e2.a = e1.a AND e2.b > e1.b
+        JOIN edges e3
+          ON e3.label = e1.label AND e3.a = e1.b AND e3.b = e2.b
+    ), tri_nodes AS (
+        SELECT label, x AS node FROM tri
+        UNION ALL SELECT label, y FROM tri
+        UNION ALL SELECT label, z FROM tri
+    ), tcount AS (
+        SELECT label, node, count(*) AS n_tri
+        FROM tri_nodes GROUP BY label, node
+    ), deg AS (
+        SELECT label, node, count(*) AS deg FROM (
+            SELECT label, a AS node FROM edges
+            UNION ALL SELECT label, b FROM edges
+        ) GROUP BY label, node
+    )
+    SELECT d.label, d.node,
+           CAST(d.deg AS BIGINT) AS deg,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           round(2.0 * coalesce(t.n_tri, 0)
+                 / (d.deg * (d.deg - 1)), 4) AS lcc
+    FROM deg d
+    LEFT JOIN tcount t ON t.label = d.label AND t.node = d.node
+    WHERE d.deg >= 2
+    """,
+)
+def neardup_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of each label's
+    near-duplicate graph (operators.graph.local_clustering):
+    2·tri(v)/(deg(v)·(deg(v)−1)) for deg ≥ 2 — the per-node form of
+    the triangle census, separating nodes inside duplicate CLIQUES
+    (lcc→1: safe to keep one) from bridge nodes chaining otherwise
+    distinct texts (lcc→0: transitive drift, don't collapse).
+    Engine side reuses the degree-oriented triangle corners (wedge
+    work out-degree-bounded at hot nodes) + one explode; the oracle
+    replays with a plain id-ordered triple self-join."""
+    from ..operators.graph import local_clustering
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(
+        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).withColumn("sim", F.round("similarity", 6))
+    edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
+        "label", F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    out = local_clustering(edges, group_cols=("label",))
+    return out.select(
+        "label",
+        "node",
+        "deg",
+        "n_tri",
+        F.round("lcc", 4).alias("lcc"),
+    )

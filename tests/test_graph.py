@@ -322,3 +322,25 @@ def test_kcore_peel_cascade_and_convergence(spark):
     # peel-to-empty: converged (vacuously) with zero rows
     empty = kcore_peel(edges, k=4, rounds=2)
     assert empty.count() == 0
+
+
+def test_local_clustering_clique_vs_chain(spark):
+    from enclaveid_data_pipeline_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # triangle a-b-c (every node lcc=1) + chain c-d-e (d: lcc=0)
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(t, s) for s, t in und], "src string, dst string"
+    )
+    rows = {
+        r.node: (r.deg, r.n_tri, round(r.lcc, 4))
+        for r in local_clustering(edges).collect()
+    }
+    assert rows["a"] == (2, 1, 1.0)
+    assert rows["b"] == (2, 1, 1.0)
+    # c has deg 3, one triangle among its 3 neighbor pairs → 1/3
+    assert rows["c"] == (3, 1, round(2 / 6, 4))
+    assert rows["d"] == (2, 0, 0.0)
+    assert "e" not in rows  # deg 1 filtered (coefficient undefined)
