@@ -1634,3 +1634,56 @@ def token_pmi_top20_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arr"),
     )
     return _pmi_top20(arrs)
+
+
+@register(
+    "zipf_slope_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS c FROM tok
+        WHERE token <> '' GROUP BY token
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+        FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope
+    FROM ranked
+    """,
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the corpus token-frequency distribution:
+    OLS slope of ln(count) on ln(rank) — the classic Zipf fit whose
+    departure from ≈−1 flags synthetic, boilerplate-heavy, or
+    truncated-vocabulary corpora before training. Ranking runs
+    through the bucketed global ordinal (operators.rank — a
+    data-adaptive range bucket on −count, so no unpartitioned
+    ordered window even though THIS corpus's vocabulary is small);
+    the regression is one regr_slope aggregate, identical in both
+    engines to round(4)."""
+    from ..operators.rank import global_row_number, with_sampled_range_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucketed = with_sampled_range_bucket(
+        counts, F.col("c") * -1, out="__rb"
+    )
+    ranked = global_row_number(
+        bucketed,
+        [F.desc("c"), F.asc("token")],
+        F.col("__rb"),
+        out="r",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.expr("regr_slope(ln(c), ln(r))"), 4).alias("zipf_slope"),
+    )
