@@ -334,11 +334,14 @@ def vocabulary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # Top-k FIRST: orderBy().limit() plans TakeOrderedAndProject —
+    # distributed per-partition heads — so no single task ever holds
+    # the full vocabulary order (10^7+ tokens at corpus scale). The
+    # rank window runs over only the 20 survivors.
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("token", "freq", F.col("rn").cast("long").alias("rn"))
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "token", "freq", F.col("rn").cast("long").alias("rn")
     )
 
 

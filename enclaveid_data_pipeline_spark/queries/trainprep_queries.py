@@ -905,10 +905,15 @@ def dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(268435457.0)  # 2^28 + 1 -> u in (0, 1)
     g_micro = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
     keyed = w.withColumn("key_micro", F.col("logw_micro") + g_micro)
+    # Top-k FIRST via orderBy().limit() — Spark plans
+    # TakeOrderedAndProject (per-partition heads merged on the
+    # driver), never a single-task total order over the corpus. The
+    # rank window then runs over exactly 100 rows (bounded by the
+    # GlobalLimit below it, which the plan gate recognizes).
+    top = keyed.orderBy(F.desc("key_micro"), F.asc("doc_id")).limit(100)
     wnd = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
     return (
-        keyed.withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= 100)
+        top.withColumn("rn", F.row_number().over(wnd))
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("logw_micro").cast("long").alias("logw_micro"),

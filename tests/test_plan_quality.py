@@ -263,32 +263,63 @@ def test_pair_explode_stages_saturate_cluster(spark, sf_dir):
     assert "hashpartitioning(src" in plan and f", {n})" in plan
 
 
-def test_no_unpartitioned_windows_in_global_rank_queries(spark, sf_dir):
-    """The bucketed global-rank rewrite (operators/rank.py): none of
-    the corpus-wide rank/cumsum queries may plan an unpartitioned
-    WindowExec (one task holding the total order). A partitioned
-    Window renders three bracket groups ([exprs], [partition],
-    [order]); unpartitioned renders two."""
-    names = [
-        "blended_quality_deciles",
-        "token_budget_selection",
-        "rfm_segments",
-        "snm_window_dups",
-        "dedup_method_consensus",
-        "blocking_quality_metrics",
-        "ks_drift_by_source",
-        "mannwhitney_click_vs_error",
-        "auc_quality_vs_lang",
-    ]
-    for name in names:
-        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
-        for line in plan.splitlines():
-            # two "], [" seams = partitioned+ordered. One seam is
-            # either partitioned-unordered (fine) or unpartitioned-
-            # ordered (the single-task trap) — only the order group
-            # carries ASC/DESC, so reject those.
-            if "Window [" in line and line.count("], [") < 2:
-                tail = line.rsplit("], [", 1)[-1]
-                assert " ASC" not in tail and " DESC" not in tail, (
-                    f"{name}: {line.strip()}"
-                )
+# Queries allowed to plan an unpartitioned ordered WindowExec because
+# the window's input is provably bounded (NOT corpus-proportional).
+# Every entry must say WHY; "bounded-by-limit" entries additionally
+# require a TakeOrderedAndProject/GlobalLimit in the plan (asserted
+# below) so the bound stays mechanical, not aspirational.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # rank attached over exactly the k survivors of orderBy().limit(k)
+    # (TakeOrderedAndProject below the window)
+    "dsir_resample_top100": "limit",
+    "vocabulary_top20": "limit",
+    # codebook sequential ids: |seeds| rows, KB-scale by construction
+    # (operators/knn.py:672 — "m × |seeds| rows, KBs total")
+    "pq_adc_recall_at5": "tiny-aggregate",
+    "pq_topk_adc": "tiny-aggregate",
+    # lag over one row per calendar week — bounded by the time span,
+    # not the corpus size
+    "weekly_growth_rates": "tiny-aggregate",
+}
+
+
+def _unpartitioned_ordered_window_lines(plan: str) -> list[str]:
+    """Window lines with an order but no partition — the single-task
+    total-order trap. A partitioned+ordered Window renders three
+    bracket groups ([exprs], [partition], [order]) = two "], ["
+    seams; one seam is either partitioned-unordered (fine) or
+    unpartitioned-ordered — only the order group carries ASC/DESC."""
+    out = []
+    for line in plan.splitlines():
+        if "Window [" in line and line.count("], [") < 2:
+            tail = line.rsplit("], [", 1)[-1]
+            if " ASC" in tail or " DESC" in tail:
+                out.append(line.strip())
+    return out
+
+
+def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
+    """Registry-wide sweep (all plans, not a named subset — the r6
+    gate swept 9 names and two single-task total orders slipped past
+    in unswept queries): no registered query may plan an
+    unpartitioned ordered WindowExec over corpus-proportional input.
+    The explicit allowlist covers provably-bounded inputs; for the
+    "limit" entries the bounding TakeOrderedAndProject/GlobalLimit
+    must actually appear in the plan."""
+    offenders: dict[str, list[str]] = {}
+    for name, entry in sorted(REGISTRY.items()):
+        plan = _plan(entry.fn(spark, sf_dir))
+        lines = _unpartitioned_ordered_window_lines(plan)
+        if not lines:
+            continue
+        reason = _UNPARTITIONED_WINDOW_ALLOWLIST.get(name)
+        if reason is None:
+            offenders[name] = lines
+        elif reason == "limit":
+            assert (
+                "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+            ), f"{name}: allowlisted as bounded-by-limit but no limit in plan"
+    assert not offenders, (
+        "unpartitioned ordered WindowExec over unbounded input in: "
+        + "; ".join(f"{n}: {ls[0][:160]}" for n, ls in offenders.items())
+    )
