@@ -210,14 +210,61 @@ class SnapshotCatalog:
         """Newest MAIN-chain version committed at or before an ISO
         UTC timestamp — catalog-level time travel (the cross-table
         twin of layout.read_snapshot_as_of). Walks the main parent
-        chain, so branch versions never leak into main's history."""
+        chain, so branch versions never leak into main's history.
+        A timestamp older than the oldest RETAINED version returns
+        None (same contract as _ancestors: vacuumed history is an
+        honest gap, never a crash)."""
         v = self.current_version()
         while v is not None:
-            at = self.commit_meta(v).get("committed_at")
+            try:
+                payload = self._payload(v)
+            except OSError:
+                return None  # history vacuumed below the requested ts
+            at = payload["meta"].get("committed_at")
             if at is not None and at <= ts:
                 return v
-            v = self._payload(v)["parent"]
+            v = payload["parent"]
         return None
+
+    def stream_batch_id(
+        self, stream_id: str, version: int | None = None
+    ) -> int:
+        """Latest micro-batch id a streaming sink committed under
+        ``stream_id``, resolved at ``version`` (default: main head).
+
+        This is catalog_txn_sink's replay guard. Reading only the
+        head commit's own ``batch_id`` breaks exactly-once the moment
+        ANY other writer — a disjoint stream, DML, OPTIMIZE — commits
+        between the stream's catalog publish and its checkpoint
+        write: the head no longer carries the stream's id and the
+        redelivered batch refolds (round-6 advice). Commits fold a
+        per-stream ``streams`` map forward (_claim_payload), so the
+        head answers in O(1); the parent-chain walk below covers
+        commits written before the fold existed. The chain follows
+        ``parent`` pointers, so orphaned claims (lost CAS races)
+        are never consulted. A commit carrying a bare ``batch_id``
+        with no ``streams`` map is pre-upgrade single-stream history
+        and is honored as this stream's cursor. Returns -1 when the
+        stream has never committed (or history was vacuumed below
+        its last commit — an at-least-once refold, never data loss
+        for the sink's full-state folds)."""
+        v = self.current_version() if version is None else version
+        seen: set[int] = set()
+        while v is not None and v not in seen:
+            seen.add(v)
+            try:
+                payload = self._payload(v)
+            except OSError:
+                break  # history vacuumed below the stream's last commit
+            meta = payload["meta"]
+            streams = meta.get("streams")
+            if streams is not None:
+                if stream_id in streams:
+                    return int(streams[stream_id])
+            elif "batch_id" in meta:
+                return int(meta["batch_id"])  # pre-fold single-stream
+            v = payload["parent"]
+        return -1
 
     def branches(self) -> dict[str, int]:
         try:
@@ -303,6 +350,20 @@ class SnapshotCatalog:
             "committed_at",
             datetime.datetime.now(datetime.timezone.utc).isoformat(),
         )
+        # Fold the per-stream replay cursor forward: every commit
+        # carries the latest batch id of EVERY stream seen on its
+        # chain, so a streaming sink's guard (stream_batch_id) is
+        # O(1) at the head even when unrelated writers' commits
+        # interleave between the stream's publish and its checkpoint
+        # write. The parent-chain walk in stream_batch_id is the
+        # exact backstop for pre-fold history.
+        try:
+            parent_streams = self._payload(parent)["meta"].get("streams", {})
+        except OSError:
+            parent_streams = {}  # vacuumed parent: start the map fresh
+        merged_streams = {**parent_streams, **meta.get("streams", {})}
+        if merged_streams:
+            meta["streams"] = merged_streams
         try:
             with open(os.path.join(staging, _CATALOG_JSON), "w") as f:
                 json.dump(

@@ -350,6 +350,34 @@ def read_commit_meta(
         return json.load(f)
 
 
+def stream_batch_id(
+    path: str,
+    stream_id: str,
+    backend: "CommitBackend | None" = None,
+) -> int:
+    """Latest micro-batch id a streaming sink committed under
+    ``stream_id`` at this snapshot path — versioned_snapshot_sink's
+    replay guard.
+
+    Reading only the head version's own ``batch_id`` breaks
+    exactly-once when another writer (DML, OPTIMIZE) commits between
+    the stream's publish and its checkpoint write: the new head's
+    meta no longer carries the stream's id and the redelivered batch
+    refolds (round-6 advice). Every commit through _commit_staging
+    folds a per-stream ``streams`` map forward from the pointer, so
+    the HEAD meta answers — no version walk, which on this linear
+    layout could read an orphaned claim (a crashed writer's never-
+    pointed version) and wrongly skip a batch whose fold was never
+    visible. A head with no ``streams`` map falls back to its bare
+    ``batch_id`` (pre-fold single-stream history). Returns -1 when
+    the stream has never committed."""
+    meta = read_commit_meta(path, backend=backend) or {}
+    streams = meta.get("streams")
+    if streams is not None:
+        return int(streams.get(stream_id, -1))
+    return int(meta.get("batch_id", -1))
+
+
 def _commit_staging(
     path: str, staging: str, be: "CommitBackend", max_retries: int
 ) -> int:
@@ -379,6 +407,18 @@ def _commit_staging(
     for _ in range(max_retries):
         versions = be.versions(path)
         cur = be.current_version(path)
+        # Fold the per-stream replay cursor forward from the version
+        # we're committing above (see stream_batch_id): re-evaluated
+        # inside the retry loop so a rebase after a lost claim folds
+        # from the CURRENT pointer, not a stale one.
+        if cur is not None:
+            head_meta = read_commit_meta(path, version=cur, backend=be) or {}
+            head_streams = head_meta.get("streams", {})
+            merged = {**head_streams, **meta.get("streams", {})}
+            if merged and merged != meta.get("streams"):
+                meta["streams"] = merged
+                with open(meta_path, "w") as f:
+                    json.dump(meta, f)
         cand = max(versions + ([cur] if cur is not None else []) + [0]) + 1
         if be.claim_version(path, cand, staging):
             nxt = cand

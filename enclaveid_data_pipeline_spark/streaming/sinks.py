@@ -374,6 +374,7 @@ def versioned_snapshot_sink(
     delete_ops: tuple[str, ...] = ("D",),
     stats_cols: tuple[str, ...] | None = None,
     backend=None,
+    stream_id: str = "snapshot-stream",
 ) -> StreamingQuery:
     """Stream → time-travelable table: every micro-batch folds into
     the keyed snapshot (operators.cdc.apply_changes — inserts appear,
@@ -392,22 +393,25 @@ def versioned_snapshot_sink(
       ingest.
 
     Replay safety: the batch id rides in the version's
-    ``_commit_meta.json``; a redelivered batch (crash between commit
-    and checkpoint) sees its own id at the current version and
-    skips, so at-least-once delivery folds at-most-once — same
-    discipline as ``rollup_sink``, moved into the commit metadata so
-    the TABLE stays clean of bookkeeping columns. Per-trigger cost is
-    O(|snapshot| + |batch|) like ``cdc_snapshot_sink``; the price of
-    history is old versions on disk (bounded by vacuum), not extra
-    compute."""
+    ``_commit_meta.json`` under a per-``stream_id`` key that every
+    later commit folds forward (layout.stream_batch_id) — so a
+    redelivered batch (crash between commit and checkpoint) skips
+    even when OTHER writers (DML, OPTIMIZE, a disjoint stream)
+    committed in between and the head is no longer the stream's own
+    commit (round-6 advice: the head-only guard refolded in exactly
+    that interleaving). At-least-once delivery folds at-most-once —
+    same discipline as ``rollup_sink``, moved into the commit
+    metadata so the TABLE stays clean of bookkeeping columns.
+    Per-trigger cost is O(|snapshot| + |batch|) like
+    ``cdc_snapshot_sink``; the price of history is old versions on
+    disk (bounded by vacuum), not extra compute."""
     from ..operators.cdc import apply_changes, latest_snapshot
-    from ..sources.layout import read_commit_meta, read_snapshot, write_snapshot
+    from ..sources.layout import read_snapshot, stream_batch_id, write_snapshot
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        meta = read_commit_meta(path, backend=backend)
-        if meta is not None and batch_id <= meta.get("batch_id", -1):
-            return  # replayed batch: this version already holds it
+        if batch_id <= stream_batch_id(path, stream_id, backend=backend):
+            return  # replayed batch: a committed version already holds it
         try:
             current = read_snapshot(spark, path, backend=backend)
         except FileNotFoundError:
@@ -433,7 +437,10 @@ def versioned_snapshot_sink(
             path,
             backend=backend,
             stats_cols=list(stats_cols) if stats_cols else None,
-            commit_meta={"batch_id": batch_id},
+            commit_meta={
+                "batch_id": batch_id,
+                "streams": {stream_id: batch_id},
+            },
         )
 
     w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
@@ -449,6 +456,7 @@ def catalog_txn_sink(
     checkpoint_dir: str | None = None,
     stats_cols: dict[str, list[str]] | None = None,
     branch: str | None = None,
+    stream_id: str = "catalog-stream",
 ) -> StreamingQuery:
     """Stream → MULTI-TABLE exactly-once: every micro-batch derives
     N table states (e.g. the appended fact AND its maintained
@@ -472,12 +480,19 @@ def catalog_txn_sink(
     table — the fold is the caller's (append, retraction IVM,
     apply_changes, …), the atomicity is the sink's.
 
-    Replay safety: the batch id rides in the CATALOG commit meta —
+    Replay safety: the batch id rides in the CATALOG commit meta
+    under a per-``stream_id`` key that every later commit folds
+    forward, and the guard resolves it through
+    ``catalog.stream_batch_id`` (head map, parent-chain backstop) —
     one guard for the whole transaction, so a redelivered batch
     (crash between catalog publish and checkpoint write) skips every
-    table at once; per-table guards could tear (table A folded,
-    crash, table B not). At-least-once delivery therefore folds
-    at-most-once across ALL tables jointly.
+    table at once EVEN when other writers' commits (a disjoint
+    stream's transaction, DML, OPTIMIZE) interleaved and the head is
+    no longer the stream's own commit (round-6 advice: the head-only
+    guard refolded in exactly that interleaving, double-applying
+    append-style ``build_tables``). Per-table guards could tear
+    (table A folded, crash, table B not). At-least-once delivery
+    therefore folds at-most-once across ALL tables jointly.
 
     Per-trigger cost: O(Σ|table| + |batch|) plus one O(tables)
     metadata publish. History: every trigger's consistent table-set
@@ -496,13 +511,8 @@ def catalog_txn_sink(
         if branch is not None and head is None:
             catalog.create_branch(branch)
             head = catalog.branch_head(branch)
-        meta = (
-            catalog.commit_meta()
-            if branch is None
-            else catalog.commit_meta(head)
-        )
-        if batch_id <= meta.get("batch_id", -1):
-            return  # replayed batch: this catalog version holds it
+        if batch_id <= catalog.stream_batch_id(stream_id, head):
+            return  # replayed batch: a committed version holds it
         current = {}
         for t in catalog.mapping(head):
             current[t] = catalog.read(spark, t, catalog_version=head)
@@ -513,7 +523,10 @@ def catalog_txn_sink(
         catalog.commit(
             nxt,
             stats_cols=stats_cols,
-            meta={"batch_id": batch_id},
+            meta={
+                "batch_id": batch_id,
+                "streams": {stream_id: batch_id},
+            },
             branch=branch,
         )
 

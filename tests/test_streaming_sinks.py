@@ -837,3 +837,197 @@ def test_catalog_txn_sink_crash_between_tables_and_publish(spark, tmp_path):
     dropped = cat.vacuum_unreferenced(keep_last=2)
     assert dropped  # at least the orphans went
     assert cat.read(spark, "fact").count() == 3
+
+
+def test_versioned_snapshot_sink_replay_after_interleaved_dml(
+    spark, tmp_path
+):
+    """Round-6 advice: a redelivered batch must skip even when the
+    HEAD is no longer the stream's own commit. Crash window: stream
+    commits batch 1, checkpoint write dies, a DML (DELETE) commits a
+    new head whose meta is not the stream's — the old head-only
+    guard would refold batch 1 here. The per-stream cursor folds
+    forward through the DML's commit, so the replay skips and the
+    DML's effect survives."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        current_snapshot,
+        delete_where,
+        read_commit_meta,
+        read_snapshot,
+        stream_batch_id,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        versioned_snapshot_sink,
+    )
+
+    stream_dir = tmp_path / "idml_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "idml_table")
+    schema = "k int, v long, seq long"
+
+    def drop(name, rows):
+        staging = tmp_path / "idmlstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    def start(ckpt):
+        return versioned_snapshot_sink(
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            out,
+            keys=("k",),
+            seq_cols=("seq",),
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    q = start("ick1")
+    try:
+        drop("000", [(1, 10, 1), (2, 20, 2)])
+        q.processAllAvailable()
+        drop("001", [(3, 30, 3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert current_snapshot(out) == 2
+
+    # interleaved writer: DML commits version 3; its meta is NOT the
+    # stream's, but the per-stream cursor folds forward through it
+    delete_where(spark, out, [("k", "==", 2)])
+    assert current_snapshot(out) == 3
+    head_meta = read_commit_meta(out)
+    assert "batch_id" not in head_meta  # head is not the stream's commit
+    assert head_meta["streams"] == {"snapshot-stream": 1}
+    assert stream_batch_id(out, "snapshot-stream") == 1
+    assert stream_batch_id(out, "other-stream") == -1
+
+    # fresh-checkpoint replay redelivers batch ids 0 and 1: both must
+    # skip (no new versions, DML effect intact, nothing refolds)
+    q2 = start("ick2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert current_snapshot(out) == 3
+    assert {r.k: r.v for r in read_snapshot(spark, out).collect()} == {
+        1: 10,
+        3: 30,
+    }
+
+
+def test_catalog_txn_sink_replay_after_interleaved_commit(spark, tmp_path):
+    """Round-6 advice (the medium finding): catalog_txn_sink's
+    build_tables here is APPEND-style, so a refolded batch visibly
+    double-applies. Crash window: stream publishes batch 1, the
+    checkpoint write dies, an unrelated writer commits a disjoint
+    table — the head commit no longer carries the stream's batch id
+    and the old head-only guard would refold. The per-stream cursor
+    (folded forward by every commit, chain-walk backstop) must skip
+    the redelivered batches."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+    from enclaveid_data_pipeline_spark.streaming.sinks import catalog_txn_sink
+
+    stream_dir = tmp_path / "icat_in"
+    stream_dir.mkdir()
+    cat = SnapshotCatalog(str(tmp_path / "icat_cat"))
+    schema = "k int, amount long"
+
+    def drop(name, rows):
+        staging = tmp_path / "icatstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    def build(batch_df, current):
+        fact = (
+            current["fact"].unionByName(batch_df)
+            if "fact" in current
+            else batch_df
+        )
+        return {"fact": fact}
+
+    def start(ckpt):
+        return catalog_txn_sink(
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            cat,
+            build,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    q = start("ick1")
+    try:
+        drop("000", [(1, 10), (2, 20)])
+        q.processAllAvailable()
+        drop("001", [(3, 30)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert cat.read(spark, "fact").count() == 3
+
+    # interleaved commit on a DISJOINT table: head meta is no longer
+    # the stream's, but carries the folded-forward streams map
+    cat.commit({"dim": spark.createDataFrame([(1, "a")], "k int, name string")})
+    assert "batch_id" not in cat.commit_meta()
+    assert cat.stream_batch_id("catalog-stream") == 1
+    assert cat.stream_batch_id("never-seen") == -1
+
+    # fresh-checkpoint replay: batches 0 and 1 redeliver; an
+    # append-style refold would take fact to 6 rows — must stay 3
+    head = cat.current_version()
+    q2 = start("ick2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert cat.current_version() == head
+    assert cat.read(spark, "fact").count() == 3
+
+
+def test_catalog_stream_batch_id_chain_walk_and_legacy(spark, tmp_path):
+    """stream_batch_id resolves through the parent chain: a pre-fold
+    commit carrying only a bare batch_id (legacy single-stream
+    history) is honored, and the walk never consults orphaned
+    claims (it follows parent pointers only)."""
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "walk_cat"))
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    # legacy commit: bare batch_id, no streams map (pre-fold code)
+    cat.commit({"t": df}, meta={"batch_id": 7})
+    assert cat.stream_batch_id("any-stream") == 7
+    # a streams-map commit takes precedence at the head
+    cat.commit({"t": df}, meta={"streams": {"s1": 3}})
+    assert cat.stream_batch_id("s1") == 3
+    # the fold carried nothing for s2; the walk falls through the
+    # streams-map commit to the legacy bare batch_id below it
+    assert cat.stream_batch_id("s2") == 7
+    # later plain commits fold s1's cursor forward: O(1) at head
+    cat.commit({"u": df})
+    assert cat.commit_meta()["streams"] == {"s1": 3}
+    assert cat.stream_batch_id("s1") == 3
+
+
+def test_catalog_version_as_of_vacuumed_history_returns_none(
+    spark, tmp_path
+):
+    """Round-6 advice: a time-travel timestamp older than the oldest
+    retained version must return None (honest gap), not crash with
+    FileNotFoundError once vacuum dropped the history."""
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "asof_cat"))
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    cat.commit({"t": df}, meta={"committed_at": "2026-01-01T00:00:00+00:00"})
+    cat.commit({"t": df}, meta={"committed_at": "2026-02-01T00:00:00+00:00"})
+    cat.commit({"t": df}, meta={"committed_at": "2026-03-01T00:00:00+00:00"})
+    assert cat.version_as_of("2026-01-15T00:00:00+00:00") == 1
+    cat.vacuum_unreferenced(keep_last=1)
+    # history below the head is gone: older-than-head ts is an
+    # honest None, never a FileNotFoundError
+    assert cat.version_as_of("2026-01-15T00:00:00+00:00") is None
+    assert cat.version_as_of("2026-12-01T00:00:00+00:00") == 3
