@@ -63,6 +63,31 @@ def epoch_micros(ts: Column | str) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def ntz_micros(c: Column) -> Column:
+    """Microseconds since the epoch of a TIMESTAMP_NTZ value treated
+    as UTC — computed by FIELD ARITHMETIC only, so the result is
+    independent of ``spark.sql.session.timeZone``.
+
+    The cast-through-TIMESTAMP shortcut (``epoch_micros``) is a
+    micros-identity only because the engine session pins UTC; under a
+    DST session zone two NTZ values straddling a transition would get
+    gaps off by the DST delta (round-6 advice on the as-of join's
+    nearest/tolerance math). Here nothing consults a zone: days come
+    from the date fields (``unix_date`` of the NTZ's date part is
+    pure field truncation), seconds from hour/minute, and the
+    fractional second from ``date_part('SECOND')`` (DECIMAL(8,6),
+    micros included).
+    """
+    days = F.unix_date(c.cast("date")).cast("long")
+    secs = F.hour(c).cast("long") * 3600 + F.minute(c).cast("long") * 60
+    frac = F.date_part(F.lit("SECOND"), c)
+    return (
+        days * F.lit(86_400_000_000)
+        + secs * F.lit(1_000_000)
+        + (frac * 1_000_000).cast("long")
+    )
+
+
 def epoch_seconds(ts: Column) -> Column:
     """F5: ``EXTRACT('epoch' FROM ts)`` with fractional seconds."""
     return epoch_micros(ts).cast("double") / F.lit(1_000_000.0)

@@ -91,11 +91,18 @@ def asof_join_union(
 
     def _scalar(c):
         # gap math in the on-column's native units (µs for both
-        # timestamp flavors; unix_micros only takes TIMESTAMP, so
-        # NTZ casts through — the shift is a constant, gaps cancel)
+        # timestamp flavors). NTZ goes through field arithmetic
+        # (timeutils.ntz_micros), never a session-zone cast: under a
+        # DST session zone, casting NTZ→TIMESTAMP shifts values
+        # straddling a transition by different offsets, skewing the
+        # nearest-direction choice and tolerance cutoffs (round-6
+        # advice — this operator is public API and must not depend
+        # on the engine session's UTC pin).
         if isinstance(on_type, T.TimestampNTZType):
-            c = c.cast("timestamp")
-        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+            from ..functions.timeutils import ntz_micros
+
+            return ntz_micros(c)
+        if isinstance(on_type, T.TimestampType):
             return F.unix_micros(c)
         return c
 

@@ -125,8 +125,7 @@ def build_mview(
     return df.groupBy(*keys).agg(*aggs)
 
 
-def _filter_col(mv: DataFrame, col: str, op: str, value) -> Column:
-    c = F.col(col)
+def _filter_col(c: Column, op: str, value) -> Column:
     if op == "=":
         return c == F.lit(value)
     if op == "<":
@@ -201,7 +200,7 @@ def rewrite_rollup(
 
     out_df = mv
     for col, op, value in filters:
-        out_df = out_df.filter(_filter_col(out_df, col, op, value))
+        out_df = out_df.filter(_filter_col(F.col(col), op, value))
     agg_list = [derived[k] for k in aggs]
     if group_cols:
         return out_df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_list)
@@ -299,8 +298,12 @@ def answer_rollup(
     used_mv)`` so callers can assert which path served them.
 
     The fallback applies ``exprs`` (the same derivations used at MV
-    build) so a grouping column like ``ship_month`` exists on the
-    base path too — both paths produce one schema.
+    build) to grouping AND filter columns, so a query grouping or
+    filtering on a derived column like ``ship_month`` runs
+    identically on both paths — one schema, one behavior (round-6
+    advice: the fallback resolved only grouping columns, so a filter
+    on a derived column was MV-answerable but raised
+    AnalysisException on the base path).
     """
     rewritten = rewrite_rollup(mv, spec, group_cols, aggs, filters)
     if rewritten is not None:
@@ -313,7 +316,7 @@ def answer_rollup(
 
     out_df = base
     for col, op, value in filters:
-        out_df = out_df.filter(_filter_col(out_df, col, op, value))
+        out_df = out_df.filter(_filter_col(_src(col), op, value))
     agg_list = []
     for out, (fn, col) in aggs.items():
         if fn == "count":

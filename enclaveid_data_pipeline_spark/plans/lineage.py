@@ -41,6 +41,28 @@ def _attr_refs(jexpr):
     return _seq(jexpr.references().toSeq())
 
 
+def _window_fn_refs(ne):
+    """References of a window expression's FUNCTION only. A
+    WindowExpression's ``references()`` includes its windowSpec's
+    partition/order attributes; the module convention (and the usual
+    lineage-tool convention) treats those as CONTROL dependencies
+    excluded from data lineage, so unwrap to the function child and
+    take its references alone (round-6 advice: the plain
+    ``_attr_refs`` silently included spec keys, contradicting the
+    documented convention). Falls back to the full reference set for
+    shapes we don't recognize — conservative over-approximation,
+    never a silent miss."""
+    try:
+        e = ne
+        while e.nodeName() == "Alias":
+            e = e.child()
+        if e.nodeName() == "WindowExpression":
+            return _seq(e.windowFunction().references().toSeq())
+    except Exception:
+        pass
+    return _attr_refs(ne)
+
+
 def _leaf_desc(node) -> str:
     """Best-effort human-readable source name for a leaf node."""
     try:
@@ -107,9 +129,10 @@ def _walk(node) -> dict[int, frozenset[tuple[str, str]]]:
 
     produced = _named_outputs(node)
     if produced is not None:
+        refs_of = _window_fn_refs if name == "Window" else _attr_refs
         for ne in produced:
             lin: frozenset = frozenset()
-            for ref in _attr_refs(ne):
+            for ref in refs_of(ne):
                 lin |= merged.get(ref.exprId().id(), frozenset())
             merged[ne.exprId().id()] = lin
         return merged

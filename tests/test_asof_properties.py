@@ -89,3 +89,51 @@ def test_union_asof_matches_merge_asof_all_directions(
             ).collect()
         }
         assert a == b, (direction, tol_min)
+
+
+def test_ntz_gap_math_is_session_timezone_independent(spark):
+    """Round-6 advice: nearest/tolerance gap math on TIMESTAMP_NTZ
+    must not route through the session timezone. Under
+    America/New_York, 2026-03-08 02:00 is the spring-forward gap: the
+    old cast-through-TIMESTAMP path compressed the naive distance
+    between 01:00 and 03:30 from 2.5h to 1.5h (01:00 is EST, 03:30 is
+    EDT), flipping nearest into a tie that resolves backward.
+    Field-arithmetic micros (timeutils.ntz_micros) keep naive
+    semantics whatever the session zone: forward (05:00, 1.5h) wins,
+    and tolerance cuts at naive distances."""
+    import datetime
+
+    from enclaveid_data_pipeline_spark.operators.asof import asof_join_union
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        left = spark.createDataFrame(
+            [(1, datetime.datetime(2026, 3, 8, 3, 30))],
+            "k int, ts timestamp_ntz",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, datetime.datetime(2026, 3, 8, 1, 0), "back"),
+                (1, datetime.datetime(2026, 3, 8, 5, 0), "fwd"),
+            ],
+            "k int, ts timestamp_ntz, tag string",
+        )
+        got = asof_join_union(
+            left, right, on="ts", by="k", value_cols=("tag",),
+            direction="nearest",
+        ).collect()
+        assert got[0].asof_tag == "fwd"
+        # tolerance in naive µs: 1.5h passes, 1h cuts the match
+        ok = asof_join_union(
+            left, right, "ts", "k", ("tag",), direction="nearest",
+            tolerance=int(1.5 * 3600 * 1_000_000),
+        ).collect()
+        assert ok[0].asof_tag == "fwd"
+        cut = asof_join_union(
+            left, right, "ts", "k", ("tag",), direction="nearest",
+            tolerance=3600 * 1_000_000 - 1,
+        ).collect()
+        assert cut[0].asof_tag is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

@@ -70,10 +70,15 @@ def test_window_function_excludes_partition_keys(spark):
         "o_orderkey", F.lag("o_totalprice").over(w).alias("prev_price")
     )
     lin = column_lineage(df)
-    # the lag value derives from its argument; partition/order keys
-    # ride along in Catalyst's WindowExpression references, so the
-    # convention here: assert the argument IS present
-    assert "orders.parquet::o_totalprice" in _cols(lin, "prev_price")
+    # the lag value derives from its argument ONLY: partition/order
+    # keys are control dependencies, excluded from data lineage
+    # (round-6 advice — the walk now takes the WindowExpression's
+    # function references, not the full reference set that Catalyst
+    # reports including the spec keys)
+    got = _cols(lin, "prev_price")
+    assert "orders.parquet::o_totalprice" in got
+    assert "orders.parquet::o_custkey" not in got
+    assert "orders.parquet::o_orderdate" not in got
 
 
 def test_explode_and_union(spark):

@@ -160,6 +160,37 @@ def test_fallback_computes_from_base(mv_setup):
     assert _rows(got, keys) == _rows(truth, keys)
 
 
+def test_fallback_resolves_derived_filter_columns(mv_setup):
+    """Round-6 advice: a filter on a DERIVED grouping column
+    (ship_month) must work on the base-path fallback too, resolved
+    through exprs — the same query answered by both paths, one
+    schema, identical rows."""
+    base, mv, spec, exprs, _ = mv_setup
+    group = ["l_returnflag"]
+    filters = [("ship_month", "=", 3)]
+    keys = ["l_returnflag", "sum_qty"]
+
+    # MV path: derivable aggs + derived-col filter → rewrite serves
+    mv_ans, used_mv = answer_rollup(
+        base, mv, spec, group, {"sum_qty": ("sum", "l_quantity")},
+        filters, exprs=exprs,
+    )
+    assert used_mv
+    # base path: un-stored agg forces the fallback, SAME filter
+    fb_ans, used_fb = answer_rollup(
+        base, mv, spec, group, {"sum_qty": ("sum", "l_quantity")},
+        filters + [("l_tax", ">=", 0)], exprs=exprs,
+    )
+    assert not used_fb  # l_tax not in grain → fallback path
+    truth = (
+        base.filter(F.month("l_shipdate") == 3)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    assert _rows(mv_ans, keys) == _rows(truth, keys)
+    assert _rows(fb_ans, keys) == _rows(truth, keys)
+
+
 def test_incremental_refresh_equals_rebuild(spark):
     """IVM under the rewrite layer: retraction-maintain the MV from a
     table_changes feed, compare against a full rebuild at the new
