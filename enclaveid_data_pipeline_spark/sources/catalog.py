@@ -514,21 +514,36 @@ class SnapshotCatalog:
 
     # ---- maintenance ---------------------------------------------
 
-    def vacuum_unreferenced(self, keep_last: int = 1) -> dict[str, list[int]]:
+    def vacuum_unreferenced(
+        self, keep_last: int = 1, grace_seconds: float = 600.0
+    ) -> dict[str, list[int]]:
         """Drop table snapshot versions referenced by NO retained
         catalog version (retained = the newest ``keep_last`` catalog
         versions), plus the older catalog versions themselves.
         Orphans from crashed transactions (table versions that never
-        made it into any catalog) are reclaimed here too. Run only
-        while no writer is active (standard vacuum caveat).
+        made it into any catalog) are reclaimed here too.
 
-        Open-branch caveat: vacuum keeps every live ref HEAD but not
-        its full ancestry, so a later merge whose merge-base was
-        vacuumed degrades honestly — ancestry walks stop at the gap,
-        the merge sees no common base, and anything main also
-        touched raises :class:`MergeConflict` instead of guessing.
-        Merge long-lived branches before deep vacuums. Returns the
+        Safe to run while writers are active (round-6 verdict item):
+        a transaction claims table snapshots and a catalog version
+        BEFORE its ref CAS makes them visible, so vacuum skips any
+        version younger than ``grace_seconds`` (age = the pre-claim
+        ``committed_at`` stamp; undateable versions are never
+        reaped). The claim→CAS window is milliseconds; a writer
+        stalled past the grace is indistinguishable from a crash —
+        raise the grace when commits can legitimately stall.
+
+        Open branches keep their MERGE BASE resolvable (round-6
+        verdict item): merge_branch finds the base by walking parent
+        pointers from both heads, so vacuum retains the catalog
+        PAYLOADS (tiny JSON) along both chains down to each branch's
+        base with main. Chain-kept payloads do NOT pin their table
+        versions — the merge needs their mappings, not their data —
+        so space reclamation still tracks ``keep_last``. Returns the
         dropped versions per table."""
+        import datetime
+
+        from .layout import _version_age_seconds
+
         cat_versions = self.versions()
         keep_cats = set(cat_versions[-keep_last:] if keep_last else [])
         # live branch heads (and the main pointer) are ALWAYS
@@ -538,6 +553,25 @@ class SnapshotCatalog:
         ptr = self.current_version()
         if ptr is not None:
             keep_cats.add(ptr)
+        # payload-only retention: both ancestry chains (branch side
+        # and main side) down to each open branch's merge base stay
+        # walkable, so merge_branch after vacuum still resolves the
+        # true base instead of degrading to no-common-base conflicts
+        chain_keep: set[int] = set()
+        m_anc = self._ancestors(ptr)
+        for name, b_head in self.branches().items():
+            if name == _MAIN or name.startswith("tag-"):
+                continue
+            b_anc = self._ancestors(b_head)
+            b_set = set(b_anc)
+            base = next((v for v in m_anc if v in b_set), None)
+            if base is None:
+                continue  # pre-guard vacuum already gapped this chain
+            for chain in (b_anc, m_anc):
+                for v in chain:
+                    chain_keep.add(v)
+                    if v == base:
+                        break
         referenced: dict[str, set[int]] = {}
         for cv in sorted(keep_cats):
             for t, tv in self.mapping(cv).items():
@@ -558,20 +592,37 @@ class SnapshotCatalog:
             if cur_t is not None:
                 keep.add(cur_t)
             for tv in self.be.versions(tp):
-                if tv not in keep:
-                    loc = self.be.drop_version(tp, tv)
-                    if loc:
-                        shutil.rmtree(loc, ignore_errors=True)
-                    dropped.setdefault(t, []).append(tv)
+                if tv in keep:
+                    continue
+                age = _version_age_seconds(tp, tv, self.be)
+                if age is None or age <= grace_seconds:
+                    continue  # possibly an in-flight txn's claim
+                loc = self.be.drop_version(tp, tv)
+                if loc:
+                    shutil.rmtree(loc, ignore_errors=True)
+                dropped.setdefault(t, []).append(tv)
             # keep each table's own pointer consistent with the
             # newest retained reference (readers SHOULD go through
             # the catalog, but a stale _CURRENT pointing at a dropped
             # version would break direct reads)
             if keep:
                 self.be.advance_pointer(tp, max(keep))
+        now = datetime.datetime.now(datetime.timezone.utc)
         for cv in cat_versions:
-            if cv not in keep_cats:
-                loc = self.be.drop_version(self.cat_dir, cv)
-                if loc:
-                    shutil.rmtree(loc, ignore_errors=True)
+            if cv in keep_cats or cv in chain_keep:
+                continue
+            try:
+                at = self._payload(cv)["meta"].get("committed_at")
+                age = (
+                    (now - datetime.datetime.fromisoformat(at)).total_seconds()
+                    if at
+                    else None
+                )
+            except (OSError, ValueError, TypeError):
+                age = None
+            if age is None or age <= grace_seconds:
+                continue  # possibly a claim whose ref CAS is in flight
+            loc = self.be.drop_version(self.cat_dir, cv)
+            if loc:
+                shutil.rmtree(loc, ignore_errors=True)
         return dropped

@@ -107,7 +107,7 @@ def test_vacuum_drops_unreferenced_versions_keeps_live(spark, tmp_path):
     # than the table pointer once the next commit lands)
     write_snapshot(_ids(spark, 90, 91), cat.table_path("t"))
     v3 = cat.commit({"t": _ids(spark, 20, 22)})
-    dropped = cat.vacuum_unreferenced(keep_last=1)
+    dropped = cat.vacuum_unreferenced(keep_last=1, grace_seconds=0)
     assert set(dropped["t"]) == {1, 2, 3}  # v1, v2, the orphan
     assert cat.versions() == [v3]
     assert _vals(cat.read(spark, "t")) == [20, 21]

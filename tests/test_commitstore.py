@@ -192,7 +192,9 @@ def test_vacuum_through_conditional_put_backend(spark, tmp_path):
     orphan = os.path.join(path, ".staging-deadbeef")
     os.makedirs(orphan)
 
-    removed = vacuum_snapshots(path, keep_last=2, backend=be)
+    removed = vacuum_snapshots(
+        path, keep_last=2, backend=be, orphan_grace_seconds=0
+    )
     assert removed == [1, 2]
     assert be.versions(path) == [3, 4]
     assert be.current_version(path) == 4
@@ -220,3 +222,125 @@ def test_claim_version_nonrace_oserror_surfaces(tmp_path):
     with pytest.raises(OSError):
         # staging dir does not exist -> ENOENT, a real failure
         be.claim_version(path, 1, str(tmp_path / "no-such-staging"))
+
+
+def test_vacuum_never_reaps_barrier_stalled_writer(spark, tmp_path):
+    """Round-6 verdict item 5: vacuum racing an in-flight writer must
+    not reap the writer's freshly-claimed, not-yet-pointed snapshot.
+    A writer thread stalls between claim and pointer advance; vacuum
+    runs mid-stall with the DEFAULT grace and must remove nothing;
+    the released writer then completes and its data is readable."""
+    import threading
+
+    from enclaveid_data_pipeline_spark.sources.commitstore import (
+        FileCommitBackend,
+    )
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    claimed = threading.Event()
+    release = threading.Event()
+
+    class StallingBackend(FileCommitBackend):
+        def claim_version(self, path, cand, staging):
+            won = super().claim_version(path, cand, staging)
+            if won:
+                claimed.set()
+                release.wait(timeout=60)
+            return won
+
+    path = str(tmp_path / "stall_tbl")
+    write_snapshot(spark.range(3).toDF("id"), path)
+    errs = []
+
+    def _writer():
+        try:
+            write_snapshot(
+                spark.range(10, 14).toDF("id"), path,
+                backend=StallingBackend(),
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=_writer)
+    t.start()
+    try:
+        assert claimed.wait(timeout=120)
+        # mid-stall: v2 is claimed (dir exists) but the pointer still
+        # reads v1 — exactly the window the old doc-only contract
+        # forbade vacuuming in
+        assert snapshot_versions(path) == [1, 2]
+        removed = vacuum_snapshots(path, keep_last=1)
+        assert removed == []
+    finally:
+        release.set()
+        t.join(timeout=120)
+    assert not errs
+    assert snapshot_versions(path) == [1, 2]
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {
+        10, 11, 12, 13,
+    }
+
+
+def test_catalog_merge_base_survives_vacuum(spark, tmp_path):
+    """Round-6 verdict item 6: an open branch's merge base must stay
+    resolvable across vacuum. Create branch → advance main → vacuum
+    (grace 0, so retention comes from the chain-keep, not the grace
+    window) → merge still resolves the TRUE base: the branch's new
+    table merges cleanly instead of a no-common-base MergeConflict
+    on the table only main touched."""
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).toDF("id")
+
+    cat = SnapshotCatalog(str(tmp_path / "mb_cat"))
+    base_v = cat.commit({"t": ids(0, 2)})
+    cat.create_branch("dev")
+    cat.commit({"u": ids(10, 12)}, branch="dev")  # branch adds u
+    for lo in (20, 30, 40):
+        cat.commit({"t": ids(lo, lo + 2)})  # main rewrites t
+    cat.vacuum_unreferenced(keep_last=1, grace_seconds=0)
+
+    merged = cat.merge_branch("dev")
+    meta = cat.commit_meta(merged)
+    assert meta["merge_base"] == base_v  # the TRUE base, not None
+    m = cat.mapping()
+    assert "u" in m and "t" in m
+    assert {r.id for r in cat.read(spark, "u").collect()} == {10, 11}
+    assert {r.id for r in cat.read(spark, "t").collect()} == {40, 41}
+
+
+def test_vacuum_grace_protects_inflight_catalog_txn(spark, tmp_path):
+    """A transaction's table snapshot and catalog claim exist BEFORE
+    its ref CAS makes them visible; a default-grace vacuum in that
+    window must keep both so the transaction can still complete."""
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "gr_cat"))
+    cat.commit({"t": spark.range(2).toDF("id")})
+    v2 = cat.commit({"t": spark.range(5).toDF("id")})
+    # racing txn, frozen between claim and ref CAS:
+    tv = write_snapshot(
+        spark.range(100, 103).toDF("id"), cat.table_path("t"),
+        backend=cat.be,
+    )
+    cand = cat._claim_payload({"t": tv}, {"batch_id": 9}, parent=v2)
+    dropped = cat.vacuum_unreferenced(keep_last=1)  # default grace
+    assert tv not in dropped.get("t", [])
+    assert cand in cat.versions()
+    assert cat._payload(cand)["tables"] == {"t": tv}
+    assert {
+        r.id
+        for r in read_snapshot(
+            spark, cat.table_path("t"), tv, backend=cat.be
+        ).collect()
+    } == {100, 101, 102}

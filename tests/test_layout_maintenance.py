@@ -157,7 +157,7 @@ def test_snapshot_time_travel_commit_and_vacuum(spark, tmp_path):
     v4 = write_snapshot(spark.range(20, 22).toDF("id"), path)
     assert v4 == 4 and read_snapshot(spark, path).count() == 2
 
-    removed = vacuum_snapshots(path, keep_last=1)
+    removed = vacuum_snapshots(path, keep_last=1, orphan_grace_seconds=0)
     assert 3 in removed and 1 in removed  # orphan + old history gone
     assert snapshot_versions(path) == [4]
     assert read_snapshot(spark, path).count() == 2
@@ -304,7 +304,11 @@ def test_vacuum_reaps_staging_orphans(spark, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
         f.write("junk")
+    # a FRESH staging dir is a live writer mid-stage: protected by
+    # the grace window; only once stale does vacuum reap it
     vacuum_snapshots(path)
+    assert os.path.exists(orphan)
+    vacuum_snapshots(path, orphan_grace_seconds=0)
     assert not os.path.exists(orphan)
 
 
@@ -805,8 +809,9 @@ def test_write_snapshot_audited_publishes_only_clean(spark, tmp_path):
     # pointer untouched, table still the clean version
     assert current_snapshot(path) == 1
     assert read_snapshot(spark, path).count() == 2
-    # the refused staging dir is crashed-writer debris for vacuum
-    vacuum_snapshots(path, keep_last=1)
+    # the refused staging dir is held for audit (grace window keeps
+    # fresh staging dirs); an offline vacuum reaps it
+    vacuum_snapshots(path, keep_last=1, orphan_grace_seconds=0)
     import pathlib as _pl
 
     assert not list(_pl.Path(path).glob(".staging-*"))

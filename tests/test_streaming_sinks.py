@@ -834,7 +834,7 @@ def test_catalog_txn_sink_crash_between_tables_and_publish(spark, tmp_path):
     } == {0: 1, 1: 10, 2: 20}
     assert cat.read(spark, "fact").count() == 3
     # the crashed attempt's orphan table versions are reclaimable
-    dropped = cat.vacuum_unreferenced(keep_last=2)
+    dropped = cat.vacuum_unreferenced(keep_last=2, grace_seconds=0)
     assert dropped  # at least the orphans went
     assert cat.read(spark, "fact").count() == 3
 
@@ -1026,7 +1026,7 @@ def test_catalog_version_as_of_vacuumed_history_returns_none(
     cat.commit({"t": df}, meta={"committed_at": "2026-02-01T00:00:00+00:00"})
     cat.commit({"t": df}, meta={"committed_at": "2026-03-01T00:00:00+00:00"})
     assert cat.version_as_of("2026-01-15T00:00:00+00:00") == 1
-    cat.vacuum_unreferenced(keep_last=1)
+    cat.vacuum_unreferenced(keep_last=1, grace_seconds=0)
     # history below the head is gone: older-than-head ts is an
     # honest None, never a FileNotFoundError
     assert cat.version_as_of("2026-01-15T00:00:00+00:00") is None
