@@ -207,6 +207,99 @@ def rewrite_rollup(
     return out_df.agg(*agg_list)
 
 
+def rewrite_grouping_sets(
+    mv: DataFrame,
+    spec: MViewSpec,
+    grouping_sets: Sequence[Sequence[str]],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]] = (),
+    grouping_id_col: str = "grouping_id",
+    all_cols: Sequence[str] | None = None,
+) -> DataFrame | None:
+    """Answer a GROUPING SETS query from ONE rollup MV, or None when
+    any set fails subsumption.
+
+    Every grouping set is individually a subset-grain query, so the
+    round-6 :func:`rewrite_rollup` subsumption check proves each one
+    answerable from the same view; this composes them into the SQL
+    ``GROUP BY GROUPING SETS (...)`` result shape:
+
+    - output carries the UNION of grouping columns (first-appearance
+      order, or explicit ``all_cols``), NULL where a set aggregated
+      a column away;
+    - a ``grouping_id`` bitmask (SQL ``GROUPING_ID`` convention:
+      first column = most significant bit, 1 = aggregated away)
+      disambiguates a natural NULL group value from a rolled-up row
+      — without it two semantically different rows could collide.
+
+    Plan shape: one tiny re-aggregation per set over the SAME MV
+    storage, unioned — at 100 TB each leg scans the megabyte-scale
+    view, never the fact table, and Spark's reuse-exchange
+    deduplicates the repeated MV scan under AQE. N legs over
+    O(|grain|) rows beat one CUBE pass over O(fact) rows by the
+    same margin as the single-set rewrite."""
+    sets = [list(s) for s in grouping_sets]
+    if all_cols is None:
+        cols_u: list[str] = []
+        for s in sets:
+            for c in s:
+                if c not in cols_u:
+                    cols_u.append(c)
+    else:
+        cols_u = list(all_cols)
+    mv_types = {f.name: f.dataType for f in mv.schema.fields}
+    if any(c not in mv_types for c in cols_u):
+        return None
+    parts = []
+    for s in sets:
+        r = rewrite_rollup(mv, spec, s, aggs, filters)
+        if r is None:
+            return None
+        gid = 0
+        for c in cols_u:
+            gid = (gid << 1) | (0 if c in s else 1)
+        parts.append(
+            r.select(
+                *[
+                    (
+                        F.col(c) if c in s else F.lit(None).cast(mv_types[c])
+                    ).alias(c)
+                    for c in cols_u
+                ],
+                *[F.col(k) for k in aggs],
+                F.lit(gid).cast("long").alias(grouping_id_col),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def rewrite_cube(
+    mv: DataFrame,
+    spec: MViewSpec,
+    cols: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]] = (),
+    grouping_id_col: str = "grouping_id",
+) -> DataFrame | None:
+    """``GROUP BY CUBE (cols)`` answered from the MV: all 2^n
+    grouping sets of ``cols`` through :func:`rewrite_grouping_sets`
+    (``cols`` fixes the column order so grouping ids match the SQL
+    convention)."""
+    from itertools import combinations
+
+    cols = list(cols)
+    sets: list[list[str]] = []
+    for k in range(len(cols), -1, -1):
+        for combo in combinations(cols, k):
+            sets.append(list(combo))
+    return rewrite_grouping_sets(
+        mv, spec, sets, aggs, filters, grouping_id_col, all_cols=cols
+    )
+
+
 def refresh_mview_incremental(
     mv: DataFrame,
     spec: MViewSpec,
