@@ -124,6 +124,16 @@ SCALE_TWINS = (
     # measure frequency-based pruning)
     "ngram_jaccard_dups_zipf",
     "ppjoin_jaccard_dups_zipf",
+    # round-7 (r6 verdict item 4): the heaviest correctness-only
+    # queries, decade-measured. consensus = three dedup families +
+    # provenance joins; hybrid_search_fixedq = the fixed-500-query
+    # twin of the corpus-coupled hybrid_search_top5;
+    # dbscan_lsh_roles = the LSH-only DBSCAN scale path (the
+    # agreement query keeps its exact O(n²) reference and stays an
+    # accuracy gate pinned to the gate SF)
+    "dedup_method_consensus",
+    "hybrid_search_fixedq",
+    "dbscan_lsh_roles",
 )
 
 #: Headline queries whose workload couples to corpus size (their
@@ -134,6 +144,11 @@ SF1_WORKLOAD_COUPLED = {
     "knn_bruteforce_top5": "knn_bruteforce_fixedq",
     "knn_ivf_top5": "knn_ivf_fixedcent",
     "benchmark_contamination_4gram": "contamination_fixed_benchmark",
+    # not headline, documented for the decade block: the hybrid
+    # search and DBSCAN-agreement gates couple workload (query set /
+    # exact reference) to corpus size; their decade twins are
+    "hybrid_search_top5": "hybrid_search_fixedq",
+    "dbscan_lsh_agreement": "dbscan_lsh_roles",
 }
 
 SF1_DIR = os.path.join(

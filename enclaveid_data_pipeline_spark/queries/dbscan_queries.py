@@ -215,49 +215,55 @@ _DBSCAN_LSH_AGREEMENT_ORACLE = (
 )
 
 
-@register("dbscan_lsh_agreement", oracle=_DBSCAN_LSH_AGREEMENT_ORACLE)
-def dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DBSCAN scale path, measured: candidate pairs restricted to
-    OR-amplified LSH buckets (2 tables × 3 disjoint hyperplanes —
-    operators.knn.multitable_bucket_ids) feed the identical
-    core/components/border pipeline via ``candidate_pairs``
-    injection, and the exact-vs-LSH role confusion matrix is the
-    observable. At 100 TB the all-pairs eps-graph is the one
-    O(n²) step DBSCAN has; this query IS the swap — candidate volume
-    drops ~2^planes/tables-fold per bucket join — with its clustering
-    cost made visible instead of asserted (missed eps-edges demote
-    cores and orphan borders to noise; they never invent clusters)."""
-    from ..operators.dbscan import eps_neighbor_pairs
+def _adaptive_planes(n: int, target_bucket: int = 500) -> int:
+    """Corpus-adaptive hyperplane count: enough planes that the
+    expected bucket holds ~``target_bucket`` vectors. With a FIXED
+    plane count, the within-bucket pairwise cost is Σ bucket² ≈
+    n²/2^planes — still quadratic, just divided by a constant (the
+    round-7 measurement caught exactly this: 40× time on 10× data).
+    planes = log2(n/target) keeps Σ bucket² ≈ n·target — linear in
+    the corpus, the property that survives 100×. More planes lower
+    per-table recall (the standard LSH dial); the OR-amplified
+    second table buys it back, and the accuracy-vs-exact tradeoff
+    stays measured by the gate-SF agreement query."""
+    import math
+
+    if n <= target_bucket:
+        return _LSH_PLANES
+    return max(_LSH_PLANES, math.ceil(math.log2(n / target_bucket)))
+
+
+def _lsh_dbscan_labels(emb: DataFrame, planes: int | None = None) -> DataFrame:
+    """The LSH-candidate DBSCAN labeling (id, cluster, role): bucket
+    ids from 2 OR-amplified tables × ``planes`` disjoint hyperplanes,
+    pairwise distance ONLY within (table, bucket) groups, then the
+    identical core/components/border pipeline via candidate_pairs
+    injection. Shared by the accuracy gate (``dbscan_lsh_agreement``,
+    fixed gate-SF planes) and the decade-measured scale form
+    (``dbscan_lsh_roles``, corpus-adaptive planes)."""
     from ..operators.knn import multitable_bucket_ids
+    from ..operators.similarity import pairwise_similarity
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    exact = dbscan(
-        emb, id_col="vec_id", vec_col="embedding",
-        eps=_EPS, min_pts=_MIN_PTS,
-    ).select("id", F.col("role").alias("exact_role"))
-
+    if planes is None:
+        planes = _LSH_PLANES
     b = emb.select(
         "vec_id",
         "embedding",
         F.explode(
             multitable_bucket_ids(
-                F.col("embedding"), _LSH_TABLES, _LSH_PLANES, dims=64
+                F.col("embedding"), _LSH_TABLES, planes, dims=64
             )
         ).alias("tb"),
     ).select(
         "vec_id", "embedding",
         F.col("tb.table").alias("t"), F.col("tb.bucket").alias("bucket"),
     )
-    from ..operators.similarity import pairwise_similarity
-
     cand = (
         pairwise_similarity(
             b, id_col="vec_id", vec_col="embedding",
             group_cols=("t", "bucket"),
         )
-        .withColumn(
-            "d", F.round(F.lit(1.0) - F.col("similarity"), 6)
-        )
+        .withColumn("d", F.round(F.lit(1.0) - F.col("similarity"), 6))
         .filter(F.col("d") <= _EPS)
         .select("left_id", "right_id", "d")
         .distinct()  # a pair may collide in both tables
@@ -273,10 +279,85 @@ def dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("dist"),
         )
     )
-    lsh = dbscan(
+    return dbscan(
         emb, id_col="vec_id", vec_col="embedding",
         eps=_EPS, min_pts=_MIN_PTS, candidate_pairs=sym,
-    ).select("id", F.col("role").alias("lsh_role"))
+    )
+
+
+_DBSCAN_LSH_ROLES_ORACLE = (
+    f"""
+    WITH bt AS MATERIALIZED (
+        SELECT vec_id, embedding, {_lsh_cols} FROM embeddings
+    ), lp AS MATERIALIZED (
+        SELECT a.vec_id AS i, c.vec_id AS j,
+               round(1 - {_duck_cos('a.embedding', 'c.embedding')}, 6) AS d
+        FROM bt a
+        JOIN bt c ON a.vec_id < c.vec_id AND ({_lsh_cond})
+    ), lsym AS MATERIALIZED (
+        SELECT i AS id, j AS nbr, d FROM lp WHERE d <= {_EPS}
+        UNION ALL
+        SELECT j, i, d FROM lp WHERE d <= {_EPS}
+    ), """
+    + _duck_dbscan_chain("_l", "lsym")
+    + """
+    SELECT role, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+    FROM lab_l GROUP BY role
+    """
+)
+
+
+@register("dbscan_lsh_roles", oracle=_DBSCAN_LSH_ROLES_ORACLE)
+def dbscan_lsh_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBSCAN scale path STANDALONE (round-6 verdict item 4):
+    LSH-bucketed candidate generation — the only O(n²)-free
+    eps-graph — through the full labeling pipeline, summarized as a
+    role histogram. This is the decade-measured form
+    (bench_scale.json): its cost is Σ bucket² within (table,
+    bucket) groups plus the component iteration, never all-pairs.
+    ``dbscan_lsh_agreement`` stays the ACCURACY gate pinned to the
+    gate SF, because its exact-DBSCAN reference side is precisely
+    the O(n²) computation this path exists to avoid — scaling the
+    gate would benchmark the trap, not the operator.
+
+    Planes are corpus-adaptive (``_adaptive_planes``): at the gate
+    SFs (≤2000 vectors) the formula yields the oracle's fixed 3
+    planes, so the SQL oracle is exact; at sf1/sf10 it yields 6/9,
+    holding expected bucket size ~constant so candidate volume grows
+    linearly with the corpus instead of n²/2^planes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # scalar; picks the plane count, O(metadata)
+    return (
+        _lsh_dbscan_labels(emb, planes=_adaptive_planes(n))
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+    )
+
+
+@register("dbscan_lsh_agreement", oracle=_DBSCAN_LSH_AGREEMENT_ORACLE)
+def dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBSCAN scale path, measured: candidate pairs restricted to
+    OR-amplified LSH buckets (2 tables × 3 disjoint hyperplanes —
+    operators.knn.multitable_bucket_ids) feed the identical
+    core/components/border pipeline via ``candidate_pairs``
+    injection, and the exact-vs-LSH role confusion matrix is the
+    observable. At 100 TB the all-pairs eps-graph is the one
+    O(n²) step DBSCAN has; this query IS the swap — candidate volume
+    drops ~2^planes/tables-fold per bucket join — with its clustering
+    cost made visible instead of asserted (missed eps-edges demote
+    cores and orphan borders to noise; they never invent clusters)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = dbscan(
+        emb, id_col="vec_id", vec_col="embedding",
+        eps=_EPS, min_pts=_MIN_PTS,
+    ).select("id", F.col("role").alias("exact_role"))
+    lsh = _lsh_dbscan_labels(emb).select(
+        "id", F.col("role").alias("lsh_role")
+    )
     return (
         exact.join(lsh, on="id")
         .groupBy("exact_role", "lsh_role")
