@@ -300,6 +300,25 @@ def rewrite_cube(
     )
 
 
+def rewrite_rollup_hierarchy(
+    mv: DataFrame,
+    spec: MViewSpec,
+    cols: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]] = (),
+    grouping_id_col: str = "grouping_id",
+) -> DataFrame | None:
+    """``GROUP BY ROLLUP (cols)`` answered from the MV: the n+1
+    prefix grouping sets ((a,b,c), (a,b), (a), ()) through
+    :func:`rewrite_grouping_sets` — the drill-down hierarchy shape
+    (year → month → day subtotals plus the grand total)."""
+    cols = list(cols)
+    sets = [cols[:k] for k in range(len(cols), -1, -1)]
+    return rewrite_grouping_sets(
+        mv, spec, sets, aggs, filters, grouping_id_col, all_cols=cols
+    )
+
+
 def refresh_mview_incremental(
     mv: DataFrame,
     spec: MViewSpec,

@@ -168,6 +168,21 @@ def test_grouping_sets_rewrite_scans_only_mv_and_matches_base(mv_setup):
         is None
     )
 
+    # ROLLUP = prefix hierarchy: matches Spark's rollup() exactly
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        rewrite_rollup_hierarchy,
+    )
+
+    got_r = rewrite_rollup_hierarchy(
+        mv, spec, ["l_returnflag", "l_linestatus"], aggs
+    )
+    truth_r = base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("grouping_id"),
+    )
+    assert _rows(got_r, keys) == _rows(truth_r, keys)
+
 
 def test_subsumption_rejections(mv_setup):
     base, mv, spec, exprs, _ = mv_setup
