@@ -348,29 +348,42 @@ def simhash16(tokens: Column) -> Column:
 _HEX_HIGH_DIGITS = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def simhash16_grouped(
+def simhash_grouped(
     df: DataFrame,
     tokens: Column,
     id_cols: list[str],
     out_col: str = "simhash",
+    bits: int = 16,
 ) -> DataFrame:
-    """16-bit SimHash per document — whole-stage-codegen shape.
+    """``bits``-bit SimHash per document — whole-stage-codegen shape.
 
     Explode tokens to rows, digest each token ONCE, then one
-    ``groupBy(id_cols)`` with 16 conditional-count aggregates (bit
-    ``j`` votes on hex digit ``j`` of the per-token md5) plus a total
-    count; majority per bit folds into the BIGINT signature in the
-    post-aggregation projection. All expressions are native string /
-    arithmetic ops inside codegen, and the aggregation is partially
-    applied map-side, so the shuffle carries one 17-slot row per
-    (partition, doc) — vs. the Column form's 16 interpreted array
-    traversals per row.
+    ``groupBy(id_cols)`` with ``bits`` conditional-count aggregates
+    (bit ``j`` votes on hex digit ``j`` of the per-token md5) plus a
+    total count; majority per bit folds into the BIGINT signature in
+    the post-aggregation projection. All expressions are native
+    string / arithmetic ops inside codegen, and the aggregation is
+    partially applied map-side, so the shuffle carries one
+    (bits+1)-slot row per (partition, doc) — vs. the Column form's
+    interpreted array traversals per row.
+
+    ``bits`` ≤ 32 (md5 has 32 hex digits; one independent vote per
+    digit's high bit). WIDTH IS A SCALE DIAL: the pigeonhole banding
+    in :func:`simhash_hamming_pairs` buckets on bits/(radius+1)-wide
+    chunks, so with a FIXED width the per-chunk bucket population —
+    and therefore candidate volume — grows as n²/2^width (the
+    round-7 sf10 probe OOM'd on exactly this: 16-bit signatures over
+    500k docs left one chunk with 4 effective bits = 16 buckets).
+    Grow bits ~ (radius+1)·log2(n/target_bucket) to keep candidates
+    linear in the corpus.
 
     ``explode_outer`` keeps zero/null-token docs (signature 0, same as
     the Column form's empty-array majority). Extra ``id_cols`` beyond
     the key (e.g. a carried ``lang``) are legal because grouping
     columns ride the same shuffle row.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (md5 hex digits), got {bits}")
     from ..functions.partitioning import ensure_parallelism
 
     # floor on the RAW frame — see minhash_bands: repartitioning a
@@ -383,16 +396,27 @@ def simhash16_grouped(
         F.count(
             F.when(F.substring("__h", j + 1, 1).isin(*_HEX_HIGH_DIGITS), 1)
         ).alias(f"__v{j}")
-        for j in range(16)
+        for j in range(bits)
     ]
     agg = hashed.groupBy(*id_cols).agg(
         F.count("__h").alias("__n"), *votes
     )
     sig = sum(
         (F.col(f"__v{j}") * 2 > F.col("__n")).cast("long") * F.lit(1 << j)
-        for j in range(16)
+        for j in range(bits)
     )
     return agg.select(*id_cols, sig.cast("long").alias(out_col))
+
+
+def simhash16_grouped(
+    df: DataFrame,
+    tokens: Column,
+    id_cols: list[str],
+    out_col: str = "simhash",
+) -> DataFrame:
+    """The 16-bit form (the gate-SF oracle width) — see
+    :func:`simhash_grouped`."""
+    return simhash_grouped(df, tokens, id_cols, out_col, bits=16)
 
 
 def jaccard_similarity_pairs(

@@ -3241,10 +3241,29 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-method rows are exactly where each family's recall/
     precision knobs need tuning. Each method runs in its standalone
     query's shape; the consensus is three semi-indexed left joins
-    over the unioned pair set."""
+    over the unioned pair set.
+
+    SimHash width is CORPUS-ADAPTIVE (round-7 probe finding: fixed
+    16-bit signatures at 500k docs leave the pigeonhole chunks 4-6
+    bits wide — 16-64 buckets — so candidate volume is n²/2^width
+    and the sf10 run OOM'd generating ~7.7G pairs). Width grows as
+    3·log2(n/500) (capped at md5's 32 bits), holding per-chunk
+    bucket population ~constant → candidates linear in the corpus.
+    At the gate SFs (≤10k docs) the formula stays 16, so the SQL
+    oracle is exact; wider signatures at scale make Hamming≤2 a
+    STRICTER near-dup test — the standard recall-for-scale dial,
+    same tradeoff as the DBSCAN LSH plane count."""
+    import math
+
     from ..operators.dedup import simhash_hamming_pairs
 
     docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: picks the signature width
+    sim_bits = (
+        16
+        if n_docs <= 10_000
+        else min(32, max(18, 3 * math.ceil(math.log2(n_docs / 500.0))))
+    )
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
 
     # minhash-verified
@@ -3272,10 +3291,14 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id")
     )
 
-    # simhash radius 2
-    signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
+    # simhash radius 2, corpus-adaptive width (see docstring)
+    from ..operators.dedup import simhash_grouped
+
+    signed = simhash_grouped(
+        toks, F.col("t"), id_cols=["doc_id"], bits=sim_bits
+    )
     m_simhash = simhash_hamming_pairs(
-        signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
+        signed, id_col="doc_id", sig_col="simhash", bits=sim_bits, radius=2
     ).select("left_id", "right_id")
 
     # sorted-neighborhood (w=4) via the bucketed-ordinal pair
