@@ -298,7 +298,21 @@ def _unpartitioned_ordered_window_lines(plan: str) -> list[str]:
     return out
 
 
-def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """One physical-plan build of EVERY registered query, shared by
+    the registry-wide gates below (plan construction is the whole
+    cost; string checks are free)."""
+    return {
+        name: _plan(entry.fn(spark, sf_dir))
+        for name, entry in sorted(REGISTRY.items())
+    }
+
+
+def test_no_unpartitioned_windows_registry_wide(registry_plans):
     """Registry-wide sweep (all plans, not a named subset — the r6
     gate swept 9 names and two single-task total orders slipped past
     in unswept queries): no registered query may plan an
@@ -307,8 +321,7 @@ def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
     "limit" entries the bounding TakeOrderedAndProject/GlobalLimit
     must actually appear in the plan."""
     offenders: dict[str, list[str]] = {}
-    for name, entry in sorted(REGISTRY.items()):
-        plan = _plan(entry.fn(spark, sf_dir))
+    for name, plan in registry_plans.items():
         lines = _unpartitioned_ordered_window_lines(plan)
         if not lines:
             continue
@@ -323,3 +336,20 @@ def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
         "unpartitioned ordered WindowExec over unbounded input in: "
         + "; ".join(f"{n}: {ls[0][:160]}" for n, ls in offenders.items())
     )
+
+
+def test_no_cartesian_products_registry_wide(registry_plans):
+    """No registered query may plan a CartesianProduct — both-sides-
+    big all-pairs. The round-7 sweep caught blocking_quality_metrics'
+    truth stage: a ``left_id < right_id`` THETA join plans
+    CartesianProduct (it looks nothing like a crossJoin at the call
+    site), which was 1.25G array-intersections at sf0.1 — 511s of a
+    correctness-only query. BroadcastNestedLoopJoin is deliberately
+    NOT banned here: every occurrence broadcasts a bounded side
+    (scalar thresholds, bucket boundaries, centroid tables) — the
+    r6 anti-pattern sweep's audited pattern."""
+    offenders = [
+        name for name, plan in registry_plans.items()
+        if "CartesianProduct" in plan
+    ]
+    assert not offenders, f"CartesianProduct planned in: {offenders}"
