@@ -421,6 +421,19 @@ def answer_rollup(
     if rewritten is not None:
         return rewritten, True
 
+    return _base_rollup(base, group_cols, aggs, filters, exprs), False
+
+
+def _base_rollup(
+    base: DataFrame,
+    group_cols: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]],
+    exprs: Mapping[str, Column] | None,
+) -> DataFrame:
+    """The base-table path shared by the transparent answer_*
+    rewrites: grouping AND filter columns resolve through ``exprs``
+    so derived columns behave identically to the MV path."""
     exprs = dict(exprs or {})
 
     def _src(col: str) -> Column:
@@ -437,9 +450,75 @@ def answer_rollup(
             e = getattr(F, fn)(_src(col))
         agg_list.append(e.alias(out))
     if group_cols:
-        out_df = out_df.groupBy(
+        return out_df.groupBy(
             *[_src(c).alias(c) for c in group_cols]
         ).agg(*agg_list)
+    return out_df.agg(*agg_list)
+
+
+def answer_grouping_sets(
+    base: DataFrame,
+    mv: DataFrame,
+    spec: MViewSpec,
+    grouping_sets: Sequence[Sequence[str]],
+    aggs: Mapping[str, tuple[str, str]],
+    filters: Sequence[tuple[str, str, object]] = (),
+    exprs: Mapping[str, Column] | None = None,
+    grouping_id_col: str = "grouping_id",
+    all_cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, bool]:
+    """Transparent GROUPING SETS: the MV answer when every set is
+    subsumed (:func:`rewrite_grouping_sets`), else the same
+    set-union computed from the base frame — one schema, one
+    grouping-id convention on both paths. Returns ``(frame,
+    used_mv)`` like :func:`answer_rollup`."""
+    rewritten = rewrite_grouping_sets(
+        mv, spec, grouping_sets, aggs, filters, grouping_id_col, all_cols
+    )
+    if rewritten is not None:
+        return rewritten, True
+    sets = [list(s) for s in grouping_sets]
+    if all_cols is None:
+        cols_u: list[str] = []
+        for s in sets:
+            for c in s:
+                if c not in cols_u:
+                    cols_u.append(c)
     else:
-        out_df = out_df.agg(*agg_list)
-    return out_df, False
+        cols_u = list(all_cols)
+    exprs_d = dict(exprs or {})
+
+    def _src(col: str) -> Column:
+        return exprs_d[col] if col in exprs_d else F.col(col)
+
+    parts = []
+    for s in sets:
+        r = _base_rollup(base, s, aggs, filters, exprs_d)
+        gid = 0
+        for c in cols_u:
+            gid = (gid << 1) | (0 if c in s else 1)
+        # absent grouping columns take the DERIVED expression's type
+        # on the base path (schema parity with the MV legs)
+        typed = {
+            c: _src(c).alias(c) for c in cols_u
+        }
+        parts.append(
+            r.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in s
+                        else F.lit(None).cast(
+                            base.select(typed[c]).schema[0].dataType
+                        )
+                    ).alias(c)
+                    for c in cols_u
+                ],
+                *[F.col(k) for k in aggs],
+                F.lit(gid).cast("long").alias(grouping_id_col),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, False

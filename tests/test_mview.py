@@ -184,6 +184,64 @@ def test_grouping_sets_rewrite_scans_only_mv_and_matches_base(mv_setup):
     assert _rows(got_r, keys) == _rows(truth_r, keys)
 
 
+def test_answer_grouping_sets_both_paths_one_shape(mv_setup):
+    """Transparent grouping-sets: MV path when subsumed, base path
+    otherwise (un-stored agg), same rows/schema/grouping ids."""
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        answer_grouping_sets,
+    )
+
+    base, mv, spec, exprs, _ = mv_setup
+    sets = [["l_returnflag", "ship_month"], ["l_returnflag"], []]
+    keys = ["l_returnflag", "ship_month", "grouping_id", "val"]
+
+    mv_ans, used = answer_grouping_sets(
+        base, mv, spec, sets, {"val": ("sum", "l_quantity")}, exprs=exprs
+    )
+    assert used
+    fb_ans, used_fb = answer_grouping_sets(
+        base, mv, spec, sets, {"val": ("sum", "l_tax")}, exprs=exprs
+    )
+    assert not used_fb  # l_tax not stored → base path
+    import pyspark.sql.functions as SF
+
+    def cube_truth(col):
+        gdf = base.withColumn("ship_month", exprs["ship_month"])
+        legs = []
+        for s in sets:
+            gid = 0
+            for c in ["l_returnflag", "ship_month"]:
+                gid = (gid << 1) | (0 if c in s else 1)
+            agg = (
+                gdf.groupBy(*s).agg(SF.sum(col).alias("val"))
+                if s
+                else gdf.agg(SF.sum(col).alias("val"))
+            )
+            legs.append(
+                agg.select(
+                    *[
+                        (
+                            SF.col(c)
+                            if c in s
+                            else SF.lit(None).cast(
+                                "string" if c == "l_returnflag" else "int"
+                            )
+                        ).alias(c)
+                        for c in ["l_returnflag", "ship_month"]
+                    ],
+                    "val",
+                    SF.lit(gid).cast("long").alias("grouping_id"),
+                )
+            )
+        out = legs[0]
+        for p in legs[1:]:
+            out = out.unionByName(p)
+        return out
+
+    assert _rows(mv_ans, keys) == _rows(cube_truth("l_quantity"), keys)
+    assert _rows(fb_ans, keys) == _rows(cube_truth("l_tax"), keys)
+
+
 def test_subsumption_rejections(mv_setup):
     base, mv, spec, exprs, _ = mv_setup
     ok = {"n_rows": ("count", "*")}
