@@ -239,6 +239,16 @@ def rewrite_grouping_sets(
     O(|grain|) rows beat one CUBE pass over O(fact) rows by the
     same margin as the single-set rewrite."""
     sets = [list(s) for s in grouping_sets]
+    if not sets:
+        # SQL GROUPING SETS (()) is one global set ([[]] here); an
+        # EMPTY list of sets is a caller error — fail typed, not
+        # IndexError on parts[0] (round-7 advice). answer_grouping_
+        # sets calls here before its base path, so one guard covers
+        # both entry points.
+        raise ValueError(
+            "grouping_sets is empty — pass at least one set "
+            "([[]] for the single global aggregate)"
+        )
     if all_cols is None:
         cols_u: list[str] = []
         for s in sets:

@@ -49,6 +49,13 @@ from .layout import read_snapshot, write_snapshot
 _CATALOG_JSON = "catalog.json"
 _MAIN = "main"
 
+#: The stream id pre-fold single-stream catalog history is attributed
+#: to (catalog_txn_sink's default) — see layout.LEGACY_STREAM_ID for
+#: the rationale. A bare ``batch_id`` with no ``streams`` map is
+#: honored ONLY for this id; new stream_ids must not reuse
+#: pre-upgrade checkpoints.
+LEGACY_STREAM_ID = "catalog-stream"
+
 
 class CatalogConflict(RuntimeError):
     """Another transaction committed one of this transaction's
@@ -130,8 +137,24 @@ class SnapshotCatalog:
         """Read a table at the version the catalog (current or
         time-traveled) points to. For a multi-table-consistent view,
         resolve ``mapping()`` ONCE and pass its catalog version to
-        every read."""
-        m = self.mapping(catalog_version)
+        every read.
+
+        Reads below the vacuum horizon raise
+        :class:`~.layout.VacuumedHistoryError` — either the catalog
+        payload itself is gone, or (after a merge-base-retaining
+        vacuum, which keeps chain PAYLOADS but not their table
+        snapshots) the payload resolves and the TABLE data does not.
+        ``merge_branch`` stays correct in that state; only the
+        time-travel data read degrades, loudly and typed."""
+        from .layout import VacuumedHistoryError
+
+        try:
+            m = self.mapping(catalog_version)
+        except OSError as e:
+            raise VacuumedHistoryError(
+                f"catalog version {catalog_version} was vacuumed; "
+                f"retained: {self.versions()}"
+            ) from e
         if table not in m:
             raise KeyError(
                 f"table {table!r} not in catalog version "
@@ -244,7 +267,10 @@ class SnapshotCatalog:
         ``parent`` pointers, so orphaned claims (lost CAS races)
         are never consulted. A commit carrying a bare ``batch_id``
         with no ``streams`` map is pre-upgrade single-stream history
-        and is honored as this stream's cursor. Returns -1 when the
+        and is honored only for :data:`LEGACY_STREAM_ID` — any other
+        stream id gets -1, never the old stream's cursor (round-7
+        advice: inheriting it made a NEW stream silently skip its
+        first batches). Returns -1 when the
         stream has never committed (or history was vacuumed below
         its last commit — an at-least-once refold, never data loss
         for the sink's full-state folds)."""
@@ -261,8 +287,13 @@ class SnapshotCatalog:
             if streams is not None:
                 if stream_id in streams:
                     return int(streams[stream_id])
-            elif "batch_id" in meta:
-                return int(meta["batch_id"])  # pre-fold single-stream
+            elif "batch_id" in meta and stream_id == LEGACY_STREAM_ID:
+                # Pre-fold single-stream history: only the legacy sink
+                # id could have written a bare batch_id. Any OTHER
+                # stream id must get -1 here, not inherit this cursor
+                # and skip its own first batches (round-7 advice; new
+                # stream_ids must not reuse pre-upgrade checkpoints).
+                return int(meta["batch_id"])
             v = payload["parent"]
         return -1
 
@@ -358,10 +389,24 @@ class SnapshotCatalog:
         # write. The parent-chain walk in stream_batch_id is the
         # exact backstop for pre-fold history.
         try:
-            parent_streams = self._payload(parent)["meta"].get("streams", {})
+            parent_meta = self._payload(parent)["meta"]
         except OSError:
-            parent_streams = {}  # vacuumed parent: start the map fresh
-        merged_streams = {**parent_streams, **meta.get("streams", {})}
+            parent_meta = {}  # vacuumed parent: start the map fresh
+        parent_streams = dict(parent_meta.get("streams", {}))
+        if not parent_streams and "batch_id" in parent_meta:
+            # Pre-fold single-stream history: attribute the bare
+            # batch_id to the legacy sink id so the cursor enters the
+            # map and survives later non-stream commits (round-7
+            # advice: without this, DML after a pre-upgrade stream
+            # commit left the chain's head map without the cursor).
+            parent_streams[LEGACY_STREAM_ID] = parent_meta["batch_id"]
+        own_streams = meta.get("streams", {})
+        # Per-stream max: neither the parent fold nor the writer's own
+        # entries may regress a cursor the other side carries.
+        merged_streams = {
+            k: max(int(parent_streams.get(k, -1)), int(own_streams.get(k, -1)))
+            for k in {*parent_streams, *own_streams}
+        }
         if merged_streams:
             meta["streams"] = merged_streams
         try:

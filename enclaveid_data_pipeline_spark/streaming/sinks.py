@@ -37,6 +37,8 @@ from pyspark.errors import AnalysisException
 
 from ..materialize import materialize as _materialize
 from ..sources.writers import write_partitioned
+from ..sources.layout import LEGACY_STREAM_ID as _LEGACY_SNAPSHOT_STREAM
+from ..sources.catalog import LEGACY_STREAM_ID as _LEGACY_CATALOG_STREAM
 
 
 def _read_existing(spark, path: str) -> DataFrame | None:
@@ -374,7 +376,7 @@ def versioned_snapshot_sink(
     delete_ops: tuple[str, ...] = ("D",),
     stats_cols: tuple[str, ...] | None = None,
     backend=None,
-    stream_id: str = "snapshot-stream",
+    stream_id: str = _LEGACY_SNAPSHOT_STREAM,
 ) -> StreamingQuery:
     """Stream → time-travelable table: every micro-batch folds into
     the keyed snapshot (operators.cdc.apply_changes — inserts appear,
@@ -456,7 +458,7 @@ def catalog_txn_sink(
     checkpoint_dir: str | None = None,
     stats_cols: dict[str, list[str]] | None = None,
     branch: str | None = None,
-    stream_id: str = "catalog-stream",
+    stream_id: str = _LEGACY_CATALOG_STREAM,
 ) -> StreamingQuery:
     """Stream → MULTI-TABLE exactly-once: every micro-batch derives
     N table states (e.g. the appended fact AND its maintained

@@ -315,6 +315,58 @@ def test_catalog_merge_base_survives_vacuum(spark, tmp_path):
     assert {r.id for r in cat.read(spark, "t").collect()} == {40, 41}
 
 
+def test_read_below_vacuum_horizon_degrades_typed(spark, tmp_path):
+    """Round-7 verdict item 3: vacuum keeps merge-base CHAIN payloads
+    but not their table snapshot versions — merge_branch stays
+    correct, but a time-travel READ through a chain-kept payload
+    whose table data was reclaimed must fail with a typed
+    VacuumedHistoryError, never a raw FileNotFoundError the caller
+    can't tell from a typo'd path. A fully-vacuumed catalog payload
+    degrades the same way. (The base's OWN table versions stay
+    readable while an open branch head references them — retention
+    is by reference, so reclamation hits the intermediate chain
+    versions first.)"""
+    import pytest
+
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        VacuumedHistoryError,
+    )
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).toDF("id")
+
+    cat = SnapshotCatalog(str(tmp_path / "tr_cat"))
+    base_v = cat.commit({"t": ids(0, 2)})
+    cat.create_branch("dev")
+    cat.commit({"u": ids(10, 12)}, branch="dev")  # branch adds u
+    mids = [cat.commit({"t": ids(lo, lo + 2)}) for lo in (20, 30, 40)]
+    cat.vacuum_unreferenced(keep_last=1, grace_seconds=0)
+
+    # base table data is still referenced by the dev head → readable
+    assert {r.id for r in cat.read(spark, "t", catalog_version=base_v).collect()} == {0, 1}
+    # the intermediate main versions are chain-kept PAYLOADS (the
+    # merge-base walk needs them) whose table data was reclaimed:
+    # the payload resolves, the data read degrades typed
+    assert "t" in cat.mapping(mids[0])
+    with pytest.raises(VacuumedHistoryError):
+        cat.read(spark, "t", catalog_version=mids[0])
+    # merge itself still resolves the true base and succeeds
+    merged = cat.merge_branch("dev")
+    assert cat.commit_meta(merged)["merge_base"] == base_v
+    assert {r.id for r in cat.read(spark, "t").collect()} == {40, 41}
+
+    # a catalog version vacuumed ENTIRELY (payload gone — no open
+    # branch chain pins it) is also typed
+    cat2 = SnapshotCatalog(str(tmp_path / "tr_cat2"))
+    v1 = cat2.commit({"t": ids(0, 2)})
+    cat2.commit({"t": ids(10, 12)})
+    cat2.commit({"t": ids(20, 22)})
+    cat2.vacuum_unreferenced(keep_last=1, grace_seconds=0)
+    with pytest.raises(VacuumedHistoryError):
+        cat2.read(spark, "t", catalog_version=v1)
+
+
 def test_vacuum_grace_protects_inflight_catalog_txn(spark, tmp_path):
     """A transaction's table snapshot and catalog claim exist BEFORE
     its ref CAS makes them visible; a default-grace vacuum in that

@@ -242,6 +242,30 @@ def test_answer_grouping_sets_both_paths_one_shape(mv_setup):
     assert _rows(fb_ans, keys) == _rows(cube_truth("l_tax"), keys)
 
 
+def test_grouping_sets_empty_list_raises_typed(mv_setup):
+    """Round-7 advice (low): an EMPTY list of grouping sets is a
+    caller error — ValueError, not IndexError on parts[0]; the
+    single global aggregate is spelled [[]]. answer_grouping_sets
+    routes through rewrite_grouping_sets first, so one guard covers
+    both entry points."""
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        answer_grouping_sets,
+        rewrite_grouping_sets,
+    )
+
+    base, mv, spec, exprs, _ = mv_setup
+    aggs = {"val": ("sum", "l_quantity")}
+    with pytest.raises(ValueError, match="grouping_sets is empty"):
+        rewrite_grouping_sets(mv, spec, [], aggs)
+    with pytest.raises(ValueError, match="grouping_sets is empty"):
+        answer_grouping_sets(base, mv, spec, [], aggs, exprs=exprs)
+    # the documented spelling of the global aggregate still works
+    got = rewrite_grouping_sets(mv, spec, [[]], aggs)
+    assert got is not None and got.count() == 1
+
+
 def test_subsumption_rejections(mv_setup):
     base, mv, spec, exprs, _ = mv_setup
     ok = {"n_rows": ("count", "*")}

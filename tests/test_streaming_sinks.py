@@ -991,25 +991,162 @@ def test_catalog_txn_sink_replay_after_interleaved_commit(spark, tmp_path):
 def test_catalog_stream_batch_id_chain_walk_and_legacy(spark, tmp_path):
     """stream_batch_id resolves through the parent chain: a pre-fold
     commit carrying only a bare batch_id (legacy single-stream
-    history) is honored, and the walk never consults orphaned
-    claims (it follows parent pointers only)."""
-    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+    history) is honored for LEGACY_STREAM_ID only (round-7 advice: a
+    NEW stream id inheriting the old cursor would silently skip its
+    first batches — data loss, not a refold), and the walk never
+    consults orphaned claims (it follows parent pointers only)."""
+    from enclaveid_data_pipeline_spark.sources.catalog import (
+        LEGACY_STREAM_ID,
+        SnapshotCatalog,
+    )
 
     cat = SnapshotCatalog(str(tmp_path / "walk_cat"))
     df = spark.createDataFrame([(1, 1)], "k int, v int")
-    # legacy commit: bare batch_id, no streams map (pre-fold code)
+    # legacy commit: bare batch_id, no streams map (pre-fold code).
+    # Only the legacy sink id could have written it, so only that id
+    # inherits the cursor — any other stream starts at -1.
     cat.commit({"t": df}, meta={"batch_id": 7})
-    assert cat.stream_batch_id("any-stream") == 7
-    # a streams-map commit takes precedence at the head
+    assert cat.stream_batch_id(LEGACY_STREAM_ID) == 7
+    assert cat.stream_batch_id("any-stream") == -1
+    # a streams-map commit takes precedence at the head; the fold
+    # rescues the legacy cursor into the map (round-7 advice: a
+    # later non-stream commit must not orphan it)
     cat.commit({"t": df}, meta={"streams": {"s1": 3}})
     assert cat.stream_batch_id("s1") == 3
-    # the fold carried nothing for s2; the walk falls through the
-    # streams-map commit to the legacy bare batch_id below it
-    assert cat.stream_batch_id("s2") == 7
-    # later plain commits fold s1's cursor forward: O(1) at head
+    assert cat.stream_batch_id(LEGACY_STREAM_ID) == 7
+    assert cat.commit_meta()["streams"] == {
+        "s1": 3,
+        LEGACY_STREAM_ID: 7,
+    }
+    # a NEW stream id walking past head maps gets -1, never the
+    # legacy cursor
+    assert cat.stream_batch_id("s2") == -1
+    # later plain commits fold every cursor forward: O(1) at head
     cat.commit({"u": df})
-    assert cat.commit_meta()["streams"] == {"s1": 3}
+    assert cat.commit_meta()["streams"] == {
+        "s1": 3,
+        LEGACY_STREAM_ID: 7,
+    }
     assert cat.stream_batch_id("s1") == 3
+
+
+def test_catalog_stream_fold_never_regresses_foreign_cursor(
+    spark, tmp_path
+):
+    """Round-7 advice (max-merge): a writer whose own meta carries a
+    STALE cursor for another stream (captured before that stream
+    advanced) must not regress the folded map — per-stream max, not
+    last-writer-wins."""
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "maxm_cat"))
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    cat.commit({"t": df}, meta={"streams": {"a": 10}})
+    # stale writer: saw a=3 long ago, also commits its own b=1
+    cat.commit({"t": df}, meta={"streams": {"a": 3, "b": 1}})
+    assert cat.commit_meta()["streams"] == {"a": 10, "b": 1}
+    assert cat.stream_batch_id("a") == 10
+    assert cat.stream_batch_id("b") == 1
+
+
+def test_layout_stream_cursor_legacy_and_fold(spark, tmp_path):
+    """Layout twin of the catalog legacy-cursor rules (round-7
+    advice): a bare batch_id head answers only for LEGACY_STREAM_ID;
+    the next commit folds it into the streams map so a DML commit
+    can never orphan the cursor (pre-upgrade table + interleaved
+    writers would otherwise refold on redelivery)."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        LEGACY_STREAM_ID,
+        read_commit_meta,
+        stream_batch_id,
+        write_snapshot,
+    )
+
+    out = str(tmp_path / "legacy_table")
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    # pre-upgrade stream commit: bare batch_id only
+    write_snapshot(df, out, commit_meta={"batch_id": 5})
+    assert stream_batch_id(out, LEGACY_STREAM_ID) == 5
+    assert stream_batch_id(out, "new-stream") == -1
+    # a plain commit (DML/OPTIMIZE analog) folds the bare cursor
+    # into the map under the legacy id — head still answers
+    write_snapshot(df, out)
+    meta = read_commit_meta(out)
+    assert "batch_id" not in meta
+    assert meta["streams"] == {LEGACY_STREAM_ID: 5}
+    assert stream_batch_id(out, LEGACY_STREAM_ID) == 5
+    assert stream_batch_id(out, "new-stream") == -1
+
+
+def test_layout_stream_fold_max_merge_never_regresses(spark, tmp_path):
+    """Layout twin of the catalog max-merge rule: a writer carrying a
+    stale foreign cursor must not regress the head's newer fold."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_commit_meta,
+        write_snapshot,
+    )
+
+    out = str(tmp_path / "maxm_table")
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    write_snapshot(df, out, commit_meta={"streams": {"a": 10}})
+    write_snapshot(df, out, commit_meta={"streams": {"a": 3, "b": 1}})
+    assert read_commit_meta(out)["streams"] == {"a": 10, "b": 1}
+
+
+def test_commit_staging_retry_refolds_from_fresh_head(spark, tmp_path):
+    """Round-7 advice (the high finding): _commit_staging's retry
+    loop must refold from the CURRENT head plus the writer's
+    ORIGINAL stream entries. The old code wrote the previous fold
+    back into meta['streams'], so after a lost claim the stale fold
+    overrode a cursor another stream advanced between retries —
+    the head guard would then let a redelivered batch double-apply.
+
+    Simulation: writer W (own cursor s=3) loses its first claim;
+    between the attempts stream x advances its cursor 5 → 7. W's
+    committed fold must carry x=7, not the stale x=5."""
+    from enclaveid_data_pipeline_spark.sources.commitstore import (
+        FileCommitBackend,
+    )
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_commit_meta,
+        write_snapshot,
+    )
+
+    out = str(tmp_path / "retry_table")
+    inner = FileCommitBackend()
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    write_snapshot(df, out, backend=inner, commit_meta={"streams": {"x": 5}})
+
+    class FlakyClaim:
+        """Fails W's first claim and lands a rival commit (stream x
+        advancing to 7) inside the window — the exact interleaving
+        of a lost version race."""
+
+        def __init__(self):
+            self.failed = False
+
+        def claim_version(self, path, cand, staging):
+            if not self.failed:
+                self.failed = True
+                write_snapshot(
+                    df, out, backend=inner, commit_meta={"streams": {"x": 7}}
+                )
+                return False
+            return inner.claim_version(path, cand, staging)
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+    write_snapshot(
+        df,
+        out,
+        backend=FlakyClaim(),
+        commit_meta={"streams": {"s": 3}},
+    )
+    assert read_commit_meta(out, backend=inner)["streams"] == {
+        "x": 7,
+        "s": 3,
+    }
 
 
 def test_catalog_version_as_of_vacuumed_history_returns_none(
