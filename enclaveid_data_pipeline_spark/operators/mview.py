@@ -168,12 +168,35 @@ def _derive(spec: MViewSpec, fn: str, col: str) -> Column | None:
     return None
 
 
+def _apply_having(
+    df: DataFrame,
+    aggs: Mapping[str, tuple[str, str]],
+    having: Sequence[tuple[str, str, object]],
+) -> DataFrame:
+    """Post-aggregation measure filters (SQL ``HAVING``). Each entry
+    is ``(measure_name, op, value)`` where ``measure_name`` is an
+    output key of ``aggs`` — the measure is already derived, so the
+    filter is a row filter over the aggregated frame on BOTH the MV
+    and base paths (one schema, one behavior). An unknown name is a
+    typo: fail at call time, not with a missing-column plan error."""
+    for name, op, value in having:
+        if name not in aggs:
+            raise ValueError(
+                f"having references {name!r}, not an output measure; "
+                f"measures: {sorted(aggs)} — add it to aggs (and drop "
+                "the column afterwards if unwanted)"
+            )
+        df = df.filter(_filter_col(F.col(name), op, value))
+    return df
+
+
 def rewrite_rollup(
     mv: DataFrame,
     spec: MViewSpec,
     group_cols: Sequence[str],
     aggs: Mapping[str, tuple[str, str]],
     filters: Sequence[tuple[str, str, object]] = (),
+    having: Sequence[tuple[str, str, object]] = (),
 ) -> DataFrame | None:
     """Answer ``groupBy(group_cols).agg(aggs)`` with ``filters``
     from the MV, or return None when subsumption fails.
@@ -185,6 +208,13 @@ def rewrite_rollup(
     measures. ``aggs`` maps output name → ``(fn, col)``; the output
     column carries exactly that name on both the rewrite and any
     fallback, so callers (and oracles) see one schema.
+
+    ``having`` (round-7 verdict item 7) filters the DERIVED measures
+    post-aggregation — SQL ``HAVING sum_qty > x`` — and is equally
+    answerable from the MV: the measure re-derives first, the filter
+    runs over grain-count rows. Entries name output measures in
+    ``aggs``; a HAVING on a measure the query doesn't select is
+    spelled by adding it to ``aggs`` and dropping the column after.
     """
     gset = set(spec.group_cols)
     if not set(group_cols) <= gset:
@@ -203,8 +233,12 @@ def rewrite_rollup(
         out_df = out_df.filter(_filter_col(F.col(col), op, value))
     agg_list = [derived[k] for k in aggs]
     if group_cols:
-        return out_df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_list)
-    return out_df.agg(*agg_list)
+        out_df = out_df.groupBy(
+            *[F.col(c) for c in group_cols]
+        ).agg(*agg_list)
+    else:
+        out_df = out_df.agg(*agg_list)
+    return _apply_having(out_df, aggs, having)
 
 
 def rewrite_grouping_sets(
@@ -215,6 +249,7 @@ def rewrite_grouping_sets(
     filters: Sequence[tuple[str, str, object]] = (),
     grouping_id_col: str = "grouping_id",
     all_cols: Sequence[str] | None = None,
+    having: Sequence[tuple[str, str, object]] = (),
 ) -> DataFrame | None:
     """Answer a GROUPING SETS query from ONE rollup MV, or None when
     any set fails subsumption.
@@ -262,7 +297,9 @@ def rewrite_grouping_sets(
         return None
     parts = []
     for s in sets:
-        r = rewrite_rollup(mv, spec, s, aggs, filters)
+        # HAVING applies per grouping set (SQL: evaluated per group,
+        # and every output group belongs to exactly one set)
+        r = rewrite_rollup(mv, spec, s, aggs, filters, having)
         if r is None:
             return None
         gid = 0
@@ -293,6 +330,7 @@ def rewrite_cube(
     aggs: Mapping[str, tuple[str, str]],
     filters: Sequence[tuple[str, str, object]] = (),
     grouping_id_col: str = "grouping_id",
+    having: Sequence[tuple[str, str, object]] = (),
 ) -> DataFrame | None:
     """``GROUP BY CUBE (cols)`` answered from the MV: all 2^n
     grouping sets of ``cols`` through :func:`rewrite_grouping_sets`
@@ -306,7 +344,8 @@ def rewrite_cube(
         for combo in combinations(cols, k):
             sets.append(list(combo))
     return rewrite_grouping_sets(
-        mv, spec, sets, aggs, filters, grouping_id_col, all_cols=cols
+        mv, spec, sets, aggs, filters, grouping_id_col, all_cols=cols,
+        having=having,
     )
 
 
@@ -317,6 +356,7 @@ def rewrite_rollup_hierarchy(
     aggs: Mapping[str, tuple[str, str]],
     filters: Sequence[tuple[str, str, object]] = (),
     grouping_id_col: str = "grouping_id",
+    having: Sequence[tuple[str, str, object]] = (),
 ) -> DataFrame | None:
     """``GROUP BY ROLLUP (cols)`` answered from the MV: the n+1
     prefix grouping sets ((a,b,c), (a,b), (a), ()) through
@@ -325,7 +365,8 @@ def rewrite_rollup_hierarchy(
     cols = list(cols)
     sets = [cols[:k] for k in range(len(cols), -1, -1)]
     return rewrite_grouping_sets(
-        mv, spec, sets, aggs, filters, grouping_id_col, all_cols=cols
+        mv, spec, sets, aggs, filters, grouping_id_col, all_cols=cols,
+        having=having,
     )
 
 
@@ -414,6 +455,7 @@ def answer_rollup(
     aggs: Mapping[str, tuple[str, str]],
     filters: Sequence[tuple[str, str, object]] = (),
     exprs: Mapping[str, Column] | None = None,
+    having: Sequence[tuple[str, str, object]] = (),
 ) -> tuple[DataFrame, bool]:
     """Transparent rewrite: the MV answer when subsumed, else the
     same query computed from the base frame. Returns ``(frame,
@@ -427,11 +469,14 @@ def answer_rollup(
     on a derived column was MV-answerable but raised
     AnalysisException on the base path).
     """
-    rewritten = rewrite_rollup(mv, spec, group_cols, aggs, filters)
+    rewritten = rewrite_rollup(mv, spec, group_cols, aggs, filters, having)
     if rewritten is not None:
         return rewritten, True
 
-    return _base_rollup(base, group_cols, aggs, filters, exprs), False
+    return (
+        _base_rollup(base, group_cols, aggs, filters, exprs, having),
+        False,
+    )
 
 
 def _base_rollup(
@@ -440,6 +485,7 @@ def _base_rollup(
     aggs: Mapping[str, tuple[str, str]],
     filters: Sequence[tuple[str, str, object]],
     exprs: Mapping[str, Column] | None,
+    having: Sequence[tuple[str, str, object]] = (),
 ) -> DataFrame:
     """The base-table path shared by the transparent answer_*
     rewrites: grouping AND filter columns resolve through ``exprs``
@@ -460,10 +506,12 @@ def _base_rollup(
             e = getattr(F, fn)(_src(col))
         agg_list.append(e.alias(out))
     if group_cols:
-        return out_df.groupBy(
+        out_df = out_df.groupBy(
             *[_src(c).alias(c) for c in group_cols]
         ).agg(*agg_list)
-    return out_df.agg(*agg_list)
+    else:
+        out_df = out_df.agg(*agg_list)
+    return _apply_having(out_df, aggs, having)
 
 
 def answer_grouping_sets(

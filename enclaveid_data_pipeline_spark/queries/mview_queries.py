@@ -150,6 +150,61 @@ def mv_rollup_global_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_rollup_having",
+    oracle="""
+    SELECT l_returnflag,
+           ship_month,
+           CAST(sum_qty AS DOUBLE) AS sum_qty,
+           n_rows
+    FROM (
+        SELECT l_returnflag,
+               month(l_shipdate) AS ship_month,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE month(l_shipdate) BETWEEN 3 AND 9
+        GROUP BY l_returnflag, month(l_shipdate)
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 40000.5
+           AND count(*) >= 100
+    )
+    """,
+)
+def mv_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV rewrite with HAVING (round-7 verdict item 7): post-
+    aggregation filters on DERIVED measures are equally answerable
+    from the view — the measure re-derives over ~|grain| MV rows,
+    THEN the having filter runs, so the fact table is never scanned.
+    The DuckDB oracle computes the same ``GROUP BY ... HAVING`` from
+    the base table; thresholds compare EXACT types (decimal sum,
+    bigint count — registry float-boundary convention: never HAVING
+    on a float-derived measure whose engines' rounding could
+    disagree at the cut). Zero-base-lineage for this plan is pinned
+    in tests/test_mview.py."""
+    mv = _pricing_mview(spark, sf_dir)
+    out = rewrite_rollup(
+        mv,
+        _PRICING_SPEC,
+        ["l_returnflag", "ship_month"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "*"),
+        },
+        filters=[("ship_month", "between", (3, 9))],
+        having=[("sum_qty", ">", 40000.5), ("n_rows", ">=", 100)],
+    )
+    if out is None:
+        raise RuntimeError("MV rewrite unexpectedly rejected subsumption")
+    return out.select(
+        "l_returnflag",
+        # registry convention: calendar parts as BIGINT (DuckDB
+        # month() is bigint; Spark month() is int)
+        F.col("ship_month").cast("long").alias("ship_month"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").alias("n_rows"),
+    )
+
+
+@register(
     "mv_cube_pricing",
     oracle="""
     SELECT l_returnflag,

@@ -952,3 +952,56 @@ def test_restore_snapshot_missing_version_raises(spark, tmp_path):
     write_snapshot(spark.range(0, 3).toDF("id"), path)
     with _pytest.raises(FileNotFoundError):
         restore_snapshot(path, 99)
+
+
+def test_row_count_hint_metadata_only(spark, tmp_path):
+    """Round-7 verdict item 4: corpus sizes for adaptive-width dials
+    come from metadata, never a count() job — snapshot manifests
+    when stats were written, parquet footers otherwise, None (caller
+    falls back to count()) when neither applies. The hint must be
+    EXACT: oracle parity at gate SFs depends on the derived width."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        row_count_hint,
+        write_snapshot,
+    )
+
+    # managed snapshot WITH stats manifest: answered from the manifest
+    p1 = str(tmp_path / "hint_managed")
+    write_snapshot(
+        spark.range(0, 1234).toDF("id").repartition(4),
+        p1,
+        stats_cols=["id"],
+    )
+    assert row_count_hint(p1) == 1234
+
+    # managed snapshot WITHOUT stats: footers over the snapshot dir
+    p2 = str(tmp_path / "hint_nostats")
+    write_snapshot(spark.range(0, 77).toDF("id"), p2)
+    assert row_count_hint(p2) == 77
+
+    # raw parquet dir (the corpus layout): footers, exact
+    p3 = str(tmp_path / "hint_raw.parquet")
+    spark.range(0, 555).toDF("id").repartition(3).write.parquet(p3)
+    assert row_count_hint(p3) == 555
+
+    # time travel: version pins the answer to THAT snapshot
+    write_snapshot(spark.range(0, 99).toDF("id"), p2)
+    assert row_count_hint(p2) == 99
+    assert row_count_hint(p2, version=1) == 77
+
+    # neither managed nor parquet: None, never a guess
+    p4 = str(tmp_path / "hint_absent")
+    assert row_count_hint(p4) is None
+    # remote URIs are None (no local metadata to read)
+    assert row_count_hint("s3://bucket/table") is None
+
+    # the readers-level helper agrees with a real corpus table
+    from enclaveid_data_pipeline_spark.sources.readers import (
+        read_table,
+        table_row_count,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    assert table_row_count(spark, sf_dir, "documents") == read_table(
+        spark, sf_dir, "documents"
+    ).count()

@@ -242,6 +242,94 @@ def test_answer_grouping_sets_both_paths_one_shape(mv_setup):
     assert _rows(fb_ans, keys) == _rows(cube_truth("l_tax"), keys)
 
 
+def test_rewrite_having_matches_base_and_scans_only_mv(mv_setup):
+    """Round-7 verdict item 7: HAVING (post-aggregation measure
+    filters) answered from the MV — rows match the base-table
+    groupBy+HAVING, the plan carries zero base lineage, the
+    transparent answer applies the same filter on the fallback path,
+    and an unknown measure name fails typed."""
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        rewrite_rollup_hierarchy,
+    )
+
+    base, mv, spec, exprs, mv_path = mv_setup
+    aggs = {"sum_qty": ("sum", "l_quantity"), "n_rows": ("count", "*")}
+    # median split so the HAVING is provably selective at any SF
+    unfiltered = rewrite_rollup(
+        mv, spec, ["l_returnflag", "ship_month"], aggs
+    )
+    sums = sorted(r["sum_qty"] for r in unfiltered.collect())
+    cut = float(sums[len(sums) // 2])
+    having = [("sum_qty", ">", cut), ("n_rows", ">=", 5)]
+    got = rewrite_rollup(
+        mv, spec, ["l_returnflag", "ship_month"], aggs, having=having
+    )
+    assert got is not None
+    # zero base lineage: the plan scans only MV storage
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan
+    files = got.inputFiles()
+    assert files and all(os.path.basename(mv_path) in f for f in files)
+    truth = (
+        base.groupBy(
+            "l_returnflag", F.month("l_shipdate").alias("ship_month")
+        )
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter((F.col("sum_qty") > cut) & (F.col("n_rows") >= 5))
+    )
+    keys = ["l_returnflag", "ship_month", "sum_qty", "n_rows"]
+    assert _rows(got, keys) == _rows(truth, keys)
+    # the filter is selective AND non-empty (median split)
+    assert 0 < got.count() < len(sums)
+
+    # transparent answer: both paths apply HAVING, one shape
+    mv_ans, used = answer_rollup(
+        base, mv, spec, ["l_returnflag", "ship_month"], aggs,
+        exprs=exprs, having=having,
+    )
+    assert used
+    fb_aggs = {"sum_tax": ("sum", "l_tax"), "n_rows": ("count", "*")}
+    fb_ans, used_fb = answer_rollup(
+        base, mv, spec, ["l_returnflag", "ship_month"], fb_aggs,
+        exprs=exprs, having=[("n_rows", ">=", 5)],
+    )
+    assert not used_fb  # l_tax not stored → base path
+    fb_truth = (
+        base.groupBy(
+            "l_returnflag", F.month("l_shipdate").alias("ship_month")
+        )
+        .agg(
+            F.sum("l_tax").alias("sum_tax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") >= 5)
+    )
+    fkeys = ["l_returnflag", "ship_month", "sum_tax", "n_rows"]
+    assert _rows(fb_ans, fkeys) == _rows(fb_truth, fkeys)
+
+    # HAVING through the grouping-sets composition (per-leg, SQL
+    # semantics: every output group belongs to exactly one set)
+    gs = rewrite_rollup_hierarchy(
+        mv, spec, ["l_returnflag", "ship_month"], aggs, having=having
+    )
+    assert gs is not None
+    legs = (
+        rewrite_rollup(mv, spec, s, aggs, having=having)
+        for s in (["l_returnflag", "ship_month"], ["l_returnflag"], [])
+    )
+    assert gs.count() == sum(x.count() for x in legs)
+
+    # unknown measure name: typed, at call time
+    with pytest.raises(ValueError, match="not an output measure"):
+        rewrite_rollup(
+            mv, spec, ["l_returnflag"], aggs,
+            having=[("nope", ">", 1)],
+        )
+
+
 def test_grouping_sets_empty_list_raises_typed(mv_setup):
     """Round-7 advice (low): an EMPTY list of grouping sets is a
     caller error — ValueError, not IndexError on parts[0]; the

@@ -353,3 +353,81 @@ def test_no_cartesian_products_registry_wide(registry_plans):
         if "CartesianProduct" in plan
     ]
     assert not offenders, f"CartesianProduct planned in: {offenders}"
+
+
+# The third registry-wide gate (judge r7 #6): bounded-side joins must
+# BROADCAST. The window gate catches single-task total orders, the
+# cartesian gate catches both-sides-big all-pairs; this one catches
+# the remaining audited anti-pattern — a KB-scale side (centroids,
+# codebooks, fixed query sets, sketches, bucket boundaries) silently
+# degrading to SortMergeJoin when an explicit F.broadcast() hint is
+# dropped or an operator change re-shapes the join. Two tiers, same
+# allowlist discipline as the other gates (every entry says WHY):
+#
+# - queries whose ONLY joins are bounded-side: SortMergeJoin must not
+#   appear at all, and at least one Broadcast*Join must;
+# - queries that mix bounded-side joins with legitimate big-to-big
+#   equi-joins (probe⋈cells on cent_id, truth⋈candidate pair sets):
+#   the broadcast-join count must not drop below today's floor (a
+#   dropped hint converts one broadcast to a shuffle join and the
+#   floor fires).
+_BROADCAST_ONLY = {
+    # why each query's every join side is bounded:
+    "bloom_membership_probe": "bloom bitmap rows (fixed m) probe-joined",
+    "countmin_top20_tokens": "≤4096-row CMS table",
+    "core_distance_k5": "sampled centroid table + probe pairs",
+    "knn_bruteforce_top5": "broadcast query frame into corpus scan",
+    "knn_bruteforce_fixedq": "fixed 500-query frame",
+    "knn_label_agreement": "broadcast query frame",
+    "knn_lsh_top5": "hyperplane buckets equi-join; plane set bounded",
+    "lsh_band_sensitivity": "band tables are grouped MinHash rows",
+    "lsh_tables_recall_curve": "per-table bucket joins + truth set",
+    "minhash_lsh_candidates": "band-bucket equi-join, keys bounded",
+    "minhash_lsh_candidates_zipf": "same, Zipf corpus",
+    "pq_topk_adc": "codebooks (m × |seeds| rows, KBs)",
+    "top1_neighbor_graph_ann": "LSH bucket join over bounded planes",
+    "top1_neighbor_graph_ann4x": "same, 4× tables",
+}
+_BROADCAST_FLOOR = {
+    # query: (min Broadcast*Join count, which join is legitimately SMJ)
+    "ann_recall_at_5": (2, "truth⋈approx pair-set equi-join is corpus-scale"),
+    "core_distance_ivf_agreement": (4, "exact⋈ivf per-vector join"),
+    "hybrid_search_top5": (8, "lexical⋈vector candidate union"),
+    "hybrid_search_fixedq": (8, "lexical⋈vector candidate union"),
+    "ivf_nprobe_recall_tradeoff": (6, "probe⋈cells on cent_id"),
+    "kmeans_refined_cells": (7, "assign⋈points per round"),
+    "knn_ivf_top5": (2, "probe⋈cells on cent_id is corpus-scale"),
+    "knn_ivf_fixedcent": (2, "probe⋈cells on cent_id"),
+    "mannwhitney_click_vs_error": (3, "rank join"),
+    "pq_adc_recall_at5": (4, "truth⋈adc pair join"),
+    "top1_graph_ann_recall": (2, "exact⋈ann per-anchor join"),
+    "top1_graph_ann4x_recall": (4, "exact⋈ann per-anchor join"),
+}
+
+
+def test_bounded_side_joins_broadcast_registry_wide(registry_plans):
+    problems = []
+    for name, why in sorted(_BROADCAST_ONLY.items()):
+        plan = registry_plans[name]
+        if "SortMergeJoin" in plan:
+            problems.append(
+                f"{name}: SortMergeJoin planned but every side is "
+                f"bounded ({why})"
+            )
+        if (
+            "BroadcastHashJoin" not in plan
+            and "BroadcastNestedLoopJoin" not in plan
+        ):
+            problems.append(f"{name}: no broadcast join in plan ({why})")
+    for name, (floor, legit) in sorted(_BROADCAST_FLOOR.items()):
+        plan = registry_plans[name]
+        got = plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+        if got < floor:
+            problems.append(
+                f"{name}: {got} broadcast joins < floor {floor} — a "
+                f"bounded side degraded to a shuffle join (the "
+                f"legitimate non-broadcast join here is: {legit})"
+            )
+    assert not problems, "; ".join(problems)
