@@ -827,7 +827,7 @@ def _layout_block(spark) -> dict:
             dt = time.perf_counter() - t0
             full_t = dt if full_t is None else min(full_t, dt)
         assert pruned_n == full_n, (pruned_n, full_n)
-        return {
+        out = {
             "rows": pruned_n,
             "files_total": total,
             "files_read": len(files),
@@ -836,6 +836,41 @@ def _layout_block(spark) -> dict:
             "pruned_scan_s": round(pruned_t, 3),
             "full_scan_s": round(full_t, 3),
         }
+
+        # round 8: Bloom-index point lookup on a HASH-clustered
+        # layout — the case zone maps are blind to (each key lives in
+        # one file, every file's min/max spans the domain)
+        bpath = os.path.join(tmp, "events_bloom")
+        t0 = time.perf_counter()
+        write_snapshot(
+            read_table(spark, SF1_DIR, "events")
+            .select("event_id", "user_id", "value")
+            .repartition(64, "user_id"),
+            bpath,
+            stats_cols=["user_id"],
+            bloom_cols=["user_id"],
+        )
+        bwrite_s = time.perf_counter() - t0
+        bfiles, btotal = pruned_files(bpath, [("user_id", "==", 123)])
+        t0 = time.perf_counter()
+        bn = read_snapshot_pruned(
+            spark, bpath, [("user_id", "==", 123)]
+        ).count()
+        bscan_s = time.perf_counter() - t0
+        out["bloom_point_lookup"] = {
+            "rows": bn,
+            "files_total": btotal,
+            "files_read": len(bfiles),
+            "files_skipped": btotal - len(bfiles),
+            "write_s": round(bwrite_s, 3),
+            "pruned_scan_s": round(bscan_s, 3),
+        }
+        print(
+            f"# [sf1-layout] bloom point lookup: {len(bfiles)}/{btotal} "
+            f"files read ({bn} rows, {bscan_s:.3f}s)",
+            file=sys.stderr,
+        )
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -280,6 +280,7 @@ def write_snapshot(
     backend: "CommitBackend | None" = None,
     stats_cols: "Sequence[str] | None" = None,
     commit_meta: dict | None = None,
+    bloom_cols: "Sequence[str] | None" = None,
 ) -> int:
     """Append a new immutable snapshot of ``df`` and commit it —
     poor-man's time travel with the three properties that matter:
@@ -324,10 +325,15 @@ def write_snapshot(
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     df.write.mode("error").parquet(staging)
-    if stats_cols:
+    if stats_cols or bloom_cols:
         # part of the snapshot, so it must land before the claim:
         # the publish rename carries data AND stats atomically
-        _write_file_stats(df.sparkSession, staging, list(stats_cols))
+        _write_file_stats(
+            df.sparkSession,
+            staging,
+            list(stats_cols or []),
+            bloom_cols=list(bloom_cols or []),
+        )
     if commit_meta is not None:
         import json
 
@@ -623,14 +629,116 @@ def _norm_stat(v):
     raise TypeError(f"unsupported stats value type {type(v).__name__}")
 
 
+# ---- file-level Bloom indexes (round 8) --------------------------------
+#
+# Zone maps prune RANGE predicates and need value-clustered layout to
+# bite; a point lookup on a high-cardinality column over a
+# hash-clustered table (each key co-located, but per-file min/max
+# spanning the whole domain) skips nothing. Delta's answer is a
+# per-file Bloom filter index; this is that feature on the snapshot
+# layout: write-time per-file bitmaps for chosen columns ride in the
+# same ``_file_stats.json`` manifest, and ``pruned_files`` tests
+# equality/IN predicates against them — a file is skipped when any of
+# the value's k bit positions is unset (no false skips by
+# construction; false KEEPS at the configured fpr only cost I/O).
+#
+# The hash must be computable identically JVM-side (write) and
+# driver-side (read, without a Spark job): md5 over the value's
+# canonical STRING form, seeded per hash index. Bloom columns are
+# therefore restricted to string/integer columns — the types whose
+# string rendering is identical in Spark's ``cast('string')`` and
+# Python's ``str()`` (floats and timestamps are not; zone maps
+# already serve their range predicates).
+#
+# Sizing: m = 2^17 bits (16 KiB raw, ~22 KiB base64 per file/col),
+# k = 5 → fpr ≈ 0.3% at 10k distinct values per file, ≈ 4% at 30k.
+# At 100 TB the manifest cost is bits × files; size ``bits_log2`` to
+# the per-file distinct count the layout produces (maxPartitionBytes
+# bounds it), and shard the manifest if files reach 10^5+.
+
+_BLOOM_BITS_LOG2 = 17
+_BLOOM_K = 5
+
+
+def _bloom_positions_expr(col: str, k: int, m: int):
+    """Spark-side k bit positions for a column value: md5 over the
+    seeded canonical string, first 15 hex chars (60 bits, fits a
+    long) mod m. Must stay in lock-step with
+    :func:`_bloom_value_positions`."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"), F.col(col).cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def _bloom_value_positions(value, k: int, m: int) -> list[int]:
+    """Driver-side twin of :func:`_bloom_positions_expr` — no Spark
+    job at planning time."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            "bloom pruning supports int/string values only (canonical "
+            f"string form must match Spark's cast); got "
+            f"{type(value).__name__}"
+        )
+    s = str(value)
+    return [
+        int(
+            hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16
+        ) % m
+        for i in range(k)
+    ]
+
+
+def _bloom_contains(b64_bitmap: str, positions: list[int]) -> bool:
+    """All k positions set? False → the value is PROVABLY absent."""
+    import base64
+
+    bits = base64.b64decode(b64_bitmap)
+    for p in positions:
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def _write_file_stats(
-    spark: SparkSession, data_dir: str, cols: list[str]
+    spark: SparkSession,
+    data_dir: str,
+    cols: list[str],
+    bloom_cols: "list[str] | None" = None,
+    bloom_bits_log2: int = _BLOOM_BITS_LOG2,
+    bloom_k: int = _BLOOM_K,
 ) -> None:
     """One distributed agg over the just-written files (hot in page
     cache): per-file min/max/null-count for ``cols`` plus row count,
     keyed by file BASENAME (the directory gets renamed at claim time).
     Collect is one row per data file — metadata-sized, never data.
-    The ``_``-prefixed JSON is invisible to Spark's parquet reader."""
+    The ``_``-prefixed JSON is invisible to Spark's parquet reader.
+
+    ``bloom_cols`` adds per-file Bloom bitmaps (see the block comment
+    above): a second distributed agg collects each file's SET BIT
+    POSITIONS (bounded by m = 2^bloom_bits_log2 per file regardless
+    of row count — the positions set saturates, never grows with
+    data), packed driver-side into base64 bitmaps."""
+    import base64
     import json
 
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -660,8 +768,53 @@ def _write_file_stats(
                 for c in cols
             },
         }
+    manifest = {"cols": cols, "files": files}
+
+    bloom_cols = list(bloom_cols or [])
+    if bloom_cols:
+        m = 1 << bloom_bits_log2
+        allowed = {"string", "int", "bigint", "smallint", "tinyint"}
+        staged = spark.read.parquet(data_dir)
+        dtypes = dict(staged.dtypes)
+        bad = [
+            c for c in bloom_cols if dtypes.get(c, "?") not in allowed
+        ]
+        if bad:
+            raise TypeError(
+                f"bloom_cols must be string/integer columns, got "
+                f"{[(c, dtypes.get(c)) for c in bad]} — the write/read "
+                "hashes meet on the canonical string form"
+            )
+        for c in bloom_cols:
+            pos_rows = (
+                staged.filter(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("__file"),
+                    F.explode(
+                        _bloom_positions_expr(c, bloom_k, m)
+                    ).alias("__pos"),
+                )
+                .groupBy("__file")
+                .agg(F.collect_set("__pos").alias("__positions"))
+                .collect()
+            )
+            for r in pos_rows:
+                base = os.path.basename(r["__file"].split("?", 1)[0])
+                bits = bytearray(m >> 3)
+                for p in r["__positions"]:
+                    bits[p >> 3] |= 1 << (p & 7)
+                files.setdefault(base, {"n_rows": 0, "cols": {}})
+                files[base].setdefault("bloom", {})[c] = (
+                    base64.b64encode(bytes(bits)).decode()
+                )
+        manifest["bloom"] = {
+            "cols": bloom_cols,
+            "bits_log2": bloom_bits_log2,
+            "k": bloom_k,
+        }
+
     with open(os.path.join(data_dir, _FILE_STATS), "w") as f:
-        json.dump({"cols": cols, "files": files}, f)
+        json.dump(manifest, f)
 
 
 def _compute_file_stats(
@@ -742,7 +895,15 @@ def pruned_files(
     total file count). Metadata-only — no parquet footer is opened
     for a skipped file, which is the point at 100 TB / 100k files:
     planning cost is one small JSON, not a listing + footer read per
-    file. A snapshot written without stats prunes nothing."""
+    file. A snapshot written without stats prunes nothing.
+
+    ``==``/``in`` predicates on columns written with ``bloom_cols``
+    additionally test the per-file Bloom bitmaps (round 8) — the
+    point-lookup prune zone maps cannot give on hash-clustered
+    high-cardinality columns. A file whose bloom proves the value
+    absent is skipped; bloom false-positives only cost I/O, and
+    files without a bloom (pre-index versions, DML rewrites) are
+    kept conservatively."""
     import json
 
     if backend is not None:
@@ -772,13 +933,49 @@ def pruned_files(
             (p[0], p[1], p[2] if len(p) > 2 else None) for p in predicates
         )
     ]
+    # Bloom-index positions, computed ONCE per (col, value) — the
+    # per-file test is then k bit lookups. Only ==/in predicates on
+    # written bloom columns participate; everything else (and any
+    # non-int/str value) falls through to zone maps alone.
+    bloom_cfg = manifest.get("bloom")
+    bloom_pos: dict[tuple[str, object], list[int]] = {}
+    if bloom_cfg:
+        m = 1 << bloom_cfg["bits_log2"]
+        k = bloom_cfg["k"]
+        for c, op, val in preds:
+            if c not in bloom_cfg["cols"] or op not in ("==", "in"):
+                continue
+            for v in val if op == "in" else [val]:
+                try:
+                    bloom_pos[(c, v)] = _bloom_value_positions(v, k, m)
+                except TypeError:
+                    pass  # unsupported value type: zone maps only
+
+    def _bloom_ok(st: dict, c: str, op: str, val) -> bool:
+        blooms = st.get("bloom")
+        if not blooms or c not in blooms:
+            return True  # file predates the index: conservative
+        if op == "==":
+            pos = bloom_pos.get((c, val))
+            return pos is None or _bloom_contains(blooms[c], pos)
+        if op == "in":
+            return any(
+                bloom_pos.get((c, v)) is None
+                or _bloom_contains(blooms[c], bloom_pos[(c, v)])
+                for v in val
+            )
+        return True
+
     keep = []
     for n in data:
         st = manifest["files"].get(n)
         if st is None:
             keep.append(n)  # file without stats: conservative
             continue
-        if all(_file_survives(st, c, op, val) for c, op, val in preds):
+        if all(
+            _file_survives(st, c, op, val) and _bloom_ok(st, c, op, val)
+            for c, op, val in preds
+        ):
             keep.append(n)
     return [os.path.join(snap_dir, n) for n in keep], len(data)
 
@@ -894,6 +1091,7 @@ def write_snapshot_audited(
     backend: "CommitBackend | None" = None,
     stats_cols: "Sequence[str] | None" = None,
     commit_meta: dict | None = None,
+    bloom_cols: "Sequence[str] | None" = None,
 ):
     """Iceberg's write-audit-publish on the snapshot layout: stage
     the data, audit THE STAGED FILES with a declarative expectation
@@ -934,8 +1132,13 @@ def write_snapshot_audited(
             + ", ".join(f"{n} ({v} violations)" for n, v in failed)
             + f"; staged data kept at {staging}"
         )
-    if stats_cols:
-        _write_file_stats(spark, staging, list(stats_cols))
+    if stats_cols or bloom_cols:
+        _write_file_stats(
+            spark,
+            staging,
+            list(stats_cols or []),
+            bloom_cols=list(bloom_cols or []),
+        )
     if commit_meta is not None:
         import json
 
@@ -1223,13 +1426,24 @@ def optimize_snapshot(
         df = zorder_by(df, tuple(zorder_cols), partitions=partitions)
     elif partitions:
         df = df.coalesce(partitions)
-    if stats_cols is None:
-        stats_path = os.path.join(be.data_dir(path, v), _FILE_STATS)
-        if os.path.exists(stats_path):
-            with open(stats_path) as f:
-                stats_cols = json.load(f)["cols"]
+    bloom_cols = None
+    stats_path = os.path.join(be.data_dir(path, v), _FILE_STATS)
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prev = json.load(f)
+        if stats_cols is None:
+            stats_cols = prev["cols"]
+        # bloom indexes survive OPTIMIZE: same columns, same config
+        # as the previous manifest (DML-rewritten files drop their
+        # bloom conservatively; the rewrite restores it)
+        bloom_cols = prev.get("bloom", {}).get("cols")
     return write_snapshot(
-        df, path, max_retries=max_retries, backend=be, stats_cols=stats_cols
+        df,
+        path,
+        max_retries=max_retries,
+        backend=be,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )
 
 
