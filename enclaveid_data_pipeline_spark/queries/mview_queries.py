@@ -317,3 +317,154 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count__cents").cast("long").alias("n_vals"),
         F.col("count__rows").cast("long").alias("n_rows"),
     )
+
+
+def _cust_nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star dimension: customer → nation name, keyed to the
+    FACT's join column name so the enrich join is a same-name
+    equi-join. Bounded (|customer| rows of 2 columns) — broadcast by
+    the operators that consume it."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(F.col("c_custkey").alias("o_custkey"), "n_name")
+
+
+_STAR_SPEC = plan_mview(
+    group_cols=["n_name", "o_month"],
+    measures=[("sum", "cents"), ("count", "cents"), ("count", "*")],
+)
+
+
+@register(
+    "mv_star_rollup",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM (
+        SELECT n.n_name,
+               month(o.o_orderdate) AS o_month,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE o_month BETWEEN 3 AND 9
+    GROUP BY n_name
+    """,
+)
+def mv_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-schema MV rewrite (round 8): the view is built over the
+    fact⋈dim join (orders ⋈ customer ⋈ nation) at (nation, month)
+    grain — build_mview takes any FRAME, so aggregate navigation
+    over a star join needs no new algebra — and the month-filtered
+    nation rollup is answered by rewrite_rollup from ~|grain| MV
+    rows. At 100 TB this is THE dashboard shape: the fact⋈dim join
+    and the fact scan are both paid once at view build; every query
+    at-or-above the grain scans megabytes. The DuckDB oracle runs
+    the full join + GROUP BY on base tables — a hash match proves
+    the join-grain algebra end-to-end. Exact integer cents (registry
+    money convention)."""
+    orders = read_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_custkey",
+        F.month("o_orderdate").alias("o_month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    star = fact.join(_cust_nation_dim(spark, sf_dir), "o_custkey")
+    mv = build_mview(star, _STAR_SPEC)
+    out = rewrite_rollup(
+        mv,
+        _STAR_SPEC,
+        ["n_name"],
+        aggs={"sum_cents": ("sum", "cents"), "n_rows": ("count", "*")},
+        filters=[("o_month", "between", (3, 9))],
+    )
+    if out is None:
+        raise RuntimeError("star MV rewrite unexpectedly rejected")
+    return out.select(
+        "n_name",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("n_rows").alias("n_rows"),
+    )
+
+
+@register(
+    "mv_star_incremental",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0
+                    THEN 1 + (o_custkey % 100)
+                    ELSE o_custkey END AS o_custkey,
+               CAST(round((o_totalprice
+                    + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                    * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT n.n_name,
+           CAST(sum(b.cents) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM b
+    JOIN customer c ON b.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def mv_star_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aware IVM (round 8,
+    operators.mview.refresh_star_mview_incremental): a star-grain MV
+    (orders ⋈ customer ⋈ nation → per-nation totals) maintained from
+    the FACT change feed alone — each change image joins to the
+    broadcast dimension to resolve its nation, then retraction IVM
+    folds it; the fact⋈dim join never re-runs over the fact table.
+    The A→B churn exercises every class including CROSS-GROUP MOVES:
+    B re-assigns every %7 order to customer ``1 + (o_custkey % 100)``
+    (retract under the old nation, credit under the new), bumps %4
+    prices (same-group value update), drops %3 (deletes incl.
+    group-emptying) and restores %5 (inserts). The oracle computes
+    straight from state B's full join — a hash match proves
+    incremental == rebuild across the join. Exact integer cents."""
+    from ..operators.cdc import table_changes
+    from ..operators.mview import refresh_star_mview_incremental
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents_a = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_b = F.round(
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        * 100
+    ).cast("long")
+    cust_b = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.lit(1) + (F.col("o_custkey") % 100),
+    ).otherwise(F.col("o_custkey"))
+    state_a = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", cents_a.alias("cents")
+    )
+    state_b = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", cust_b.alias("o_custkey"), cents_b.alias("cents")
+    )
+    dim = _cust_nation_dim(spark, sf_dir)
+    spec = _STAR_SPEC
+    # the MV for THIS view is at nation grain only (no month): a
+    # dedicated spec keeps the test sharp
+    spec = plan_mview(
+        ["n_name"], [("sum", "cents"), ("count", "cents"), ("count", "*")]
+    )
+    mv_a = build_mview(state_a.join(dim, "o_custkey"), spec)
+    feed = table_changes(state_a, state_b, ["o_orderkey"])
+    refreshed = refresh_star_mview_incremental(
+        mv_a, spec, feed, dim, "o_custkey"
+    )
+    return refreshed.select(
+        "n_name",
+        F.col("sum__cents").cast("long").alias("sum_cents"),
+        F.col("count__rows").cast("long").alias("n_rows"),
+    )

@@ -472,3 +472,43 @@ def test_incremental_refresh_guards(spark):
     mv2 = build_mview(df, no_rowcount)
     with pytest.raises(ValueError, match="count"):
         refresh_mview_incremental(mv2, no_rowcount, df)
+
+
+def test_star_incremental_cross_group_move(spark):
+    """refresh_star_mview_incremental: an update that MOVES a fact
+    row between dim keys retracts under the old attribute and
+    credits under the new (both change images join the dim
+    independently); inserts/deletes fold; incremental == rebuild."""
+    from enclaveid_data_pipeline_spark.operators.cdc import table_changes
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        build_mview,
+        plan_mview,
+        refresh_star_mview_incremental,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "US"), (2, "US"), (3, "DE"), (4, "FR")],
+        "cust int, region string",
+    )
+    a = spark.createDataFrame(
+        [(10, 1, 100), (11, 3, 50), (12, 3, 70), (13, 4, 30)],
+        "k int, cust int, cents long",
+    )
+    # churn: k=10 moves US→DE (cust 1→3), k=11 value-updates in DE,
+    # k=12 deleted (DE loses a row), k=14 inserted into FR, k=15
+    # inserted with NO dim match (must contribute nothing)
+    b = spark.createDataFrame(
+        [(10, 3, 100), (11, 3, 55), (13, 4, 30), (14, 4, 10), (15, 9, 99)],
+        "k int, cust int, cents long",
+    )
+    spec = plan_mview(
+        ["region"], [("sum", "cents"), ("count", "cents"), ("count", "*")]
+    )
+    mv_a = build_mview(a.join(dim, "cust"), spec)
+    feed = table_changes(a, b, ["k"])
+    got = refresh_star_mview_incremental(mv_a, spec, feed, dim, "cust")
+    rebuild = build_mview(b.join(dim, "cust"), spec)
+    keys = ["region", "sum__cents", "count__cents", "count__rows"]
+    assert _rows(got, keys) == _rows(rebuild, keys)
+    vals = {r["region"]: r["sum__cents"] for r in got.collect()}
+    assert vals == {"DE": 155, "FR": 40}  # US emptied, no-match dropped
