@@ -904,3 +904,117 @@ def bloom_membership(
     return probes.join(hits, on=id_col, how="left").withColumn(
         "maybe_member", F.coalesce("maybe_member", F.lit(False))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    max_dist: int = 3,
+    key_len: int = 40,
+    block_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """ALL pairs within Levenshtein distance ``max_dist`` on a
+    fixed-length prefix key — LOSSLESS pigeonhole segment filtering
+    (the PassJoin family), the edit-distance member of the
+    candidates-then-verify dedup suite (round 8).
+
+    ``blocked_edit_linkage`` trades recall for its cheap block key
+    (lossy by design, documented there); this operator is the exact
+    twin. The filter is a theorem, not a heuristic: partition the
+    left key into ``max_dist + 1`` equal segments — at most
+    ``max_dist`` edits cannot touch them all, so if
+    ``ed(A, B) <= k`` some segment of A occurs VERBATIM in B, and
+    within position shift ``<= k`` (at most k net
+    insertions/deletions precede it). Candidates are therefore an
+    equi-join of left segments against right sliding windows of the
+    same length with ``|shift| <= k`` — and ``levenshtein`` runs on
+    candidates alone, never on an all-pairs product.
+
+    The key is ``rpad(substr(text, 1, key_len), key_len)``: fixed
+    length makes the segmentation static (prefix-key distance is the
+    declared semantics; an oracle mirrors it verbatim, and the
+    empirical check at two SFs reproduces the brute-force pair set
+    exactly). ``key_len`` must be divisible by ``max_dist + 1``.
+
+    Plan shape at scale: explode (k+1 segments left, ~key_len
+    windows right) → shuffle equi-join on the SEGMENT STRING — long,
+    high-entropy keys, so posting lists stay short even on repetitive
+    corpora where q-gram count filters explode (their 2-grams
+    collapse to a tiny alphabet; 10-char segments do not). Unlike
+    q-gram counting there is no groupBy-count: one join + distinct.
+    ``block_cols`` (source, lang) further cap list length when the
+    semantics want within-block pairs. Returns (left_id, right_id,
+    dist), left < right, dist <= max_dist."""
+    n_seg = max_dist + 1
+    if key_len % n_seg:
+        raise ValueError(
+            f"key_len={key_len} must divide into {n_seg} equal "
+            f"segments (max_dist + 1)"
+        )
+    seg_len = key_len // n_seg
+    blocks = list(block_cols)
+    bcols = [f"__b{i}" for i in range(len(blocks))]
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(b) for c, b in zip(blocks, bcols)],
+        F.rpad(F.substring(key, 1, key_len), key_len, " ").alias("__key"),
+    )
+    segs = keyed.select(
+        F.col("__id").alias("left_id"),
+        F.col("__key").alias("__lk"),
+        *[F.col(b).alias(f"l{b}") for b in bcols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i * seg_len + 1).alias("st"),
+                        F.substring(
+                            F.col("__key"), i * seg_len + 1, seg_len
+                        ).alias("s"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("__seg"),
+    )
+    wins = keyed.select(
+        F.col("__id").alias("right_id"),
+        F.col("__key").alias("__rk"),
+        *[F.col(b).alias(f"r{b}") for b in bcols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("st"),
+                        F.substring(F.col("__key"), i + 1, seg_len).alias(
+                            "s"
+                        ),
+                    )
+                    for i in range(key_len - seg_len + 1)
+                ]
+            )
+        ).alias("__win"),
+    )
+    on = (
+        (segs["__seg"]["s"] == wins["__win"]["s"])
+        & (
+            F.abs(segs["__seg"]["st"] - wins["__win"]["st"])
+            <= F.lit(max_dist)
+        )
+        & (segs["left_id"] < wins["right_id"])
+    )
+    for b in bcols:
+        on = on & (segs[f"l{b}"] == wins[f"r{b}"])
+    cand = (
+        segs.join(wins, on)
+        .select("left_id", "right_id", "__lk", "__rk")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("__lk"), F.col("__rk")).cast("long")
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+        .select("left_id", "right_id", "dist")
+    )

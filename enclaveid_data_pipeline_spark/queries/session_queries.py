@@ -1201,3 +1201,58 @@ def tws_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_late",
     )
+
+
+@register(
+    "acf_daily_counts",
+    oracle="""
+    WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    )
+    SELECT l.lag AS lag,
+           round(corr(a.cnt, b.cnt), 4) AS acf,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM generate_series(1, 7) l(lag)
+    JOIN d a ON true
+    JOIN d b ON b.day = a.day + l.lag
+    GROUP BY l.lag
+    """,
+)
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7 (round 8) — the weekly-seasonality diagnostic next to
+    hourly_seasonality's profile and cusum_daily_drift's changepoint:
+    a lag-7 peak says the weekly cycle dominates, lag-1 says
+    momentum. Computed as Pearson r between the series and its
+    lag-shifted self via an equi-join on day numbers — no window
+    over an unbounded series, no driver-side pandas; the daily
+    aggregate is |days| rows (bounded by the time span, not the
+    corpus), so every per-lag join is metadata-sized. Pearson r is
+    scale-free (sample/population factors cancel), so both engines
+    compute the identical ratio; round(4) per registry float
+    convention."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lagged = daily.select(
+        "day",
+        F.col("cnt").alias("cnt_a"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag"),
+    ).withColumn("day_b", F.col("day") + F.col("lag"))
+    right = daily.select(
+        F.col("day").alias("day_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        lagged.join(right, "day_b")
+        .groupBy("lag")
+        .agg(
+            F.round(F.corr("cnt_a", "cnt_b"), 4).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

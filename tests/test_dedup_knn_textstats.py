@@ -505,3 +505,78 @@ def test_prefix_filtered_rejects_unknown_order():
 
     with pytest.raises(ValueError, match="order"):
         prefix_filtered_jaccard_pairs(None, "id", F.col("x"), order="tf")
+
+
+def test_edit_distance_pairs_equals_bruteforce(spark):
+    """PassJoin pigeonhole is LOSSLESS: on adversarial near-dup
+    strings (seeded mutations over a tiny alphabet — the worst case
+    for gram-based filters) the operator's pair set equals a
+    Python-DP brute force over all pairs, exactly."""
+    import random
+
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(8)
+    base = ["".join(rng.choice("abcd ") for _ in range(45)) for _ in range(12)]
+    rows = []
+    for i in range(80):
+        s = list(rng.choice(base))
+        for _ in range(rng.randrange(0, 6)):  # 0..5 edits
+            op = rng.choice("sid")
+            p = rng.randrange(len(s))
+            if op == "s":
+                s[p] = rng.choice("abcd ")
+            elif op == "i":
+                s.insert(p, rng.choice("abcd "))
+            elif len(s) > 1:
+                del s[p]
+        rows.append((i, "".join(s)))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def key(t):
+        return (t[:40] + " " * 40)[:40]
+
+    want = sorted(
+        (a, b, lev(key(ta), key(tb)))
+        for (a, ta) in rows
+        for (b, tb) in rows
+        if a < b and lev(key(ta), key(tb)) <= 3
+    )
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.left_id, r.right_id, r.dist)
+        for r in edit_distance_pairs(
+            df, "doc_id", F.col("text"), max_dist=3, key_len=40
+        ).collect()
+    )
+    assert got == want and len(want) > 20
+
+    # block_cols restrict pairs to within-block, same exactness
+    df2 = df.withColumn("grp", F.col("doc_id") % 2)
+    got2 = sorted(
+        (r.left_id, r.right_id, r.dist)
+        for r in edit_distance_pairs(
+            df2, "doc_id", F.col("text"), max_dist=3, key_len=40,
+            block_cols=("grp",),
+        ).collect()
+    )
+    assert got2 == [t for t in want if t[0] % 2 == t[1] % 2]
+
+    # degenerate segmentation is a typed error
+    import pytest
+
+    with pytest.raises(ValueError, match="equal segments"):
+        edit_distance_pairs(df, "doc_id", F.col("text"), max_dist=3,
+                            key_len=41)
