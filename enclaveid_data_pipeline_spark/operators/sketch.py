@@ -220,3 +220,91 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             4,
         ).alias("estimate")
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item: Column,
+    phi: float,
+    item_name: str = "item",
+) -> DataFrame:
+    """EXACT φ-heavy hitters (all items with frequency > φ·N) without
+    ever shuffling the full vocabulary — per-partition Misra-Gries
+    candidates, then exact counting of candidates only (round 8).
+
+    The two-pass shape mirrors the suite's other lossless
+    candidates-then-verify operators (PPJoin, PassJoin): pass 1 runs
+    a bounded Misra-Gries summary of k = ⌈1/φ⌉ counters inside each
+    partition (mapInPandas — per-BATCH value_counts folded into one
+    dict, so the Python work is Arrow-vectorized per batch, and
+    state is k counters regardless of partition size). Losslessness
+    is two theorems: (a) MG with k counters retains every item whose
+    partition frequency exceeds n_p/(k+1); (b) pigeonhole — an item
+    with global frequency > φ·N must exceed φ·n_p in SOME partition,
+    and φ ≥ 1/(k+1) by choice of k. Union of partition summaries ⊇
+    the true heavy hitters. Pass 2 semi-joins the corpus to the
+    candidate set (broadcast — ≤ partitions·k rows) and counts
+    exactly; the final filter ``cnt > φ·N`` makes the output EXACT,
+    so a plain GROUP BY/HAVING oracle pins it.
+
+    At 100 TB the shuffle carries |candidates| ≤ partitions·k keys
+    instead of |vocabulary| — the same reason count-min exists, but
+    with exact counts and zero false positives/negatives in the
+    output. Returns (item, cnt, share) ordered nowhere (callers
+    sort)."""
+    import math
+
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    k = math.ceil(1.0 / phi)
+
+    items = df.select(item.cast("string").alias(item_name)).filter(
+        F.col(item_name).isNotNull()
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for val, c in pdf[item_name].value_counts().items():
+                c = int(c)
+                if val in counters:
+                    counters[val] += c
+                elif len(counters) < k:
+                    counters[val] = c
+                else:
+                    # decrement-all by the min headroom; batch-sized
+                    # decrements keep this O(k) amortized per batch
+                    d = min(c, min(counters.values()))
+                    counters = {
+                        v: n - d for v, n in counters.items() if n > d
+                    }
+                    if c > d:
+                        counters[val] = c - d
+        yield pd.DataFrame({item_name: list(counters.keys())})
+
+    candidates = (
+        items.mapInPandas(_mg, schema=f"{item_name} string")
+        .distinct()
+    )
+    total = items.count()
+    # EXACT threshold: cnt > φ·N compared in integer arithmetic
+    # (cnt·q > N·p with φ = p/q) — a float product is off by an ulp
+    # exactly when cnt sits on the boundary, and different engines
+    # round differently there (registry float-boundary convention)
+    from fractions import Fraction
+
+    frac = Fraction(phi).limit_denominator(10**9)
+    counted = (
+        items.join(F.broadcast(candidates), item_name)
+        .groupBy(item_name)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(
+            F.col("cnt") * F.lit(frac.denominator)
+            > F.lit(total) * F.lit(frac.numerator)
+        )
+    )
+    return counted.withColumn(
+        "share", F.round(F.col("cnt") / F.lit(total), 4)
+    )

@@ -3819,3 +3819,38 @@ def editdist_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         docs, id_col="doc_id", key=F.col("text"), max_dist=3, key_len=40
     ).select("left_id", "right_id", F.col("dist"))
+
+
+@register(
+    "heavy_hitters_zipf_1pct",
+    oracle=f"""{_duck_zipf_toks_cte()}
+    , tok AS (SELECT unnest(t) AS item FROM toks),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT item,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) / (SELECT n FROM tot), 4) AS share
+    FROM tok GROUP BY item
+    HAVING count(*) * 100 > (SELECT n FROM tot)
+    """,
+)
+def heavy_hitters_zipf_1pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1%-heavy hitters over the Zipf token stream (round 8,
+    operators.sketch.heavy_hitters_exact): per-partition Misra-Gries
+    (k=100 bounded counters, Arrow-batched value_counts folds) emits
+    a candidate superset — lossless by the MG retention theorem plus
+    pigeonhole across partitions — and only candidates are counted
+    exactly, so the shuffle carries ≤ partitions·k keys instead of
+    the vocabulary. Complements count-min (approximate, fixed
+    memory, overestimates) with the exact two-pass answer the
+    training-data path wants for vocabulary pruning/stopword
+    derivation. The oracle is the plain GROUP BY/HAVING truth — the
+    threshold compares in integer arithmetic on BOTH sides (cnt·100
+    > N), never a float product an ulp off at the boundary."""
+    from ..functions.zipfmap import zipf_token_rows
+    from ..operators.sketch import heavy_hitters_exact
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = zipf_token_rows(docs)
+    return heavy_hitters_exact(
+        toks, item=F.col("ztok"), phi=0.01, item_name="item"
+    )

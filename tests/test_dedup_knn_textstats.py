@@ -580,3 +580,44 @@ def test_edit_distance_pairs_equals_bruteforce(spark):
     with pytest.raises(ValueError, match="equal segments"):
         edit_distance_pairs(df, "doc_id", F.col("text"), max_dist=3,
                             key_len=41)
+
+
+def test_heavy_hitters_exact_equals_groupby_truth(spark):
+    """Misra-Gries two-pass is EXACT: adversarial spread (the heavy
+    item diluted evenly across many partitions, decoys dominating
+    each partition locally) still yields exactly the GROUP BY/HAVING
+    truth — the MG retention + pigeonhole theorems, not luck."""
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    # 10k rows: 'hot' = 12% (never a local majority anywhere after
+    # round-robin), 'warm' = 5.2%, vocabulary of 2000 cold decoys
+    rows = (
+        [("hot",)] * 1200
+        + [("warm",)] * 520
+        + [(f"cold{i % 2000}",) for i in range(8280)]
+    )
+    df = spark.createDataFrame(rows, "tok string").repartition(32)
+    got = {
+        r.item: (r.cnt, r.share)
+        for r in heavy_hitters_exact(
+            df, F.col("tok"), phi=0.05, item_name="item"
+        ).collect()
+    }
+    assert got == {
+        "hot": (1200, 0.12),
+        "warm": (520, 0.052),
+    }
+    # boundary exactness: share == phi must NOT pass (strict >),
+    # compared in integer arithmetic
+    df2 = spark.createDataFrame(
+        [("a",)] * 50 + [(f"c{i}",) for i in range(950)], "tok string"
+    ).repartition(8)
+    got2 = heavy_hitters_exact(df2, F.col("tok"), phi=0.05).collect()
+    assert got2 == []  # 50/1000 == phi exactly → excluded
+
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters_exact(df, F.col("tok"), phi=1.5)
