@@ -738,7 +738,6 @@ def _write_file_stats(
     POSITIONS (bounded by m = 2^bloom_bits_log2 per file regardless
     of row count — the positions set saturates, never grows with
     data), packed driver-side into base64 bitmaps."""
-    import base64
     import json
 
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -785,28 +784,19 @@ def _write_file_stats(
                 f"{[(c, dtypes.get(c)) for c in bad]} — the write/read "
                 "hashes meet on the canonical string form"
             )
-        for c in bloom_cols:
-            pos_rows = (
-                staged.filter(F.col(c).isNotNull())
-                .select(
-                    F.input_file_name().alias("__file"),
-                    F.explode(
-                        _bloom_positions_expr(c, bloom_k, m)
-                    ).alias("__pos"),
-                )
-                .groupBy("__file")
-                .agg(F.collect_set("__pos").alias("__positions"))
-                .collect()
-            )
-            for r in pos_rows:
-                base = os.path.basename(r["__file"].split("?", 1)[0])
-                bits = bytearray(m >> 3)
-                for p in r["__positions"]:
-                    bits[p >> 3] |= 1 << (p & 7)
-                files.setdefault(base, {"n_rows": 0, "cols": {}})
-                files[base].setdefault("bloom", {})[c] = (
-                    base64.b64encode(bytes(bits)).decode()
-                )
+        import glob as _glob
+
+        data_files = sorted(
+            f
+            for f in _glob.glob(os.path.join(data_dir, "*.parquet"))
+            if not os.path.basename(f).startswith(("_", "."))
+        )
+        for base, col_blooms in _compute_file_blooms(
+            spark, data_files, bloom_cols, bloom_bits_log2, bloom_k
+        ).items():
+            files.setdefault(base, {"n_rows": 0, "cols": {}})[
+                "bloom"
+            ] = col_blooms
         manifest["bloom"] = {
             "cols": bloom_cols,
             "bits_log2": bloom_bits_log2,
@@ -815,6 +805,47 @@ def _write_file_stats(
 
     with open(os.path.join(data_dir, _FILE_STATS), "w") as f:
         json.dump(manifest, f)
+
+
+def _compute_file_blooms(
+    spark: SparkSession,
+    files: list[str],
+    bloom_cols: list[str],
+    bits_log2: int,
+    k: int,
+) -> dict:
+    """Per-file bloom bitmaps for an explicit file list — the
+    rewritten subset of a copy-on-write commit (same role as
+    :func:`_compute_file_stats`). Returns
+    ``{basename: {col: b64_bitmap}}``; per-file state is bounded by
+    m set-bit positions, never row count."""
+    import base64
+
+    if not files or not bloom_cols:
+        return {}
+    m = 1 << bits_log2
+    staged = spark.read.parquet(*files)
+    out: dict = {}
+    for c in bloom_cols:
+        pos_rows = (
+            staged.filter(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("__file"),
+                F.explode(_bloom_positions_expr(c, k, m)).alias("__pos"),
+            )
+            .groupBy("__file")
+            .agg(F.collect_set("__pos").alias("__positions"))
+            .collect()
+        )
+        for r in pos_rows:
+            base = os.path.basename(r["__file"].split("?", 1)[0])
+            bits = bytearray(m >> 3)
+            for p in r["__positions"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            out.setdefault(base, {})[c] = base64.b64encode(
+                bytes(bits)
+            ).decode()
+    return out
 
 
 def _compute_file_stats(
@@ -1323,8 +1354,27 @@ def _rewrite_where(
             kept.update(
                 _compute_file_stats(spark, new_files, manifest["cols"])
             )
+            new_manifest = {"cols": manifest["cols"], "files": kept}
+            bloom_cfg = manifest.get("bloom")
+            if bloom_cfg:
+                # The bloom INDEX CONFIG must survive DML — dropping
+                # it here silently disabled bloom pruning table-wide
+                # after the first delete (round-8 fix). Rewritten
+                # files get their bitmaps recomputed from just those
+                # files, same as their zone maps.
+                new_manifest["bloom"] = bloom_cfg
+                for fname, col_blooms in _compute_file_blooms(
+                    spark,
+                    new_files,
+                    bloom_cfg["cols"],
+                    bloom_cfg["bits_log2"],
+                    bloom_cfg["k"],
+                ).items():
+                    kept.setdefault(fname, {"n_rows": 0, "cols": {}})[
+                        "bloom"
+                    ] = col_blooms
             with open(os.path.join(staging, _FILE_STATS), "w") as f:
-                json.dump({"cols": manifest["cols"], "files": kept}, f)
+                json.dump(new_manifest, f)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

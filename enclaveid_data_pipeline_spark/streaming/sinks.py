@@ -377,6 +377,7 @@ def versioned_snapshot_sink(
     stats_cols: tuple[str, ...] | None = None,
     backend=None,
     stream_id: str = _LEGACY_SNAPSHOT_STREAM,
+    bloom_cols: tuple[str, ...] | None = None,
 ) -> StreamingQuery:
     """Stream → time-travelable table: every micro-batch folds into
     the keyed snapshot (operators.cdc.apply_changes — inserts appear,
@@ -389,7 +390,8 @@ def versioned_snapshot_sink(
     - every trigger's pre-state stays readable (``read_snapshot(...,
       version=v)``) and auditable (``snapshot_changes`` between any
       two versions reconstructs exactly what the stream changed),
-    - ``stats_cols`` zone maps are refreshed per commit, so pruned
+    - ``stats_cols`` zone maps (and ``bloom_cols`` point-lookup
+      Bloom indexes, round 8) are refreshed per commit, so pruned
       point reads stay fast as the stream grows the table,
     - retention is an offline ``vacuum_snapshots``, decoupled from
       ingest.
@@ -439,6 +441,7 @@ def versioned_snapshot_sink(
             path,
             backend=backend,
             stats_cols=list(stats_cols) if stats_cols else None,
+            bloom_cols=list(bloom_cols) if bloom_cols else None,
             commit_meta={
                 "batch_id": batch_id,
                 "streams": {stream_id: batch_id},

@@ -175,3 +175,50 @@ def test_bloom_survives_optimize_and_unsupported_types_degrade(
     files, total = pruned_files(path, [("k", "==", 3.5)])
     got = read_snapshot_pruned(spark, path, [("k", "==", 3.5)])
     assert got.count() == 0 and len(files) >= 1
+
+
+def test_bloom_survives_cow_dml(spark, tmp_path):
+    """Round-8 fix: copy-on-write DML must carry the bloom INDEX
+    CONFIG forward (dropping it silently disabled bloom pruning
+    table-wide after the first delete) and recompute bitmaps for the
+    rewritten files — linked files keep theirs. Post-DML point
+    lookups still skip, still never false-skip, and deleted keys
+    read zero rows."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        delete_where,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "bloom_dml")
+    df = (
+        spark.range(8_000)
+        .select(
+            (F.col("id") % 800).alias("user_id"),
+            (F.col("id") % 5).alias("v"),
+        )
+        .repartition(16, "user_id")
+    )
+    write_snapshot(df, path, stats_cols=["user_id"], bloom_cols=["user_id"])
+    delete_where(spark, path, [("user_id", "==", 123)])
+
+    with open(os.path.join(path, "snap-00002", _FILE_STATS)) as f:
+        manifest = json.load(f)
+    assert manifest["bloom"]["cols"] == ["user_id"]  # config survives
+    assert all("bloom" in st for st in manifest["files"].values())
+
+    # deleted key: bloom of the REWRITTEN file no longer contains it
+    files, total = pruned_files(path, [("user_id", "==", 123)])
+    assert len(files) <= 2 and total == 16
+    assert read_snapshot_pruned(
+        spark, path, [("user_id", "==", 123)]
+    ).count() == 0
+
+    # untouched keys still prune and never false-skip
+    full = read_snapshot(spark, path)
+    for uid in (7, 400, 799):
+        got = read_snapshot_pruned(
+            spark, path, [("user_id", "==", uid)]
+        ).count()
+        assert got == full.filter(F.col("user_id") == uid).count() == 10
+        files, _ = pruned_files(path, [("user_id", "==", uid)])
+        assert len(files) <= 3
