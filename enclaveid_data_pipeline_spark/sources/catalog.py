@@ -165,6 +165,45 @@ class SnapshotCatalog:
             spark, self.table_path(table), version=m[table], backend=self.be
         )
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates,
+        catalog_version: int | None = None,
+    ) -> DataFrame:
+        """:meth:`read` with metadata-only file skipping (round 8):
+        zone maps + Bloom indexes written at commit time
+        (``stats_cols`` / ``bloom_cols``) resolve which files of the
+        catalog-pinned table version can match, and the same
+        predicates re-apply as a residual filter — pruning is purely
+        a performance layer, version resolution stays transactional
+        (pass one ``catalog_version`` to every read for a
+        multi-table-consistent view). Predicate triples as in
+        layout.pruned_files."""
+        from .layout import VacuumedHistoryError, read_snapshot_pruned
+
+        try:
+            m = self.mapping(catalog_version)
+        except OSError as e:
+            raise VacuumedHistoryError(
+                f"catalog version {catalog_version} was vacuumed; "
+                f"retained: {self.versions()}"
+            ) from e
+        if table not in m:
+            raise KeyError(
+                f"table {table!r} not in catalog version "
+                f"{catalog_version if catalog_version is not None else self.current_version()}; "
+                f"tables: {sorted(m)}"
+            )
+        return read_snapshot_pruned(
+            spark,
+            self.table_path(table),
+            predicates,
+            version=m[table],
+            backend=self.be,
+        )
+
     # ---- branch refs ----------------------------------------------
 
     def _ref_path(self, name: str) -> str:
@@ -321,6 +360,7 @@ class SnapshotCatalog:
         max_retries: int = 64,
         meta: dict | None = None,
         branch: str | None = None,
+        bloom_cols: dict[str, list[str]] | None = None,
     ) -> int:
         """Atomically publish new versions of every frame in
         ``tables``. ``meta`` rides in the catalog commit (never in
@@ -346,6 +386,7 @@ class SnapshotCatalog:
                 raise KeyError(f"no branch {branch!r}; create_branch first")
         base_map = self.mapping(base_v)
         stats_cols = stats_cols or {}
+        bloom_cols = bloom_cols or {}
         written = {
             name: write_snapshot(
                 df,
@@ -353,6 +394,7 @@ class SnapshotCatalog:
                 max_retries=max_retries,
                 backend=self.be,
                 stats_cols=stats_cols.get(name),
+                bloom_cols=bloom_cols.get(name),
             )
             for name, df in tables.items()
         }

@@ -334,3 +334,43 @@ def test_remerge_is_idempotent_not_conflicting(spark, tmp_path):
     m2 = cat.merge_branch("dev")
     assert m2 == m1
     assert cat.current_version() == m1
+
+
+def test_catalog_read_pruned_with_bloom(spark, tmp_path):
+    """Round 8: the catalog commit maintains zone maps AND bloom
+    indexes transactionally (stats_cols / bloom_cols per table), and
+    read_pruned serves point lookups with metadata-only file
+    skipping at the catalog-pinned version — results identical to
+    the unpruned read + filter."""
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+    from enclaveid_data_pipeline_spark.sources.layout import pruned_files
+
+    cat = SnapshotCatalog(str(tmp_path / "rp_cat"))
+    df = (
+        spark.range(6_000)
+        .selectExpr("id % 600 AS user_id", "id % 3 AS v")
+        .repartition(12, "user_id")
+    )
+    v1 = cat.commit(
+        {"events": df},
+        stats_cols={"events": ["user_id"]},
+        bloom_cols={"events": ["user_id"]},
+    )
+    got = cat.read_pruned(spark, "events", [("user_id", "==", 77)])
+    assert got.count() == 10
+    files, total = pruned_files(
+        cat.table_path("events"), [("user_id", "==", 77)], backend=cat.be
+    )
+    assert len(files) <= 2 < total == 12
+
+    # version pinning: a later commit rewrites the table; reading at
+    # v1 still prunes against v1's manifest
+    cat.commit(
+        {"events": df.filter("user_id <> 77")},
+        stats_cols={"events": ["user_id"]},
+        bloom_cols={"events": ["user_id"]},
+    )
+    assert cat.read_pruned(
+        spark, "events", [("user_id", "==", 77)], catalog_version=v1
+    ).count() == 10
+    assert cat.read_pruned(spark, "events", [("user_id", "==", 77)]).count() == 0
