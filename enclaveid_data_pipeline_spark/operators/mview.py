@@ -370,6 +370,106 @@ def rewrite_rollup_hierarchy(
     )
 
 
+def advise_mviews(
+    requests: "Sequence[tuple[Sequence[str], Mapping[str, tuple[str, str]]]]",
+    distinct_counts: Mapping[str, int] | None = None,
+    grain_budget: int = 1_000_000,
+) -> list[tuple[MViewSpec, list[int]]]:
+    """Aggregate-advisor (round 8): given a WORKLOAD of rollup
+    queries — ``(group_cols, aggs)`` pairs in :func:`rewrite_rollup`
+    form — recommend the fewest materialized views that answer all
+    of them, each view's grain cardinality bounded by
+    ``grain_budget``.
+
+    The tension the budget encodes: ONE view at the union grain of
+    every query always subsumes the workload, but its row count is
+    the product of the grouping domains — past some size the "view"
+    is just the fact table again and the rewrite stops paying.
+    ``distinct_counts`` supplies per-column domain sizes (from
+    ANALYZE-style stats or HLL sketches; columns missing default to
+    100); estimated grain cardinality is their product. Greedy
+    first-fit-decreasing: queries sorted by grain size descending,
+    each folded into the first advised view whose merged grain stays
+    within budget (measures union for free — they widen rows, not
+    multiply them), else it opens a new view.
+
+    Deterministic (sorted iteration, no randomness). Returns
+    ``[(spec, covered_request_indexes)]`` — by construction every
+    request's ``rewrite_rollup`` against its assigned view succeeds,
+    which the tests pin on real data rather than trusting this
+    docstring. Advice only: building/refreshing the views is the
+    caller's choice of sink, exactly like :func:`build_mview`."""
+    dc = dict(distinct_counts or {})
+
+    def grain_card(cols: frozenset) -> int:
+        est = 1
+        for c in sorted(cols):
+            est *= max(int(dc.get(c, 100)), 1)
+            if est > grain_budget:
+                return est  # early out — already over
+        return est
+
+    def measures_of(aggs: Mapping[str, tuple[str, str]]):
+        out = []
+        for _name, (fn, col) in aggs.items():
+            if fn == "avg":
+                out += [("sum", col), ("count", col)]
+            elif fn in _STORED_KINDS:
+                out.append((fn, col))
+            else:
+                raise ValueError(
+                    f"unsupported query fn {fn!r}; fns: {_QUERY_FNS}"
+                )
+        return out
+
+    order = sorted(
+        range(len(requests)),
+        key=lambda i: (-len(requests[i][0]), sorted(requests[i][0])),
+    )
+    views: list[dict] = []  # {'cols': frozenset, 'measures': list, 'reqs': []}
+    for i in order:
+        gcols, aggs = requests[i]
+        need_cols = frozenset(gcols)
+        need_meas = measures_of(aggs)
+        if grain_card(need_cols) > grain_budget:
+            raise ValueError(
+                f"request {i} groups by {sorted(need_cols)} with "
+                f"estimated cardinality over grain_budget="
+                f"{grain_budget} — no view coarser than the query "
+                "itself can answer it; raise the budget or answer it "
+                "from the base table"
+            )
+        placed = False
+        for v in views:
+            merged = v["cols"] | need_cols
+            if grain_card(merged) <= grain_budget:
+                v["cols"] = merged
+                for m in need_meas:
+                    if m not in v["measures"]:
+                        v["measures"].append(m)
+                v["reqs"].append(i)
+                placed = True
+                break
+        if not placed:
+            views.append(
+                {
+                    "cols": need_cols,
+                    "measures": list(dict.fromkeys(need_meas)),
+                    "reqs": [i],
+                }
+            )
+    return [
+        (
+            MViewSpec(
+                group_cols=tuple(sorted(v["cols"])),
+                measures=tuple(v["measures"]),
+            ),
+            sorted(v["reqs"]),
+        )
+        for v in views
+    ]
+
+
 def refresh_mview_incremental(
     mv: DataFrame,
     spec: MViewSpec,

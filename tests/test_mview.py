@@ -512,3 +512,56 @@ def test_star_incremental_cross_group_move(spark):
     assert _rows(got, keys) == _rows(rebuild, keys)
     vals = {r["region"]: r["sum__cents"] for r in got.collect()}
     assert vals == {"DE": 155, "FR": 40}  # US emptied, no-match dropped
+
+
+def test_advise_mviews_covers_workload_within_budget(mv_setup):
+    """Round 8: the aggregate advisor's output is not advice-shaped
+    prose — every workload query must ACTUALLY rewrite against its
+    assigned view (rewrite_rollup non-None) on real data, view count
+    reacts to the grain budget, and an unanswerable request fails
+    typed."""
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        advise_mviews,
+        build_mview,
+    )
+
+    base, _mv, _spec, exprs, _ = mv_setup
+    workload = [
+        (["l_returnflag"], {"s": ("sum", "l_quantity")}),
+        (["l_returnflag", "l_linestatus"], {"a": ("avg", "l_quantity")}),
+        (["ship_month"], {"n": ("count", "*")}),
+        ([], {"m": ("max", "l_discount")}),
+    ]
+    dc = {"l_returnflag": 3, "l_linestatus": 2, "ship_month": 12}
+
+    # generous budget: one view serves the whole workload
+    advised = advise_mviews(workload, dc, grain_budget=1000)
+    assert len(advised) == 1
+    spec, covered = advised[0]
+    assert covered == [0, 1, 2, 3]
+    mv = build_mview(base, spec, exprs)
+    for i in covered:
+        gcols, aggs = workload[i]
+        assert rewrite_rollup(mv, spec, gcols, aggs) is not None, i
+
+    # tight budget (72 = 3*2*12 just over): splits into >=2 views,
+    # every query still answerable from ITS view
+    advised2 = advise_mviews(workload, dc, grain_budget=12)
+    assert len(advised2) >= 2
+    seen = []
+    for spec2, covered2 in advised2:
+        mv2 = build_mview(base, spec2, exprs)
+        for i in covered2:
+            gcols, aggs = workload[i]
+            assert rewrite_rollup(mv2, spec2, gcols, aggs) is not None, i
+        seen += covered2
+    assert sorted(seen) == [0, 1, 2, 3]  # a partition, no drops
+
+    # a request whose own grain busts the budget is a typed error
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="grain_budget"):
+        advise_mviews(workload, dc, grain_budget=2)
+    # unknown aggregate fn fails at advise time, not build time
+    with _pt.raises(ValueError, match="unsupported query fn"):
+        advise_mviews([(["x"], {"s": ("median", "y")})])
