@@ -308,3 +308,27 @@ def heavy_hitters_exact(
     return counted.withColumn(
         "share", F.round(F.col("cnt") / F.lit(total), 4)
     )
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min sketches (the
+    AGMS/CMS inner-product estimator, round 8): for each hash row,
+    Σ_buckets n_a·n_b equals the true join size plus non-negative
+    collision mass, so the min over rows is an upper-bound estimate
+    of |A ⋈_k B| = Σ_k f_a(k)·f_b(k) — never an underestimate, and
+    within e·N_a·N_b/width of truth with probability 1−2^−depth.
+
+    This is the cardinality-estimation primitive a planner needs to
+    pick join order/strategy BEFORE running the join: both sketches
+    are ≤ depth·width rows built in one pass each (mergeable across
+    shards by counter addition), and the estimate is a join of two
+    KB-scale tables — at 100 TB you never touch the fact tables to
+    size their join. Returns one row: ``est`` (long)."""
+    a = sketch_a.select("row", "bucket", F.col("n").alias("na"))
+    b = sketch_b.select("row", "bucket", F.col("n").alias("nb"))
+    return (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est"))
+    )

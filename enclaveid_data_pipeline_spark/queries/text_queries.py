@@ -1687,3 +1687,103 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.expr("regr_slope(ln(c), ln(r))"), 4).alias("zipf_slope"),
     )
+
+
+_CMS_JOINSIZE_ORACLE = f"""
+    WITH ea AS MATERIALIZED (
+        SELECT user_id::VARCHAR AS item FROM events
+    ), ob AS MATERIALIZED (
+        SELECT o_custkey::VARCHAR AS item FROM orders
+    ), ca AS MATERIALIZED (
+        SELECT r.i AS row,
+               {_CMS_BUCKET.format(row="r.i", item="item")} AS bucket,
+               count(*) AS n
+        FROM ea, unnest(generate_series(0, 3)) AS r(i)
+        GROUP BY 1, 2
+    ), cb AS MATERIALIZED (
+        SELECT r.i AS row,
+               {_CMS_BUCKET.format(row="r.i", item="item")} AS bucket,
+               count(*) AS n
+        FROM ob, unnest(generate_series(0, 3)) AS r(i)
+        GROUP BY 1, 2
+    ), ip AS (
+        SELECT ca.row, sum(ca.n * cb.n) AS ip
+        FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+        GROUP BY ca.row
+    ), est AS (SELECT min(ip) AS est FROM ip),
+    ex AS (
+        SELECT coalesce(sum(a.n * b.n), 0) AS exact_n
+        FROM (SELECT item, count(*) AS n FROM ea GROUP BY 1) a
+        JOIN (SELECT item, count(*) AS n FROM ob GROUP BY 1) b
+          ON a.item = b.item
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM ea) AS na,
+               (SELECT count(*) FROM ob) AS nb
+    )
+    SELECT CAST(est AS BIGINT) AS est,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est - exact_n AS BIGINT) AS overestimate,
+           ((est - exact_n) * 1024 <= 3 * na * nb) AS within_bound
+    FROM est, ex, tot
+"""
+
+
+@register("cms_join_size_gate", oracle=_CMS_JOINSIZE_ORACLE)
+def cms_join_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-SIZE estimation from two count-min sketches (round 8,
+    operators.sketch.cms_inner_product — the AGMS/CMS inner-product
+    estimator): |events ⋈_user orders| = Σ_k f_e(k)·f_o(k) estimated
+    as the min over hash rows of the sketches' bucket-wise dot
+    product, beside the exact size and the Markov bound check
+    ((est−exact)·width ≤ 3·N_e·N_o — integer arithmetic on both
+    sides, 3 > e). Never an underestimate: collisions only ADD mass.
+    This is the planner primitive that sizes a join from two
+    KB-scale one-pass sketches before touching either fact table —
+    at 100 TB the sketches merge across shards by counter addition
+    and the estimate is a 4096-row join."""
+    from ..operators.dedup import tokenize  # noqa: F401 (module convention)
+    from ..operators.sketch import (
+        CMS_WIDTH,
+        cms_inner_product,
+        count_min_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("item")
+    )
+    est = cms_inner_product(count_min_table(ev), count_min_table(orders))
+    exact = (
+        ev.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("ne"))
+        .join(
+            orders.groupBy("item").agg(F.count(F.lit(1)).alias("no")),
+            "item",
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("ne") * F.col("no")), F.lit(0))
+            .cast("long")
+            .alias("exact_n")
+        )
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("na")).crossJoin(
+        F.broadcast(orders.agg(F.count(F.lit(1)).alias("nb")))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("est"),
+            F.col("exact_n"),
+            (F.col("est") - F.col("exact_n")).cast("long").alias(
+                "overestimate"
+            ),
+            (
+                (F.col("est") - F.col("exact_n")) * F.lit(CMS_WIDTH)
+                <= F.lit(3) * F.col("na") * F.col("nb")
+            ).alias("within_bound"),
+        )
+    )
