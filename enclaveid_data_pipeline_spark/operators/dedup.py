@@ -1018,3 +1018,54 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= F.lit(max_dist))
         .select("left_id", "right_id", "dist")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float = 0.8,
+    materialize: str | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT ``C(A→B) = |S_A ∩ S_B| / |S_A|``
+    over all intersecting pairs (round 8) — the asymmetric companion
+    of :func:`jaccard_similarity_pairs`: a document pasted inside a
+    much larger one (quotes, boilerplate inclusion, doc-in-doc
+    training leakage) has containment ≈ 1 while its Jaccard is
+    diluted by the host's size and slips under any symmetric
+    threshold. Same lossless inverted-index shape — C ≥ t > 0
+    requires sharing at least one shingle, so only genuinely
+    overlapping pairs ever materialize — but pairs are DIRECTED
+    (left contained-in right ≠ the reverse), so the shingle
+    self-join keeps both orders. Emits (left_id, right_id,
+    containment) with containment rounded to 6 before the threshold
+    compare (the suite's float convention: the oracle rounds
+    identically, so the cut is engine-stable)."""
+    from ..functions.partitioning import ensure_parallelism
+
+    sh = _materialize(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles)).alias("s"),
+        ),
+        materialize,
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("s"), F.col("id").alias("left_id"))
+    b = sh.select(F.col("s"), F.col("id").alias("right_id"))
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("left_id") != F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("left_id"), F.col("n").alias("na"))
+    return (
+        inter.join(sa, on="left_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("i").cast("double") / F.col("na"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("left_id", "right_id", "containment")
+    )

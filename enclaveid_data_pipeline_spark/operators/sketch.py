@@ -332,3 +332,74 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
         .agg(F.min("ip").cast("long").alias("est"))
     )
+
+
+def column_ndv_estimates(df: DataFrame, cols: "list[str]") -> dict:
+    """Per-column distinct-count estimates in ONE pass (round 8) —
+    the ``distinct_counts`` input :func:`~.mview.advise_mviews`
+    wants, produced by the engine's own HLL instead of a guess:
+    every row contributes one (column, value) pair per requested
+    column via a row-local explode, registers aggregate per
+    (column, bucket), and the driver receives ≤ |cols|·256 rows.
+    Estimates use the same exact-integer harmonic sum as
+    :func:`hll_estimate` (bit-identical across engines); NULLs
+    don't count as a value. Returns ``{col: int_estimate}``."""
+    m = HLL_BUCKETS
+    scale = HLL_SCALE
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cname"),
+                        F.col(c).cast("string").alias("item"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.cname", "p.item").filter(F.col("item").isNotNull())
+    b = (
+        F.conv(F.substring(F.md5(F.col("item")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket")
+    )
+    h = F.conv(F.substring(F.md5(F.col("item")), 3, 13), 16, 10).cast(
+        "long"
+    )
+    regs = (
+        pairs.select("cname", b, h.alias("__h"))
+        .select("cname", "bucket", F.expr(_rho_case("__h")).alias("rho"))
+        .groupBy("cname", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    rows = (
+        regs.groupBy("cname")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST({scale} AS BIGINT) div CAST(pow(2, rho) AS BIGINT)"
+                )
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .collect()  # ≤ |cols| rows — advisor input, not data
+    )
+    import math
+
+    out: dict = {}
+    for r in rows:
+        raw = HLL_EST_NUM / float(
+            r["s_present"] + (m - r["n_present"]) * scale
+        )
+        empty = m - r["n_present"]
+        # standard small-range correction: with empty buckets and a
+        # small raw estimate, linear counting m·ln(m/V) is the better
+        # estimator (raw HLL overestimates tiny cardinalities badly —
+        # a 3-distinct column read 185 without this)
+        if raw <= 2.5 * m and empty > 0:
+            est = m * math.log(m / empty)
+        else:
+            est = raw
+        out[r["cname"]] = max(1, int(round(est)))
+    return out

@@ -3854,3 +3854,43 @@ def heavy_hitters_zipf_1pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(
         toks, item=F.col("ztok"), phi=0.01, item_name="item"
     )
+
+
+@register(
+    "ngram_containment_08",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS s FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           round(i::DOUBLE / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = left_id
+    WHERE round(i::DOUBLE / sa.n, 6) >= 0.8
+    """,
+)
+def ngram_containment_08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment ≥ 0.8 (round 8,
+    operators.dedup.ngram_containment_pairs): catches doc-in-doc
+    inclusion the symmetric Jaccard threshold misses — a short doc
+    fully quoted inside a long one is containment 1.0 but Jaccard
+    |A|/|B|, arbitrarily small. DIRECTED pairs: (a contained-in b)
+    and (b contained-in a) are separate verdicts; exact duplicates
+    appear in both directions at 1.0. Same lossless inverted-index
+    candidates as the Jaccard verify stage."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    return ngram_containment_pairs(
+        toks, id_col="doc_id",
+        shingles=word_shingles(F.col("t"), 3), threshold=0.8,
+    )

@@ -565,3 +565,40 @@ def test_advise_mviews_covers_workload_within_budget(mv_setup):
     # unknown aggregate fn fails at advise time, not build time
     with _pt.raises(ValueError, match="unsupported query fn"):
         advise_mviews([(["x"], {"s": ("median", "y")})])
+
+
+def test_advisor_fed_by_engine_ndv_sketches(mv_setup):
+    """Round 8 glue: advise_mviews' distinct_counts come from the
+    engine's own one-pass HLL (column_ndv_estimates), not a guess —
+    estimates land within 15% of truth on the fixture, and the
+    advised view still answers the workload."""
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        advise_mviews,
+        build_mview,
+    )
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        column_ndv_estimates,
+    )
+
+    base, _mv, _spec, exprs, _ = mv_setup
+    frame = base.withColumn("ship_month", exprs["ship_month"])
+    cols = ["l_returnflag", "l_linestatus", "ship_month"]
+    ndv = column_ndv_estimates(frame, cols)
+    truth = {
+        c: frame.select(c).distinct().count() for c in cols
+    }
+    for c in cols:
+        assert abs(ndv[c] - truth[c]) <= max(1, 0.15 * truth[c]), (
+            c, ndv[c], truth[c],
+        )
+    workload = [
+        (["l_returnflag", "ship_month"], {"s": ("sum", "l_quantity")}),
+        (["l_linestatus"], {"n": ("count", "*")}),
+    ]
+    advised = advise_mviews(workload, ndv, grain_budget=10_000)
+    assert len(advised) == 1
+    spec, covered = advised[0]
+    mv = build_mview(base, spec, exprs)
+    for i in covered:
+        g, a = workload[i]
+        assert rewrite_rollup(mv, spec, g, a) is not None
