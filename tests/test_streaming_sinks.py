@@ -1168,3 +1168,86 @@ def test_catalog_version_as_of_vacuumed_history_returns_none(
     # honest None, never a FileNotFoundError
     assert cat.version_as_of("2026-01-15T00:00:00+00:00") is None
     assert cat.version_as_of("2026-12-01T00:00:00+00:00") == 3
+
+
+def test_catalog_txn_sink_maintains_star_rollup(spark, tmp_path):
+    """Round 8 end-to-end: a streaming fact feed maintains a
+    STAR-grain rollup (fact ⋈ dim → per-region totals) through
+    catalog_txn_sink — fact append and join-aware IVM refresh
+    (refresh_star_mview_incremental, batch rows as insert images)
+    publish in ONE atomic catalog version per micro-batch, and the
+    final rollup equals a full rebuild from the final fact state."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.mview import (
+        build_mview,
+        plan_mview,
+        refresh_star_mview_incremental,
+    )
+    from enclaveid_data_pipeline_spark.sources.catalog import SnapshotCatalog
+    from enclaveid_data_pipeline_spark.streaming.sinks import catalog_txn_sink
+
+    stream_dir = tmp_path / "star_in"
+    stream_dir.mkdir()
+    cat = SnapshotCatalog(str(tmp_path / "star_cat"))
+    schema = "k int, cust int, cents long"
+    dim_rows = [(1, "US"), (2, "US"), (3, "DE"), (4, "FR")]
+    spec = plan_mview(
+        ["region"], [("sum", "cents"), ("count", "cents"), ("count", "*")]
+    )
+
+    def drop(name, rows):
+        staging = tmp_path / "starstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    def build(batch_df, current):
+        sp = batch_df.sparkSession
+        dim = sp.createDataFrame(dim_rows, "cust int, region string")
+        fact = (
+            current["fact"].unionByName(batch_df)
+            if "fact" in current
+            else batch_df
+        )
+        feed = batch_df.withColumn("change_type", F.lit("insert"))
+        if "rollup" in current:
+            rollup = refresh_star_mview_incremental(
+                current["rollup"], spec, feed, dim, "cust"
+            )
+        else:
+            rollup = build_mview(batch_df.join(dim, "cust"), spec)
+        return {"fact": fact, "rollup": rollup}
+
+    q = catalog_txn_sink(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        cat,
+        build,
+        checkpoint_dir=str(tmp_path / "starck"),
+    )
+    try:
+        drop("000", [(1, 1, 100), (2, 3, 50)])
+        q.processAllAvailable()
+        drop("001", [(3, 3, 70), (4, 4, 30), (5, 9, 99)])  # 9: no dim
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dim = spark.createDataFrame(dim_rows, "cust int, region string")
+    rebuild = build_mview(cat.read(spark, "fact").join(dim, "cust"), spec)
+    got = {
+        r.region: (r["sum__cents"], r["count__rows"])
+        for r in cat.read(spark, "rollup").collect()
+    }
+    want = {
+        r.region: (r["sum__cents"], r["count__rows"])
+        for r in rebuild.collect()
+    }
+    assert got == want == {"US": (100, 1), "DE": (120, 2), "FR": (30, 1)}
+    # every micro-batch was one atomic catalog version: fact and
+    # rollup resolve consistently at EACH retained version
+    for v in cat.versions():
+        m = cat.mapping(v)
+        assert ("fact" in m) == ("rollup" in m)
