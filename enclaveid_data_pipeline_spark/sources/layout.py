@@ -344,6 +344,98 @@ def write_snapshot(
 
 _COMMIT_META = "_commit_meta.json"
 
+# ---- merge-on-read deletion vectors (round 8) --------------------------
+#
+# Copy-on-write DML (delete_where/update_where) rewrites every touched
+# FILE to remove a handful of rows — the right trade for bulk deletes,
+# the wrong one for the selective case that dominates in practice
+# (GDPR per-user erasure, revoking one bad document): rewriting a
+# 128 MB file to drop 50 rows is 128 MB of write amplification per
+# file. Delta/Iceberg answer with DELETION VECTORS: the delete commits
+# only a per-file set of deleted ROW POSITIONS; data files are reused
+# verbatim (hardlinked here) and readers anti-join the positions at
+# scan time (merge-on-read). OPTIMIZE compacts the vectors away.
+#
+# Representation: ``_deletion_vectors.json`` in the snapshot dir maps
+# file basename → base64 of sorted uint64-LE row indexes. Cost is
+# 8 bytes per deleted row — the intended regime is SELECTIVE deletes
+# (the driver-side union is O(deleted rows)); bulk deletes should use
+# the COW path, which the docstrings say explicitly. Reader identity
+# comes from parquet ``_metadata.row_index`` (stable per file) and the
+# file's basename; the anti-join side is broadcast (bounded by total
+# deleted rows).
+
+_DELETION_VECTORS = "_deletion_vectors.json"
+
+
+def _pack_positions(positions) -> str:
+    import base64
+    import struct
+
+    pos = sorted(set(int(p) for p in positions))
+    return base64.b64encode(
+        struct.pack(f"<{len(pos)}Q", *pos)
+    ).decode()
+
+
+def _unpack_positions(b64: str) -> list[int]:
+    import base64
+    import struct
+
+    raw = base64.b64decode(b64)
+    return list(struct.unpack(f"<{len(raw) // 8}Q", raw))
+
+
+def _load_dvs(snap_dir: str) -> dict:
+    """``{file_basename: [row_index, ...]}`` or {} when the snapshot
+    carries no deletion vectors."""
+    import json
+
+    p = os.path.join(snap_dir, _DELETION_VECTORS)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: _unpack_positions(v) for k, v in json.load(f).items()}
+
+
+def _write_dvs(snap_dir: str, dvs: dict) -> None:
+    import json
+
+    with open(os.path.join(snap_dir, _DELETION_VECTORS), "w") as f:
+        json.dump({k: _pack_positions(v) for k, v in dvs.items()}, f)
+
+
+def _read_files_with_dvs(
+    spark: SparkSession, files: "list[str]", dvs: dict
+) -> DataFrame:
+    """Read parquet files applying any deletion vectors: rows whose
+    (file basename, row_index) appear in ``dvs`` are anti-joined out.
+    Schema equals a plain read — the metadata helpers never escape.
+    The positions side is broadcast: bounded by deleted rows, the
+    selective-delete regime DVs exist for."""
+    df = spark.read.parquet(*files)
+    relevant = {
+        os.path.basename(f): dvs[os.path.basename(f)]
+        for f in files
+        if os.path.basename(f) in dvs
+    }
+    if not relevant:
+        return df
+    pairs = [
+        (base, int(ri)) for base, pos in relevant.items() for ri in pos
+    ]
+    pos_df = spark.createDataFrame(pairs, "__dv_file string, __dv_ri long")
+    keyed = df.withColumn(
+        "__dv_file",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+    return (
+        keyed.join(
+            F.broadcast(pos_df), on=["__dv_file", "__dv_ri"], how="left_anti"
+        )
+        .drop("__dv_file", "__dv_ri")
+    )
+
 
 def read_commit_meta(
     path: str,
@@ -519,7 +611,7 @@ def read_snapshot(
                 f"snapshot {v} not present at {path} (vacuumed or "
                 f"never committed); retained: {backend.versions(path)}"
             )
-        return spark.read.parquet(d)
+        return _read_snapshot_dir(spark, d)
     v = current_snapshot(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -529,7 +621,23 @@ def read_snapshot(
             f"snapshot {v} not present at {path} (vacuumed or never "
             f"committed); available: {snapshot_versions(path)}"
         )
-    return spark.read.parquet(snap_dir)
+    return _read_snapshot_dir(spark, snap_dir)
+
+
+def _read_snapshot_dir(spark: SparkSession, snap_dir: str) -> DataFrame:
+    """One snapshot version's frame: the plain parquet read, minus
+    any merge-on-read deletion vectors the version carries (round 8
+    — see the _deletion_vectors block below). Versions without DVs
+    read exactly as before."""
+    dvs = _load_dvs(snap_dir) if "://" not in snap_dir else {}
+    if not dvs:
+        return spark.read.parquet(snap_dir)
+    files = sorted(
+        os.path.join(snap_dir, n)
+        for n in os.listdir(snap_dir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    return _read_files_with_dvs(spark, files, dvs)
 
 
 def row_count_hint(
@@ -569,14 +677,24 @@ def row_count_hint(
 
         be = backend if backend is not None else DEFAULT_BACKEND
         v = be.current_version(path) if version is None else version
+        dv_deleted = 0
         if v is not None:
             d = be.data_dir(path, v)
+            # merge-on-read deletion vectors hide rows the files
+            # still physically hold — the hint must subtract them
+            dv_deleted = sum(
+                len(ps) for ps in _load_dvs(d).values()
+            ) if "://" not in d else 0
             stats = os.path.join(d, _FILE_STATS)
             if os.path.exists(stats):
                 with open(stats) as f:
                     manifest = json.load(f)
-                return sum(
-                    int(e["n_rows"]) for e in manifest["files"].values()
+                return (
+                    sum(
+                        int(e["n_rows"])
+                        for e in manifest["files"].values()
+                    )
+                    - dv_deleted
                 )
             path = d  # fall through to footers over the snapshot dir
     except (OSError, ValueError, KeyError, TypeError):
@@ -597,7 +715,10 @@ def row_count_hint(
             return None
         if not files:
             return None
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        # snapshot-dir fall-through: still subtract DV-hidden rows
+        total -= sum(len(ps) for ps in _load_dvs(path).values())
+        return total
     except Exception:
         return None
 
@@ -1061,7 +1182,10 @@ def read_snapshot_pruned(
         # the full snapshot
         full = read_snapshot(spark, path, version=version, backend=backend)
         return full.filter(F.lit(False))
-    return spark.read.parquet(*files).filter(_residual_filter(predicates))
+    dvs = _load_dvs(os.path.dirname(files[0]))
+    return _read_files_with_dvs(spark, files, dvs).filter(
+        _residual_filter(predicates)
+    )
 
 
 def read_snapshot_as_of(
@@ -1310,6 +1434,10 @@ def _rewrite_where(
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     snap_dir = be.data_dir(path, v)
+    # merge-on-read deletion vectors on the current version: touched
+    # files apply them before the rewrite (a DV-deleted row must not
+    # resurrect); untouched files carry their vectors forward
+    dvs = _load_dvs(snap_dir)
     touched, _total = pruned_files(path, predicates, version=v, backend=be)
     touched_base = {os.path.basename(p) for p in touched}
     all_data = sorted(
@@ -1324,11 +1452,14 @@ def _rewrite_where(
     try:
         for n in untouched:
             _link_into(os.path.join(snap_dir, n), staging)
+        carried_dvs = {n: dvs[n] for n in untouched if n in dvs}
+        if carried_dvs:
+            _write_dvs(staging, carried_dvs)
 
         new_files: list[str] = []
         rows_changed = 0
         if touched:
-            df = spark.read.parquet(*touched)
+            df = _read_files_with_dvs(spark, touched, dvs)
             residual = _residual_filter(predicates)
             rows_changed = df.filter(residual).count()
             out = transform(df, residual)
@@ -1385,6 +1516,104 @@ def _rewrite_where(
         "files_rewritten": len(touched),
         "files_linked": len(untouched),
         "rows_matched": rows_changed,
+    }
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    path: str,
+    predicates: "Sequence[tuple]",
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> dict:
+    """``DELETE FROM snapshot WHERE ...`` as MERGE-ON-READ deletion
+    vectors (round 8): the new version HARDLINKS every data file
+    verbatim and commits only the deleted rows' (file, row_index)
+    positions; readers (read_snapshot / read_snapshot_pruned /
+    snapshot_changes / OPTIMIZE) anti-join them at scan time.
+
+    The trade vs :func:`delete_where` (copy-on-write): zero write
+    amplification — deleting 50 rows from a 128 MB file costs 8
+    bytes/row of metadata instead of a 128 MB rewrite — at the price
+    of a broadcast anti-join on every subsequent read until
+    :func:`optimize_snapshot` compacts the vectors away (it reads
+    DV-applied and writes clean files). Intended for SELECTIVE
+    deletes (per-user erasure, revoking single documents): the
+    position set is collected to the driver, so a bulk delete should
+    take the COW path. Sequential MOR deletes union positions;
+    already-deleted rows never recount. Stats/blooms stay those of
+    the underlying files — pruning stays conservative-correct (a
+    kept file's deleted rows vanish in the anti-join).
+
+    Returns {version, files_affected, rows_deleted} — rows_deleted
+    counts NEWLY deleted rows only."""
+    import shutil
+    import uuid
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    v = be.current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    snap_dir = be.data_dir(path, v)
+    prior = {k: set(ps) for k, ps in _load_dvs(snap_dir).items()}
+    touched, _total = pruned_files(path, predicates, version=v, backend=be)
+    residual = _residual_filter(predicates)
+    new_dvs = {k: set(ps) for k, ps in prior.items()}
+    n_new = 0
+    files_affected = 0
+    if touched:
+        # positions of matching rows — metadata columns resolve only
+        # on the raw scan, so capture them FIRST, filter, and drop
+        # already-deleted positions driver-side (the prior sets are
+        # in hand anyway)
+        hits = (
+            spark.read.parquet(*touched)
+            .withColumn(
+                "__f",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .filter(residual)
+            .select("__f", "__ri")
+            .collect()  # O(matching rows): the selective regime
+        )
+        for r in hits:
+            f, ri = r["__f"], int(r["__ri"])
+            if ri in prior.get(f, ()):  # already deleted: no recount
+                continue
+            new_dvs.setdefault(f, set()).add(ri)
+            n_new += 1
+        files_affected = len(
+            {
+                r["__f"]
+                for r in hits
+                if int(r["__ri"]) not in prior.get(r["__f"], ())
+            }
+        )
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    try:
+        for n in sorted(os.listdir(snap_dir)):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                _link_into(os.path.join(snap_dir, n), staging)
+        stats_path = os.path.join(snap_dir, _FILE_STATS)
+        if os.path.exists(stats_path):
+            shutil.copy2(stats_path, os.path.join(staging, _FILE_STATS))
+        if new_dvs:
+            _write_dvs(staging, {k: sorted(ps) for k, ps in new_dvs.items()})
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    new_v = _commit_staging(path, staging, be, max_retries)
+    return {
+        "version": new_v,
+        "files_affected": files_affected,
+        "rows_deleted": n_new,
     }
 
 

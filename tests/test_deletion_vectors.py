@@ -1,0 +1,131 @@
+"""Merge-on-read deletion vectors (round 8): selective deletes commit
+per-file row positions instead of rewriting files; readers anti-join
+them at scan; OPTIMIZE compacts them away. Contract under test: MOR
+and COW deletes are observationally identical to every reader."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.sources.layout import (
+    _DELETION_VECTORS,
+    delete_where,
+    delete_where_mor,
+    optimize_snapshot,
+    read_snapshot,
+    read_snapshot_pruned,
+    row_count_hint,
+    snapshot_changes,
+    write_snapshot,
+)
+
+
+def _mk(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    df = (
+        spark.range(5_000)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 500).alias("user_id"),
+            (F.col("id") % 7).alias("v"),
+        )
+        .repartition(8, "user_id")
+    )
+    write_snapshot(df, path, stats_cols=["user_id"], bloom_cols=["user_id"])
+    return path
+
+
+def test_mor_delete_equals_cow_delete(spark, tmp_path):
+    p_mor, p_cow = _mk(spark, tmp_path, "mor"), _mk(spark, tmp_path, "cow")
+    preds = [("user_id", "==", 123)]
+    rep = delete_where_mor(spark, p_mor, preds)
+    delete_where(spark, p_cow, preds)
+    assert rep["rows_deleted"] == 10 and rep["files_affected"] == 1
+    got = sorted(
+        (r.event_id, r.user_id, r.v)
+        for r in read_snapshot(spark, p_mor).collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.v)
+        for r in read_snapshot(spark, p_cow).collect()
+    )
+    assert got == want and len(got) == 4990
+    # MOR hardlinked everything: same data files as version 1, plus
+    # the vector sidecar
+    v1 = set(os.listdir(os.path.join(p_mor, "snap-00001")))
+    v2 = set(os.listdir(os.path.join(p_mor, "snap-00002")))
+    assert {n for n in v1 if n.endswith(".parquet")} == {
+        n for n in v2 if n.endswith(".parquet")
+    }
+    assert _DELETION_VECTORS in v2
+    # time travel: the pre-delete version still shows every row
+    assert read_snapshot(spark, p_mor, version=1).count() == 5000
+
+
+def test_mor_deletes_union_and_never_recount(spark, tmp_path):
+    p = _mk(spark, tmp_path, "mor2")
+    assert delete_where_mor(spark, p, [("user_id", "==", 7)])[
+        "rows_deleted"
+    ] == 10
+    # same predicate again: nothing NEW to delete
+    assert delete_where_mor(spark, p, [("user_id", "==", 7)])[
+        "rows_deleted"
+    ] == 0
+    # a second key unions into the vectors
+    assert delete_where_mor(spark, p, [("user_id", "in", (7, 9))])[
+        "rows_deleted"
+    ] == 10
+    assert read_snapshot(spark, p).count() == 4980
+    # pruned reads apply the vectors too (bloom routes to the file,
+    # the anti-join removes its rows)
+    assert read_snapshot_pruned(spark, p, [("user_id", "==", 7)]).count() == 0
+    assert read_snapshot_pruned(spark, p, [("user_id", "==", 8)]).count() == 10
+    # metadata row-count hint subtracts hidden rows
+    assert row_count_hint(p) == 4980
+
+
+def test_mor_interops_with_cow_changes_and_optimize(spark, tmp_path):
+    p = _mk(spark, tmp_path, "mor3")
+    delete_where_mor(spark, p, [("user_id", "==", 50)])  # v2, MOR
+
+    # change feed across the MOR commit sees exactly the 10 deletes
+    feed = snapshot_changes(spark, p, 1, 2, keys=["event_id"])
+    kinds = {(r.change_type) for r in feed.collect()}
+    assert kinds == {"delete"} and feed.count() == 10
+
+    # a COW delete on top: touched files apply the vectors (deleted
+    # rows must NOT resurrect), untouched files carry theirs forward
+    delete_where(spark, p, [("user_id", "==", 51)])  # v3, COW
+    assert read_snapshot(spark, p).count() == 4980
+    assert read_snapshot(spark, p).filter(
+        F.col("user_id").isin(50, 51)
+    ).count() == 0
+
+    # OPTIMIZE compacts: next version carries no vector sidecar and
+    # identical rows
+    before = sorted(r.event_id for r in read_snapshot(spark, p).collect())
+    v4 = optimize_snapshot(spark, p, partitions=4)
+    snap4 = os.path.join(p, f"snap-{v4:05d}")
+    assert _DELETION_VECTORS not in set(os.listdir(snap4))
+    after = sorted(r.event_id for r in read_snapshot(spark, p).collect())
+    assert after == before
+    assert row_count_hint(p) == 4980
+
+
+def test_mor_vector_encoding_roundtrip(spark, tmp_path):
+    p = _mk(spark, tmp_path, "mor4")
+    delete_where_mor(spark, p, [("event_id", "in", (0, 4999, 1234))])
+    with open(
+        os.path.join(p, "snap-00002", _DELETION_VECTORS)
+    ) as f:
+        raw = json.load(f)
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        _unpack_positions,
+    )
+
+    n = sum(len(_unpack_positions(v)) for v in raw.values())
+    assert n == 3
+    assert read_snapshot(spark, p).count() == 4997
