@@ -134,6 +134,17 @@ SCALE_TWINS = (
     "dedup_method_consensus",
     "hybrid_search_fixedq",
     "dbscan_lsh_roles",
+    # round-8 capability families, decade-measured from day one (the
+    # r7 lesson: unmeasured heavy queries hide quadratics — the sf1
+    # probe of editdist caught exactly one: joining on the segment
+    # STRING alone let hot low-entropy segments cross-match across
+    # positions, 51x candidate growth on 10x data; the positional
+    # equi-key + banded-threshold levenshtein fix took sf1 from
+    # >600s to ~13s)
+    "editdist_near_dups",
+    "heavy_hitters_zipf_1pct",
+    "ngram_containment_08",
+    "cms_join_size_gate",
 )
 
 #: Headline queries whose workload couples to corpus size (their
@@ -596,6 +607,17 @@ HEAVY_TRIO = (
     "dedup_method_consensus",
     "hybrid_search_fixedq",
     "dbscan_lsh_roles",
+    # round-8 capability families, decade-measured from day one (the
+    # r7 lesson: unmeasured heavy queries hide quadratics — the sf1
+    # probe of editdist caught exactly one: joining on the segment
+    # STRING alone let hot low-entropy segments cross-match across
+    # positions, 51x candidate growth on 10x data; the positional
+    # equi-key + banded-threshold levenshtein fix took sf1 from
+    # >600s to ~13s)
+    "editdist_near_dups",
+    "heavy_hitters_zipf_1pct",
+    "ngram_containment_08",
+    "cms_join_size_gate",
 )
 
 
