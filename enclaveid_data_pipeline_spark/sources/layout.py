@@ -1641,6 +1641,130 @@ def delete_where(
     )
 
 
+def update_where_mor(
+    spark: SparkSession,
+    path: str,
+    predicates: "Sequence[tuple]",
+    assign: dict,
+    backend: "CommitBackend | None" = None,
+    max_retries: int = 64,
+) -> dict:
+    """``UPDATE snapshot SET ... WHERE ...`` as MERGE-ON-READ
+    (round 8): the matched rows' positions join the version's
+    deletion vectors (their OLD images vanish at scan) and their NEW
+    images land as an appended delta file — every pre-existing data
+    file hardlinks verbatim, completing the MOR DML pair with
+    :func:`delete_where_mor`. Same trade: zero write amplification
+    on untouched data for a broadcast anti-join at read until
+    OPTIMIZE compacts; intended for SELECTIVE updates (positions are
+    driver-collected) — bulk updates take :func:`update_where`
+    (copy-on-write). Appended files get zone-map/bloom entries
+    recomputed when the version carries a manifest, so pruned point
+    reads keep working across the update. Returns {version,
+    rows_updated}."""
+    import json
+    import shutil
+    import uuid
+
+    from .commitstore import DEFAULT_BACKEND
+
+    be = backend if backend is not None else DEFAULT_BACKEND
+    v = be.current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    snap_dir = be.data_dir(path, v)
+    prior = {k: set(ps) for k, ps in _load_dvs(snap_dir).items()}
+    touched, _total = pruned_files(path, predicates, version=v, backend=be)
+    residual = _residual_filter(predicates)
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    try:
+        for n in sorted(os.listdir(snap_dir)):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                _link_into(os.path.join(snap_dir, n), staging)
+
+        new_dvs = {k: set(ps) for k, ps in prior.items()}
+        n_upd = 0
+        new_files: list[str] = []
+        if touched:
+            raw = (
+                spark.read.parquet(*touched)
+                .withColumn(
+                    "__f",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .filter(residual)
+            )
+            hits = raw.select("__f", "__ri").collect()
+            fresh = [
+                (r["__f"], int(r["__ri"]))
+                for r in hits
+                if int(r["__ri"]) not in prior.get(r["__f"], ())
+            ]
+            n_upd = len(fresh)
+            for f, ri in fresh:
+                new_dvs.setdefault(f, set()).add(ri)
+            if fresh:
+                # new images of the NOT-already-deleted matches only
+                pos_df = spark.createDataFrame(
+                    fresh, "__f string, __ri long"
+                )
+                updated = raw.join(
+                    F.broadcast(pos_df), on=["__f", "__ri"], how="left_semi"
+                ).drop("__f", "__ri")
+                for c, expr in assign.items():
+                    updated = updated.withColumn(
+                        c, expr.cast(updated.schema[c].dataType)
+                    )
+                tmp = os.path.join(staging, ".mor_update")
+                updated.write.mode("error").parquet(tmp)
+                for n in os.listdir(tmp):
+                    if n.endswith(".parquet") and not n.startswith(
+                        ("_", ".")
+                    ):
+                        os.rename(
+                            os.path.join(tmp, n), os.path.join(staging, n)
+                        )
+                        new_files.append(os.path.join(staging, n))
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        if new_dvs:
+            _write_dvs(staging, {k: sorted(ps) for k, ps in new_dvs.items()})
+        stats_path = os.path.join(snap_dir, _FILE_STATS)
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                manifest = json.load(f)
+            files_map = dict(manifest["files"])
+            files_map.update(
+                _compute_file_stats(spark, new_files, manifest["cols"])
+            )
+            new_manifest = {"cols": manifest["cols"], "files": files_map}
+            bloom_cfg = manifest.get("bloom")
+            if bloom_cfg:
+                new_manifest["bloom"] = bloom_cfg
+                for fname, col_blooms in _compute_file_blooms(
+                    spark,
+                    new_files,
+                    bloom_cfg["cols"],
+                    bloom_cfg["bits_log2"],
+                    bloom_cfg["k"],
+                ).items():
+                    files_map.setdefault(fname, {"n_rows": 0, "cols": {}})[
+                        "bloom"
+                    ] = col_blooms
+            with open(os.path.join(staging, _FILE_STATS), "w") as f:
+                json.dump(new_manifest, f)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    new_v = _commit_staging(path, staging, be, max_retries)
+    return {"version": new_v, "rows_updated": n_upd}
+
+
 def update_where(
     spark: SparkSession,
     path: str,

@@ -129,3 +129,60 @@ def test_mor_vector_encoding_roundtrip(spark, tmp_path):
     n = sum(len(_unpack_positions(v)) for v in raw.values())
     assert n == 3
     assert read_snapshot(spark, p).count() == 4997
+
+
+def test_update_where_mor_equals_cow_update(spark, tmp_path):
+    """MOR UPDATE: old images DV-hidden, new images appended; equals
+    copy-on-write update observationally; pruned point reads find
+    rows by their NEW value (the appended file carries fresh
+    zone-map/bloom entries) and not by the old one."""
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        update_where,
+        update_where_mor,
+    )
+
+    p_mor, p_cow = _mk(spark, tmp_path, "umor"), _mk(spark, tmp_path, "ucow")
+    preds = [("user_id", "==", 42)]
+    assign = {"v": F.col("v") + 100, "user_id": F.lit(9042)}
+    rep = update_where_mor(spark, p_mor, preds, assign)
+    update_where(spark, p_cow, preds, assign)
+    assert rep["rows_updated"] == 10
+    got = sorted(
+        (r.event_id, r.user_id, r.v)
+        for r in read_snapshot(spark, p_mor).collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.v)
+        for r in read_snapshot(spark, p_cow).collect()
+    )
+    assert got == want and len(got) == 5000
+
+    # pruned reads: the NEW key routes to the appended file (bloom
+    # recomputed for it), the OLD key reads nothing
+    from enclaveid_data_pipeline_spark.sources.layout import pruned_files
+
+    files, total = pruned_files(p_mor, [("user_id", "==", 9042)])
+    assert len(files) <= 2 < total
+    assert read_snapshot_pruned(
+        spark, p_mor, [("user_id", "==", 9042)]
+    ).count() == 10
+    assert read_snapshot_pruned(
+        spark, p_mor, [("user_id", "==", 42)]
+    ).count() == 0
+    # row-count hint: hidden rows subtracted, appended rows counted
+    assert row_count_hint(p_mor) == 5000
+
+    # idempotent-ish composition: same predicate again updates 0 rows
+    # (the old images are DV-hidden; the new rows no longer match)
+    assert update_where_mor(spark, p_mor, preds, assign)[
+        "rows_updated"
+    ] == 0
+    # update-the-updated: matches the appended file's rows
+    rep3 = update_where_mor(
+        spark, p_mor, [("user_id", "==", 9042)], {"v": F.lit(0)}
+    )
+    assert rep3["rows_updated"] == 10
+    rows = read_snapshot(spark, p_mor).filter(
+        F.col("user_id") == 9042
+    ).collect()
+    assert len(rows) == 10 and all(r.v == 0 for r in rows)
