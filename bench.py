@@ -27,6 +27,16 @@ The final stdout line is ONLY the compact headline object — the scale
 block deliberately lives in the side file so the driver's tail-capture
 always sees a complete parseable JSON line (round-2 lesson: a long
 single line got truncated and the round's headline number was lost).
+
+Crash containment (round-8 lesson: the driver's BENCH_r08.json was an
+ObjectHashAggregate stack because one scale block OOM'd 40 minutes
+after the headline number was computed): the headline JSON is printed
+to stdout AND written to ``bench_headline.json`` immediately after the
+headline suite, then printed again as the final line on the normal
+path; every scale block runs under try/except, records
+``{"error": ...}`` in its slot on failure, and ``bench_scale.json`` is
+rewritten after each block so even a hard kill (JVM abort) preserves
+both the headline line and all completed blocks.
 """
 
 from __future__ import annotations
@@ -168,13 +178,21 @@ SF1_DIR = os.path.join(
 
 
 def _run_suite(
-    spark, names, sf_dir: str, tag: str, runs: int = 1
+    spark, names, sf_dir: str, tag: str, runs: int = 1,
+    strict: bool = True,
 ) -> dict[str, float]:
     """Time each query; with ``runs`` > 1, take the per-query MIN
     across GC-fenced passes (the r3/r5 lesson: single-run suites lie
     under contention — token_pmi_top20 read +29% in r5 from noise
     alone). Min-of-N is the standard contention-robust estimator for
-    a deterministic workload."""
+    a deterministic workload.
+
+    ``strict=False`` (the scale passes): one query's failure logs and
+    skips instead of raising — a missing key in the output is the
+    failure signal, and the other 40 queries' numbers survive
+    (round-8 postmortem). The HEADLINE pass stays strict: its total
+    sums per_query, and silently dropping a member would make the
+    round-over-round comparison lie rather than fail loudly."""
     out: dict[str, float] = {}
     for r in range(runs):
         if runs > 1:
@@ -182,7 +200,16 @@ def _run_suite(
         for name in names:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            try:
+                n = fn(spark, sf_dir).count()
+            except Exception:
+                if strict:
+                    raise
+                import traceback
+
+                print(f"# [{tag}] {name}: ERROR", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in out or dt < out[name]:
                 out[name] = dt
@@ -989,9 +1016,34 @@ def _mview_block(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _safe(label: str, fn, *args) -> dict:
+    """Run one scale block, never let it kill the bench (round-8
+    postmortem: the driver's BENCH_r08.json was an ObjectHashAggregate
+    stack because a crash ~40 min into the scale probing destroyed
+    the already-computed headline number). A failed block records its
+    error in bench_scale.json and the run continues."""
+    try:
+        return fn(*args)
+    except Exception as exc:  # noqa: BLE001 — harness boundary
+        import traceback
+
+        print(f"# [scale-error] {label}: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+
+
 def main() -> int:
     if os.environ.get("SPARK_GRAFT_HEAVY_ONLY"):
         return _heavy_main()
+    # 16 GB default driver heap for the bench session (round-8
+    # postmortem): the 8 GB engine default left the sf10 scale blocks
+    # within a few percent of OOM — bench_stdout_r8.txt shows GCLocker
+    # "allocating 8388610 words" stalls through stages 6488–6626, and
+    # on the driver's pass the margin ran out inside an
+    # ObjectHashAggregate (exact-percentile buffers, SURVEY §7.3.5's
+    # documented trap). The sandbox has 128 GiB; the heavy-trio
+    # subprocess already runs at 16g. Engine/test sessions keep 8g.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
@@ -1021,6 +1073,18 @@ def main() -> int:
         "calib_sec": calib,
         "value_per_calib": round(total / calib, 2) if calib else None,
     }
+    # Emit the headline IMMEDIATELY — stdout line + sidecar file —
+    # before any scale probing (round-8 postmortem: the headline-only-
+    # at-the-end layout let a scale-block crash 40 min later vaporize
+    # the round's already-computed number). The same line prints again
+    # as the final stdout line on the normal path; if anything below
+    # dies hard (SIGKILL — Python try/except can't catch a JVM abort's
+    # kill), this early line is still the last complete JSON on stdout.
+    print(json.dumps(result))
+    sys.stdout.flush()
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_headline.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
 
     run_sf1 = (
         os.path.isdir(SF1_DIR)
@@ -1028,53 +1092,94 @@ def main() -> int:
         and abs(sf - 0.1) < 1e-9
     )
     if run_sf1:
-        base_twins = _run_suite(spark, SCALE_TWINS, sf_dir, f"sf{sf}")
-        # Full headline (all 21, including workload-coupled forms, so
-        # decade ratios compare round-over-round) + the scale twins.
-        suite = HEADLINE + SCALE_TWINS
-        sf1_query = _run_suite(spark, suite, SF1_DIR, "sf1")
-        base = {**per_query, **base_twins}
-        ratios = {
-            n: round(sf1_query[n] / base[n], 2) if base[n] > 0 else None
-            for n in suite
-        }
-        scale = {
+        scale: dict = {
             "sf1_dir": SF1_DIR,
             "data_ratio": 10.0,
             "workload_coupled_twins": dict(SF1_WORKLOAD_COUPLED),
             "sf0.1_headline": per_query,
-            "sf0.1_twins": base_twins,
-            "sf1_queries": sf1_query,
-            "sf1_total": round(sum(sf1_query.values()), 3),
-            "time_ratio_sf1_vs_sf0.1": ratios,
-            # congestion-free re-times of the most expensive sf1
-            # queries (round-over-round deltas should read THESE)
-            "sf1_isolated_top5": _isolated_pass(spark, sf1_query),
-            # streaming twins' scale evidence over the sf1 feed
-            "streaming_sf1": _streaming_block(spark),
-            # production round-count stress (r5)
-            "pagerank_rounds_sf1": _pagerank_rounds_block(spark),
-            # exact distributed BPE round-count stress (r5)
-            "bpe_rounds": _bpe_rounds_block(spark),
-            # zone-map pruning benefit on a z-ordered snapshot (r6)
-            "layout_sf1": _layout_block(spark),
-            # MV rewrite economics: rollup from view vs base (r6)
-            "mview_sf1": _mview_block(spark),
         }
+        side = os.path.join(here, "bench_scale.json")
+
+        def _flush_scale() -> None:
+            # rewrite after every block so a later hard-kill leaves
+            # every completed block's numbers on disk
+            with open(side, "w") as fh:
+                json.dump(scale, fh, indent=1)
+
+        def _suite_lenient(names, d, tag):
+            return _run_suite(spark, names, d, tag, strict=False)
+
+        base_twins = _safe(
+            "sf0.1_twins", _suite_lenient, SCALE_TWINS, sf_dir, f"sf{sf}"
+        )
+        if "error" in base_twins and len(base_twins) == 1:
+            scale["sf0.1_twins_error"] = base_twins["error"]
+            base_twins = {}
+        scale["sf0.1_twins"] = base_twins
+        # Full headline (all 21, including workload-coupled forms, so
+        # decade ratios compare round-over-round) + the scale twins.
+        suite = HEADLINE + SCALE_TWINS
+        sf1_query = _safe(
+            "sf1_suite", _suite_lenient, suite, SF1_DIR, "sf1"
+        )
+        if "error" in sf1_query and len(sf1_query) == 1:
+            scale["sf1_suite_error"] = sf1_query["error"]
+            sf1_query = {}
+        base = {**per_query, **base_twins}
+        scale.update(
+            {
+                "sf1_queries": sf1_query,
+                "sf1_total": round(sum(sf1_query.values()), 3),
+                "time_ratio_sf1_vs_sf0.1": {
+                    n: round(sf1_query[n] / base[n], 2)
+                    if base.get(n) and n in sf1_query
+                    else None
+                    for n in suite
+                },
+            }
+        )
+        _flush_scale()
+        # congestion-free re-times of the most expensive sf1
+        # queries (round-over-round deltas should read THESE)
+        scale["sf1_isolated_top5"] = _safe(
+            "sf1_isolated_top5", _isolated_pass, spark, sf1_query
+        )
+        _flush_scale()
+        # streaming twins' scale evidence over the sf1 feed
+        scale["streaming_sf1"] = _safe(
+            "streaming_sf1", _streaming_block, spark
+        )
+        _flush_scale()
+        # production round-count stress (r5)
+        scale["pagerank_rounds_sf1"] = _safe(
+            "pagerank_rounds_sf1", _pagerank_rounds_block, spark
+        )
+        _flush_scale()
+        # exact distributed BPE round-count stress (r5)
+        scale["bpe_rounds"] = _safe("bpe_rounds", _bpe_rounds_block, spark)
+        _flush_scale()
+        # zone-map pruning benefit on a z-ordered snapshot (r6)
+        scale["layout_sf1"] = _safe("layout_sf1", _layout_block, spark)
+        _flush_scale()
+        # MV rewrite economics: rollup from view vs base (r6)
+        scale["mview_sf1"] = _safe("mview_sf1", _mview_block, spark)
+        _flush_scale()
         if os.path.isdir(SF10_DIR) and not os.environ.get(
             "SPARK_GRAFT_SKIP_SF10"
         ):
-            scale["sf10"] = _sf10_block(spark, sf1_query)
-            scale["streaming_sf10"] = _streaming_sf10_block(spark)
+            scale["sf10"] = _safe("sf10", _sf10_block, spark, sf1_query)
+            _flush_scale()
+            scale["streaming_sf10"] = _safe(
+                "streaming_sf10", _streaming_sf10_block, spark
+            )
+            _flush_scale()
         if not os.environ.get("SPARK_GRAFT_SKIP_HEAVY"):
-            # the r7 heavy-probe trio, now standing min-of-3 (own
-            # 16g subprocess — see HEAVY_TRIO)
-            scale["heavy_scale"] = _heavy_scale_block(base_twins)
-        side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_scale.json"
-        )
-        with open(side, "w") as fh:
-            json.dump(scale, fh, indent=1)
+            # the r7 heavy-probe trio, standing min-of-3 (own 16g
+            # subprocess — see HEAVY_TRIO; already crash-isolated)
+            scale["heavy_scale"] = _safe(
+                "heavy_scale", _heavy_scale_block, base_twins
+            )
+            _flush_scale()
         print(f"# scale block -> {side}", file=sys.stderr)
 
     # The compact headline object MUST be the final stdout line and

@@ -227,6 +227,7 @@ def heavy_hitters_exact(
     item: Column,
     phi: float,
     item_name: str = "item",
+    materialize: str | None = None,
 ) -> DataFrame:
     """EXACT φ-heavy hitters (all items with frequency > φ·N) without
     ever shuffling the full vocabulary — per-partition Misra-Gries
@@ -251,15 +252,31 @@ def heavy_hitters_exact(
     instead of |vocabulary| — the same reason count-min exists, but
     with exact counts and zero false positives/negatives in the
     output. Returns (item, cnt, share) ordered nowhere (callers
-    sort)."""
+    sort).
+
+    ``items`` feeds three consumers (MG candidate pass, total N,
+    exact candidate counts); a non-deterministic upstream recomputed
+    per action could break the superset theorem — candidates from one
+    realization, counts from another (round-8 advice). The frame is
+    cut at a materialization boundary (``materialize``: explicit >
+    ``SPARK_GRAFT_MATERIALIZE`` > ``local``; pass ``"none"`` for
+    deterministic inputs where recompute beats pinning), and N enters
+    the threshold IN-PLAN via a broadcast 1-row cross-join computed
+    in the same action as the candidate counts — never a separately
+    collected scalar that could disagree with them."""
     import math
 
     if not 0 < phi < 1:
         raise ValueError(f"phi must be in (0,1), got {phi}")
     k = math.ceil(1.0 / phi)
 
-    items = df.select(item.cast("string").alias(item_name)).filter(
-        F.col(item_name).isNotNull()
+    from ..materialize import materialize as _mat
+
+    items = _mat(
+        df.select(item.cast("string").alias(item_name)).filter(
+            F.col(item_name).isNotNull()
+        ),
+        materialize,
     )
 
     def _mg(batches):
@@ -288,25 +305,31 @@ def heavy_hitters_exact(
         items.mapInPandas(_mg, schema=f"{item_name} string")
         .distinct()
     )
-    total = items.count()
     # EXACT threshold: cnt > φ·N compared in integer arithmetic
     # (cnt·q > N·p with φ = p/q) — a float product is off by an ulp
     # exactly when cnt sits on the boundary, and different engines
-    # round differently there (registry float-boundary convention)
+    # round differently there (registry float-boundary convention).
+    # N rides in-plan as a broadcast 1-row frame: same action as the
+    # candidate counts, so the two can never come from different
+    # realizations of the input.
     from fractions import Fraction
 
     frac = Fraction(phi).limit_denominator(10**9)
+    total = items.agg(F.count(F.lit(1)).alias("__N"))
     counted = (
         items.join(F.broadcast(candidates), item_name)
         .groupBy(item_name)
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
         .filter(
             F.col("cnt") * F.lit(frac.denominator)
-            > F.lit(total) * F.lit(frac.numerator)
+            > F.col("__N") * F.lit(frac.numerator)
         )
     )
-    return counted.withColumn(
-        "share", F.round(F.col("cnt") / F.lit(total), 4)
+    return counted.select(
+        item_name,
+        "cnt",
+        F.round(F.col("cnt") / F.col("__N"), 4).alias("share"),
     )
 
 
@@ -323,14 +346,31 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     are ≤ depth·width rows built in one pass each (mergeable across
     shards by counter addition), and the estimate is a join of two
     KB-scale tables — at 100 TB you never touch the fact tables to
-    size their join. Returns one row: ``est`` (long)."""
+    size their join. Returns one row: ``est`` (long).
+
+    A hash row with ZERO overlapping buckets has a true dot product
+    of 0, so it must contribute 0 to the min — an inner join would
+    silently drop it and take the min over surviving rows only
+    (round-8 advice: fully disjoint sketches returned NULL, which
+    propagated through downstream bound arithmetic). The row frame
+    left-joins from sketch_a's distinct row indices so missing rows
+    coalesce to 0; a shared key forces every row to overlap, so a
+    dropped row already proves the exact join size is 0 and est = 0
+    stays a (tight) upper bound."""
     a = sketch_a.select("row", "bucket", F.col("n").alias("na"))
     b = sketch_b.select("row", "bucket", F.col("n").alias("nb"))
-    return (
+    per_row = (
         a.join(b, ["row", "bucket"])
         .groupBy("row")
         .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
-        .agg(F.min("ip").cast("long").alias("est"))
+    )
+    rows = sketch_a.select("row").distinct()  # ≤ depth rows
+    return rows.join(per_row, "row", "left").agg(
+        F.coalesce(
+            F.min(F.coalesce(F.col("ip"), F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("est")
     )
 
 

@@ -3851,8 +3851,15 @@ def heavy_hitters_zipf_1pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toks = zipf_token_rows(docs)
+    # materialize="none": the token stream is a pure md5 function of
+    # parquet rows — every re-read is identical, so the operator's
+    # consistency boundary (for non-deterministic upstreams) would
+    # only pin the full sf10 token stream in executor storage for no
+    # correctness gain (bench runs this min-of-3; three pinned copies
+    # is exactly the memory pressure round 8 died of).
     return heavy_hitters_exact(
-        toks, item=F.col("ztok"), phi=0.01, item_name="item"
+        toks, item=F.col("ztok"), phi=0.01, item_name="item",
+        materialize="none",
     )
 
 

@@ -1706,11 +1706,18 @@ _CMS_JOINSIZE_ORACLE = f"""
                count(*) AS n
         FROM ob, unnest(generate_series(0, 3)) AS r(i)
         GROUP BY 1, 2
+    ), rf AS (
+        -- full row frame: a hash row with zero overlapping buckets
+        -- has true dot product 0 and must reach the min as 0, not
+        -- drop out of an inner join (mirrors cms_inner_product)
+        SELECT unnest(generate_series(0, 3)) AS row
     ), ip AS (
-        SELECT ca.row, sum(ca.n * cb.n) AS ip
-        FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
-        GROUP BY ca.row
-    ), est AS (SELECT min(ip) AS est FROM ip),
+        SELECT rf.row, coalesce(sum(ca.n * cb.n), 0) AS ip
+        FROM rf
+        LEFT JOIN ca ON ca.row = rf.row
+        LEFT JOIN cb ON cb.row = rf.row AND cb.bucket = ca.bucket
+        GROUP BY rf.row
+    ), est AS (SELECT coalesce(min(ip), 0) AS est FROM ip),
     ex AS (
         SELECT coalesce(sum(a.n * b.n), 0) AS exact_n
         FROM (SELECT item, count(*) AS n FROM ea GROUP BY 1) a

@@ -150,7 +150,12 @@ class SnapshotCatalog:
 
         try:
             m = self.mapping(catalog_version)
-        except OSError as e:
+        # FileNotFoundError ONLY (round-8 advice): a vacuumed payload
+        # is a missing file; mapping EACCES / transient I/O errors to
+        # VacuumedHistoryError would misreport genuine FS failures as
+        # vacuumed history. VacuumedHistoryError itself subclasses
+        # FileNotFoundError, so a typed raise from below passes through.
+        except FileNotFoundError as e:
             raise VacuumedHistoryError(
                 f"catalog version {catalog_version} was vacuumed; "
                 f"retained: {self.versions()}"
@@ -185,7 +190,12 @@ class SnapshotCatalog:
 
         try:
             m = self.mapping(catalog_version)
-        except OSError as e:
+        # FileNotFoundError ONLY (round-8 advice): a vacuumed payload
+        # is a missing file; mapping EACCES / transient I/O errors to
+        # VacuumedHistoryError would misreport genuine FS failures as
+        # vacuumed history. VacuumedHistoryError itself subclasses
+        # FileNotFoundError, so a typed raise from below passes through.
+        except FileNotFoundError as e:
             raise VacuumedHistoryError(
                 f"catalog version {catalog_version} was vacuumed; "
                 f"retained: {self.versions()}"

@@ -130,3 +130,46 @@ def test_hll_estimate_within_expected_error(spark):
     est = hll_estimate(hll_registers(items)).collect()[0]["estimate"]
     # 256 registers → ~1.04/sqrt(256) ≈ 6.5% standard error; allow 4σ
     assert abs(est - n) / n < 0.26
+
+
+def test_inner_product_disjoint_sketches_est_zero(spark):
+    """Round-8 advice: a hash row with zero overlapping buckets must
+    contribute 0 to the min, not drop out of the join — fully
+    disjoint sketches returned one row with NULL est and the NULL
+    propagated through the join-size gate's bound arithmetic."""
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        cms_inner_product,
+    )
+
+    a = count_min_table(_stream(spark, [f"left-{i}" for i in range(5)]))
+    # adversarially tiny right side: one item, so most (row, bucket)
+    # cells of a's sketch have no partner and at least the chance of
+    # a fully-empty hash row is real; assert on the guaranteed case
+    b = count_min_table(_stream(spark, []))
+    row = cms_inner_product(a, b).collect()
+    assert len(row) == 1
+    assert row[0]["est"] == 0  # not None
+
+    # and overlap still estimates >= truth (upper bound property)
+    c = count_min_table(_stream(spark, ["x", "x", "y"]))
+    d = count_min_table(_stream(spark, ["x", "z"]))
+    est = cms_inner_product(c, d).collect()[0]["est"]
+    assert est is not None and est >= 2  # true join size = 2·1
+
+
+def test_heavy_hitters_threshold_in_plan_and_share(spark):
+    """N enters the φ-threshold in-plan (same action as candidate
+    counts); exactness pinned on a stream with a boundary item."""
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    # 100 rows: 'hot' 26 (> 25), 'edge' 25 (== φ·N, must be EXCLUDED
+    # by the strict >), rest singletons
+    items = ["hot"] * 26 + ["edge"] * 25 + [f"s{i}" for i in range(49)]
+    out = heavy_hitters_exact(
+        _stream(spark, items), item=F.col("item"), phi=0.25,
+        materialize="none",
+    ).collect()
+    got = {r["item"]: (r["cnt"], r["share"]) for r in out}
+    assert got == {"hot": (26, 0.26)}
