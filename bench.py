@@ -919,6 +919,52 @@ def _layout_block(spark) -> dict:
             f"files read ({bn} rows, {bscan_s:.3f}s)",
             file=sys.stderr,
         )
+
+        # round 9: MOR deletion-vector debt cycle on the same
+        # 1M-row layout — a selective delete commits positions only
+        # (metadata-speed), every read then pays the DV anti-join,
+        # snapshot_health surfaces the debt, OPTIMIZE clears it and
+        # the read returns to clean-scan cost. The four numbers the
+        # SCALE.md read-cost-curve note promises.
+        from enclaveid_data_pipeline_spark.sources.layout import (
+            delete_where_mor,
+            optimize_snapshot,
+            snapshot_health,
+        )
+
+        t0 = time.perf_counter()
+        rep = delete_where_mor(spark, bpath, [("user_id", "==", 123)])
+        mor_delete_s = time.perf_counter() - t0
+        h_dv = snapshot_health(bpath)
+        _gc_fence(spark)
+        t0 = time.perf_counter()
+        n_dv = read_snapshot(spark, bpath).count()
+        dv_read_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        optimize_snapshot(spark, bpath)
+        optimize_s = time.perf_counter() - t0
+        h_clean = snapshot_health(bpath)
+        _gc_fence(spark)
+        t0 = time.perf_counter()
+        n_clean = read_snapshot(spark, bpath).count()
+        clean_read_s = time.perf_counter() - t0
+        assert n_dv == n_clean, (n_dv, n_clean)
+        out["mor_dv_cycle"] = {
+            "rows_deleted": rep["rows_deleted"],
+            "mor_delete_s": round(mor_delete_s, 3),
+            "dv_fraction": h_dv["dv_fraction"],
+            "needs_compaction": h_dv["needs_compaction"],
+            "dv_read_s": round(dv_read_s, 3),
+            "optimize_s": round(optimize_s, 3),
+            "post_optimize_dv_rows": h_clean["dv_deleted_rows"],
+            "clean_read_s": round(clean_read_s, 3),
+        }
+        print(
+            f"# [sf1-layout] mor dv cycle: delete {mor_delete_s:.3f}s, "
+            f"dv read {dv_read_s:.3f}s, optimize {optimize_s:.3f}s, "
+            f"clean read {clean_read_s:.3f}s",
+            file=sys.stderr,
+        )
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -15,7 +15,7 @@ regenerating the artifact should fail until the artifact is re-cut
 (the regeneration is the round's literal last act). Queries newer
 than the artifact are listed by name so the fix is one command:
 
-    python3 scripts/check_correctness.py testdata_scaled/sf0.1 \
+    python3 scripts/check_correctness.py /root/testdata/sf0.1 \
         > CORRECTNESS_sf0.1_full_r<N>.txt
 """
 
@@ -62,7 +62,7 @@ def test_newest_full_artifact_covers_entire_registry():
     assert not missing, (
         f"{os.path.basename(art)} predates {len(missing)} registered "
         f"queries: {missing} — regenerate the artifact "
-        f"(scripts/check_correctness.py testdata_scaled/sf0.1)"
+        f"(scripts/check_correctness.py /root/testdata/sf0.1)"
     )
     assert not stale, (
         f"{os.path.basename(art)} names {len(stale)} queries no longer "
