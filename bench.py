@@ -155,6 +155,16 @@ SCALE_TWINS = (
     "heavy_hitters_zipf_1pct",
     "ngram_containment_08",
     "cms_join_size_gate",
+    # round-9: skyline family, decade-measured from day one. 2-D is
+    # the bucketed prefix-max (linear); 3-D is local-skyline →
+    # broadcast cross-check (linear scan + output-sensitive
+    # candidates); MI is one joint groupBy. mad_outliers_by_type
+    # stays gate-only: its exact grouped median is the documented
+    # exact-percentile-at-scale trap (SURVEY §7.3.5) — the approx
+    # twin for scale is approx_percentile_rank_error.
+    "skyline_parts_2d",
+    "skyline_users_3d",
+    "mutual_info_priority_status",
 )
 
 #: Headline queries whose workload couples to corpus size (their
@@ -745,6 +755,10 @@ SF10_QUERIES = (
     "pagerank_top20",
     "random_walks_len3",
     "pca_top_component",
+    # round-9: skyline at decade-squared — both are one linear pass
+    # plus bounded candidate work; the ratio should read ~10x
+    "skyline_parts_2d",
+    "skyline_users_3d",
 )
 
 #: Sketch accuracy gates re-evaluated at sf10 (judge r5 #7): the

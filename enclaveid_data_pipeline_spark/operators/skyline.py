@@ -1,0 +1,251 @@
+"""Skyline (Pareto-dominance) operators: the maximal set under
+coordinate-wise dominance, the query class behind "best trade-off"
+curation decisions (longest AND cleanest documents, cheapest AND
+largest parts, most-active AND most-diverse users).
+
+Dominance: ``p ≻ q`` iff ``p`` is ≥ ``q`` on every objective and
+strictly > on at least one (all objectives MAXIMIZED — callers negate
+a column to minimize it).  The skyline is the set of non-dominated
+rows.  Duplicate objective vectors never dominate each other, so all
+copies of a maximal point are returned — matching the ``NOT EXISTS``
+relational definition the oracles use.
+
+Two scale regimes, two algorithms:
+
+- :func:`skyline_2d` — exact 2-D skyline as pure DataFrame algebra.
+  A point is dominated iff ``max{y : x' > x} ≥ y`` (strict-in-x
+  dominator) or ``max{y : x' = x} > y`` (strict-in-y at the same x).
+  Both maxima come from ONE groupBy(x) plus a prefix-max along
+  descending x, computed with the house bucketed two-pass (sampled
+  range buckets → per-bucket maxima → theta-join prefix over the
+  bucket table only → window PARTITIONED BY bucket) so no
+  unpartitioned ordered window ever touches corpus-proportional
+  data.  Cost: one shuffle by x, one tiny bucket aggregate, one
+  equi-join back — linear at any scale.
+
+- :func:`skyline_kd` — d ≥ 2 objectives.  Pass 1 computes a LOCAL
+  skyline per partition inside ``mapInPandas`` (block-vectorized
+  numpy dominance, no per-row Python); pass 2 cross-checks the
+  unioned candidates against each other with a broadcast anti-join.
+  Lossless: dominance is transitive and its strict part acyclic on a
+  finite set, so every dominated point has a SKYLINE dominator, and
+  that dominator survives its own partition's local pass — hence
+  skyline(∪ local skylines) = skyline(all).  Honest bound: the
+  candidate set is the union of local skylines — tiny on real
+  (correlated) data, but adversarially anti-correlated data can make
+  any skyline algorithm's output Θ(n); the broadcast cross-check
+  inherits that output-sensitivity, so feed entity-level aggregates
+  (users, parts), not raw 100 TB event rows.
+
+Reference parity: the reference has no skyline operator — this is
+part of the curation surface a training-data engine needs beyond the
+reference (same mandate as dedup/ANN; see SURVEY §2 addenda).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rank import with_sampled_range_bucket
+
+_X = "__skx"
+_Y = "__sky"
+_GY = "__sgy"
+_M1 = "__sm1"
+_BK = "__sbucket"
+
+
+def skyline_2d(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Rows on the 2-D Pareto frontier, both objectives MAXIMIZED.
+
+    Null objectives are dropped (dominance is undefined on nulls —
+    same contract as the rank operators).  Output keeps the input
+    columns unchanged.
+    """
+    d = (
+        df.withColumn(_X, x.cast("double"))
+        .withColumn(_Y, y.cast("double"))
+        .filter(F.col(_X).isNotNull() & F.col(_Y).isNotNull())
+    )
+    # one row per distinct x: the best y at that x
+    g = d.groupBy(_X).agg(F.max(_Y).alias(_GY))
+    # bucketed prefix-max of gy along DESCENDING x: buckets are
+    # monotone in ascending x, so "all strictly larger x" splits into
+    # (a) strictly higher buckets — a theta-join prefix over the
+    # bucket table only — and (b) larger x inside my own bucket — a
+    # window PARTITIONED BY bucket.
+    gb = with_sampled_range_bucket(g, F.col(_X), n=n_buckets, out=_BK)
+    bmax = gb.groupBy(_BK).agg(F.max(_GY).alias("__bmax"))
+    higher = bmax.select(
+        F.col(_BK).alias("__hb"), F.col("__bmax").alias("__hm")
+    )
+    himax = (
+        bmax.join(higher, F.col("__hb") > F.col(_BK), "left")
+        .groupBy(_BK)
+        .agg(F.max("__hm").alias("__himax"))
+    )
+    w = (
+        Window.partitionBy(_BK)
+        .orderBy(F.desc(_X))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # F.greatest skips nulls: m1 is null only when NO group has a
+    # strictly larger x anywhere (frontier's right edge).
+    stats = (
+        gb.join(F.broadcast(himax), on=_BK)
+        .withColumn(
+            _M1, F.greatest(F.max(_GY).over(w), F.col("__himax"))
+        )
+        .select(_X, _GY, _M1)
+    )
+    survivors = (
+        d.join(stats, on=_X)
+        .filter(
+            (F.col(_M1).isNull() | (F.col(_M1) < F.col(_Y)))
+            & (F.col(_Y) == F.col(_GY))
+        )
+        .select(*df.columns)
+    )
+    return survivors
+
+
+def _dominated_by(block, sky):
+    """Boolean mask over ``block`` rows dominated by any ``sky`` row
+    (numpy, fully vectorized: |block| × |sky| × d comparisons)."""
+    import numpy as np
+
+    if sky.shape[0] == 0:
+        return np.zeros(block.shape[0], dtype=bool)
+    ge = sky[None, :, :] >= block[:, None, :]
+    gt = sky[None, :, :] > block[:, None, :]
+    return (ge.all(axis=2) & gt.any(axis=2)).any(axis=1)
+
+
+def _local_skyline(vals, block_rows: int = 2048):
+    """Indices of the skyline rows of ``vals`` (n × d, maximize all).
+
+    Sort by (sum of objectives) descending so early rows are likely
+    maximal, then stream blocks: a block is first screened against
+    the accumulated skyline, then intra-block pairwise — both steps
+    vectorized, O(n·s·d) with s the running skyline size.
+    """
+    import numpy as np
+
+    n = vals.shape[0]
+    order = np.argsort(-vals.sum(axis=1), kind="stable")
+    sky_idx: list = []
+    sky_vals = np.empty((0, vals.shape[1]), dtype=vals.dtype)
+    for lo in range(0, n, block_rows):
+        idx = order[lo : lo + block_rows]
+        block = vals[idx]
+        alive = ~_dominated_by(block, sky_vals)
+        idx, block = idx[alive], block[alive]
+        if block.shape[0] == 0:
+            continue
+        ge = block[None, :, :] >= block[:, None, :]
+        gt = block[None, :, :] > block[:, None, :]
+        intra = (ge.all(axis=2) & gt.any(axis=2)).any(axis=1)
+        idx, block = idx[~intra], block[~intra]
+        if block.shape[0]:
+            sky_idx.extend(idx.tolist())
+            sky_vals = np.concatenate([sky_vals, block])
+    return np.array(sorted(sky_idx), dtype=np.int64)
+
+
+def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
+    """Rows on the d-dimensional Pareto frontier (all ``objectives``
+    column names MAXIMIZED; nulls dropped).  Local skyline per
+    partition (vectorized), then a broadcast anti-join cross-check of
+    the small candidate union — no shuffle of the full input at all.
+    """
+    cols = list(df.columns)
+    d = df
+    for c in objectives:
+        d = d.filter(F.col(c).isNotNull())
+
+    obj = list(objectives)
+
+    def _part(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rows = [b for b in batches if len(b)]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        vals = pdf[obj].to_numpy(dtype="float64")
+        keep = _local_skyline(vals)
+        yield pdf.iloc[keep]
+
+    cand = d.mapInPandas(_part, schema=d.schema)
+    rhs = cand.select(
+        *[F.col(c).alias(f"__r_{c}") for c in obj]
+    )
+    dom = (
+        F.expr(
+            " AND ".join(f"`__r_{c}` >= `{c}`" for c in obj)
+        )
+        & F.expr(
+            " OR ".join(f"`__r_{c}` > `{c}`" for c in obj)
+        )
+    )
+    return cand.join(F.broadcast(rhs), dom, "left_anti").select(*cols)
+
+
+def skyline_upsert_kd(
+    base_skyline: DataFrame,
+    inserts: DataFrame,
+    objectives: Sequence[str],
+) -> DataFrame:
+    """Incremental skyline maintenance for INSERT-only feeds: the new
+    skyline computed from the OLD SKYLINE plus the insert batch —
+    never re-reading the base corpus.
+
+    Lossless by dominance transitivity: a base row outside the old
+    skyline was dominated by an old-skyline row; dominance survives
+    insertions, so it can never re-enter.  Inserts can only (a) join
+    the frontier and (b) evict old-skyline rows they dominate — both
+    visible to ``skyline(old_skyline ∪ batch)``.  Cost is the batch
+    scan plus work proportional to the (small) frontier; the same
+    incremental == recompute oracle discipline as ``operators/ivm``.
+    DELETEs invalidate the theorem (an evicted row may resurface) —
+    deletion feeds must recompute or keep peeled layers as standby.
+    """
+    cols = list(base_skyline.columns)
+    return skyline_kd(
+        base_skyline.select(*cols).unionByName(inserts.select(*cols)),
+        objectives,
+    )
+
+
+def pareto_layers_2d(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    id_col: str,
+    layers: int = 2,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Iterative skyline peeling: layer 1 is the frontier, layer 2 the
+    frontier of what remains, … (``id_col`` must be a unique key; the
+    anti-join removes exactly the peeled rows).  Adds a ``layer``
+    BIGINT column.  Fixed small ``layers`` — each peel is one
+    :func:`skyline_2d` pass over the shrinking remainder."""
+    remaining = df
+    out: DataFrame | None = None
+    for i in range(1, layers + 1):
+        sky = skyline_2d(remaining, x, y, n_buckets=n_buckets).withColumn(
+            "layer", F.lit(i).cast("long")
+        )
+        out = sky if out is None else out.unionByName(sky)
+        remaining = remaining.join(
+            sky.select(id_col), on=id_col, how="left_anti"
+        )
+    return out

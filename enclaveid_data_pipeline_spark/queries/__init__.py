@@ -25,5 +25,6 @@ from . import cdc_queries  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
 from . import dbscan_queries  # noqa: E402,F401
 from . import mview_queries  # noqa: E402,F401
+from . import skyline_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,267 @@
+"""Skyline / Pareto-dominance queries plus the robust-stats screens
+that share their "best trade-off" curation role: frontier of parts
+(big AND cheap), layered frontiers, 3-D user-activity skyline,
+MAD-based robust outliers, and mutual information between categorical
+columns.
+
+Oracle discipline: each skyline oracle is the SEMANTIC definition —
+``NOT EXISTS`` a dominating row — deliberately NOT the prefix-max
+rewrite the engine uses, so the two sides prove each other from
+independent formulations (quadratic is fine at oracle SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skyline import (
+    pareto_layers_2d,
+    skyline_2d,
+    skyline_kd,
+    skyline_upsert_kd,
+)
+from ..sources.readers import read_table
+from .registry import register
+
+_PART_DOM = """
+          p.p_size >= q.p_size
+      AND p.p_retailprice <= q.p_retailprice
+      AND (p.p_size > q.p_size OR p.p_retailprice < q.p_retailprice)
+"""
+
+
+@register(
+    "skyline_parts_2d",
+    oracle=f"""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(p_size AS BIGINT) AS p_size,
+           round(p_retailprice, 2) AS price
+    FROM part q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part p WHERE {_PART_DOM}
+    )
+    """,
+)
+def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of parts: maximize size, minimize price
+    (price negated into the maximize frame).  Engine side is the
+    linear bucketed prefix-max plan (`operators/skyline.py`); the
+    oracle is the quadratic NOT-EXISTS definition."""
+    p = read_table(spark, sf_dir, "part")
+    sky = skyline_2d(p, F.col("p_size"), -F.col("p_retailprice"))
+    return sky.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round("p_retailprice", 2).alias("price"),
+    )
+
+
+@register(
+    "pareto_layers_parts",
+    oracle=f"""
+    WITH l1 AS (
+        SELECT p_partkey FROM part q
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE {_PART_DOM})
+    ),
+    rest AS (
+        SELECT * FROM part
+        WHERE p_partkey NOT IN (SELECT p_partkey FROM l1)
+    ),
+    l2 AS (
+        SELECT p_partkey FROM rest q
+        WHERE NOT EXISTS (SELECT 1 FROM rest p WHERE {_PART_DOM})
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(1 AS BIGINT) AS layer FROM l1
+    UNION ALL
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(2 AS BIGINT) AS layer FROM l2
+    """,
+)
+def pareto_layers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peeled Pareto layers over parts — layer 1 is the frontier,
+    layer 2 the frontier of the remainder (the "second-best shelf" a
+    curation pass falls back to when the frontier is exhausted)."""
+    p = read_table(spark, sf_dir, "part")
+    layered = pareto_layers_2d(
+        p, F.col("p_size"), -F.col("p_retailprice"), "p_partkey", layers=2
+    )
+    return layered.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), "layer"
+    )
+
+
+@register(
+    "skyline_users_3d",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))), 0)
+                    AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types, total_value
+    FROM u q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM u p
+        WHERE p.n_events >= q.n_events
+          AND p.n_types >= q.n_types
+          AND p.total_value >= q.total_value
+          AND (p.n_events > q.n_events
+               OR p.n_types > q.n_types
+               OR p.total_value > q.total_value)
+    )
+    """,
+)
+def skyline_users_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline of user activity (event count, type diversity,
+    total value — all maximized) via the local-skyline →
+    broadcast-cross-check plan.  Value sums run in DECIMAL so both
+    engines produce bit-identical totals (float sums are
+    order-dependent; a 1-ulp drift could flip a dominance edge)."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0)
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+    return skyline_kd(u, ["n_events", "n_types", "total_value"])
+
+
+@register(
+    "skyline_incremental_parts",
+    oracle=f"""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(p_size AS BIGINT) AS p_size,
+           round(p_retailprice, 2) AS price
+    FROM part q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part p WHERE {_PART_DOM}
+    )
+    """,
+)
+def skyline_incremental_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental skyline maintenance pinned against full recompute:
+    parts split 90/10 into base and insert batch, the base's frontier
+    upserted with the batch (`skyline_upsert_kd` — old skyline ∪
+    batch, never the base corpus again), and the oracle is the FULL
+    NOT-EXISTS skyline over everything — incremental must equal
+    recompute exactly (the ``operators/ivm`` discipline applied to a
+    non-aggregate operator)."""
+    p = read_table(spark, sf_dir, "part").withColumn(
+        "neg_price", -F.col("p_retailprice")
+    )
+    base = p.filter(F.pmod("p_partkey", F.lit(10)) != 0)
+    batch = p.filter(F.pmod("p_partkey", F.lit(10)) == 0)
+    base_sky = skyline_kd(base, ["p_size", "neg_price"])
+    new_sky = skyline_upsert_kd(base_sky, batch, ["p_size", "neg_price"])
+    return new_sky.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round("p_retailprice", 2).alias("price"),
+    )
+
+
+@register(
+    "mad_outliers_by_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - m.med) / (1.4826 * d.mad), 4) AS rz
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE e.value IS NOT NULL
+      AND d.mad > 0
+      AND abs((e.value - m.med) / (1.4826 * d.mad)) > 3.0
+    """,
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score outliers per event type: median/MAD instead of
+    mean/σ, so the screen itself is not dragged by the outliers it
+    hunts (the 2σ screen's known failure on heavy tails).  Two exact
+    medians (grouped percentile — groups are |event_type|-bounded),
+    scaled by the 1.4826 normal-consistency constant."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), on="event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.0))
+        .select("event_id", "event_type", F.round(rz, 4).alias("rz"))
+    )
+
+
+@register(
+    "mutual_info_priority_status",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               count(*) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY y),
+    tot AS (SELECT sum(nxy) AS n FROM joint)
+    SELECT round(sum(
+               (CAST(nxy AS DOUBLE) / n) *
+               ln((CAST(nxy AS DOUBLE) * n) /
+                  (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+           ), 4) AS mi_nats
+    FROM joint, mx, my, tot
+    WHERE joint.x = mx.x AND joint.y = my.y
+    """,
+)
+def mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and status —
+    the categorical-association screen for leakage between a feature
+    and a label.  One joint groupBy; marginals re-aggregate the tiny
+    joint table; every count exact, floats only in the final log
+    arithmetic (≤ |X|·|Y| terms, so round(4) is drift-proof)."""
+    o = read_table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        (F.col("nxy").cast("double") * F.col("n"))
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(mx), on="x")
+        .join(F.broadcast(my), on="y")
+        .join(F.broadcast(tot))
+        .agg(F.round(F.sum(term), 4).alias("mi_nats"))
+    )

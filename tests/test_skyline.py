@@ -1,0 +1,169 @@
+"""Skyline operator tests: hypothesis property checks against a
+brute-force dominance model (2-D bucketed path, k-D local+cross-check
+path, layer peeling), plus tie/duplicate semantics and the numpy
+local-skyline kernel in isolation."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from enclaveid_data_pipeline_spark.operators.skyline import (
+    _local_skyline,
+    pareto_layers_2d,
+    skyline_2d,
+    skyline_kd,
+    skyline_upsert_kd,
+)
+
+_SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small integer coordinates force heavy ties and duplicates
+_pts2 = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=1,
+    max_size=40,
+)
+_pts3 = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 4), st.integers(0, 4)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_skyline(pts: list[tuple]) -> list[tuple]:
+    """NOT-EXISTS dominance over all pairs (keeps duplicates of
+    maximal points — neither dominates the other)."""
+
+    def dominated(q):
+        return any(
+            all(pc >= qc for pc, qc in zip(p, q))
+            and any(pc > qc for pc, qc in zip(p, q))
+            for p in pts
+        )
+
+    return [q for q in pts if not dominated(q)]
+
+
+@_SLOW
+@given(pts=_pts2)
+def test_skyline_2d_matches_brute(spark, pts):
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline_2d(df, F.col("x"), F.col("y"), n_buckets=4).collect()
+    )
+    assert got == sorted(_brute_skyline(pts))
+
+
+@_SLOW
+@given(pts=_pts3)
+def test_skyline_kd_matches_brute(spark, pts):
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "id long, a long, b long, c long"
+    ).repartition(3)
+    got = sorted(
+        (r.a, r.b, r.c) for r in skyline_kd(df, ["a", "b", "c"]).collect()
+    )
+    assert got == sorted(_brute_skyline(pts))
+
+
+@_SLOW
+@given(pts=_pts2)
+def test_pareto_layers_match_iterated_brute(spark, pts):
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r.id: r.layer
+        for r in pareto_layers_2d(
+            df, F.col("x"), F.col("y"), "id", layers=2, n_buckets=4
+        ).collect()
+    }
+    # model: peel twice over (id, point) rows
+    remaining = list(enumerate(pts))
+    expect: dict[int, int] = {}
+    for layer in (1, 2):
+        vals = [p for _, p in remaining]
+        sky = set()
+        for i, q in remaining:
+            if not any(
+                all(pc >= qc for pc, qc in zip(p, q))
+                and any(pc > qc for pc, qc in zip(p, q))
+                for p in vals
+            ):
+                sky.add(i)
+        for i in sky:
+            expect[i] = layer
+        remaining = [(i, p) for i, p in remaining if i not in sky]
+    assert got == expect
+
+
+def test_skyline_2d_duplicates_all_kept(spark):
+    # two copies of the maximal point: neither dominates the other
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 1, 9), (4, 5, 4)],
+        "id long, x long, y long",
+    )
+    ids = sorted(
+        r.id for r in skyline_2d(df, F.col("x"), F.col("y")).collect()
+    )
+    assert ids == [1, 2, 3]
+
+
+def test_skyline_2d_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 5, None), (2, None, 9), (3, 1, 1)],
+        "id long, x long, y long",
+    )
+    ids = [r.id for r in skyline_2d(df, F.col("x"), F.col("y")).collect()]
+    assert ids == [3]
+
+
+def test_local_skyline_kernel_blocks():
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 8, size=(500, 3)).astype("float64")
+    keep = _local_skyline(vals, block_rows=64)
+    got = sorted(map(tuple, vals[keep]))
+    expect = sorted(
+        map(tuple, np.array(_brute_skyline([tuple(v) for v in vals])))
+    )
+    assert got == expect
+    # every returned index is a distinct input row
+    assert len(keep) == len(set(keep.tolist()))
+
+
+@_SLOW
+@given(pts=_pts3, split=st.integers(1, 5))
+def test_skyline_upsert_equals_recompute(spark, pts, split):
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    base = df.filter(F.pmod("id", F.lit(6)) >= split)
+    batch = df.filter(F.pmod("id", F.lit(6)) < split)
+    base_sky = skyline_kd(base, ["a", "b", "c"])
+    inc = sorted(
+        r.id
+        for r in skyline_upsert_kd(base_sky, batch, ["a", "b", "c"]).collect()
+    )
+    full = sorted(r.id for r in skyline_kd(df, ["a", "b", "c"]).collect())
+    assert inc == full
+
+
+def test_skyline_kd_partition_invariance(spark):
+    rows = [(i, i % 5, (i * 3) % 7, (i * 5) % 4) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    one = sorted(
+        r.id for r in skyline_kd(df.coalesce(1), ["a", "b", "c"]).collect()
+    )
+    many = sorted(
+        r.id
+        for r in skyline_kd(df.repartition(8), ["a", "b", "c"]).collect()
+    )
+    assert one == many
