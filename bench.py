@@ -164,6 +164,7 @@ SCALE_TWINS = (
     # twin for scale is approx_percentile_rank_error.
     "skyline_parts_2d",
     "skyline_users_3d",
+    "skyline_docs_by_lang",
     "mutual_info_priority_status",
 )
 

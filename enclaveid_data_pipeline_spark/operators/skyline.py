@@ -63,51 +63,67 @@ def skyline_2d(
     x: Column,
     y: Column,
     n_buckets: int = 64,
+    group_by: Sequence[str] = (),
 ) -> DataFrame:
     """Rows on the 2-D Pareto frontier, both objectives MAXIMIZED.
+
+    With ``group_by`` set, an independent frontier per group (the
+    per-language document frontier shape) — every stage carries the
+    group key, so groups never interact.  The broadcast prefix table
+    is |groups| × n_buckets rows: fine for dashboard-cardinality
+    groups; entity-cardinality groups (millions) should instead
+    window per group directly — at that cardinality each group is
+    small and needs no bucketing.
 
     Null objectives are dropped (dominance is undefined on nulls —
     same contract as the rank operators).  Output keeps the input
     columns unchanged.
     """
+    gcols = list(group_by)
     d = (
         df.withColumn(_X, x.cast("double"))
         .withColumn(_Y, y.cast("double"))
         .filter(F.col(_X).isNotNull() & F.col(_Y).isNotNull())
     )
-    # one row per distinct x: the best y at that x
-    g = d.groupBy(_X).agg(F.max(_Y).alias(_GY))
+    # one row per distinct (group, x): the best y there
+    g = d.groupBy(*gcols, _X).agg(F.max(_Y).alias(_GY))
     # bucketed prefix-max of gy along DESCENDING x: buckets are
-    # monotone in ascending x, so "all strictly larger x" splits into
-    # (a) strictly higher buckets — a theta-join prefix over the
-    # bucket table only — and (b) larger x inside my own bucket — a
-    # window PARTITIONED BY bucket.
+    # monotone in ascending x (boundaries learned globally — still
+    # monotone within every group), so "all strictly larger x in my
+    # group" splits into (a) strictly higher buckets — a theta-join
+    # prefix over the bucket table only — and (b) larger x inside my
+    # own bucket — a window PARTITIONED BY (group, bucket).
     gb = with_sampled_range_bucket(g, F.col(_X), n=n_buckets, out=_BK)
-    bmax = gb.groupBy(_BK).agg(F.max(_GY).alias("__bmax"))
+    bmax = gb.groupBy(*gcols, _BK).agg(F.max(_GY).alias("__bmax"))
     higher = bmax.select(
-        F.col(_BK).alias("__hb"), F.col("__bmax").alias("__hm")
+        *[F.col(c).alias(f"__h_{c}") for c in gcols],
+        F.col(_BK).alias("__hb"),
+        F.col("__bmax").alias("__hm"),
     )
+    cond = F.col("__hb") > F.col(_BK)
+    for c in gcols:
+        cond = cond & (F.col(f"__h_{c}") == F.col(c))
     himax = (
-        bmax.join(higher, F.col("__hb") > F.col(_BK), "left")
-        .groupBy(_BK)
+        bmax.join(higher, cond, "left")
+        .groupBy(*gcols, _BK)
         .agg(F.max("__hm").alias("__himax"))
     )
     w = (
-        Window.partitionBy(_BK)
+        Window.partitionBy(*gcols, _BK)
         .orderBy(F.desc(_X))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # F.greatest skips nulls: m1 is null only when NO group has a
-    # strictly larger x anywhere (frontier's right edge).
+    # F.greatest skips nulls: m1 is null only when NO row of my group
+    # has a strictly larger x anywhere (frontier's right edge).
     stats = (
-        gb.join(F.broadcast(himax), on=_BK)
+        gb.join(F.broadcast(himax), on=[*gcols, _BK])
         .withColumn(
             _M1, F.greatest(F.max(_GY).over(w), F.col("__himax"))
         )
-        .select(_X, _GY, _M1)
+        .select(*gcols, _X, _GY, _M1)
     )
     survivors = (
-        d.join(stats, on=_X)
+        d.join(stats, on=[*gcols, _X])
         .filter(
             (F.col(_M1).isNull() | (F.col(_M1) < F.col(_Y)))
             & (F.col(_Y) == F.col(_GY))

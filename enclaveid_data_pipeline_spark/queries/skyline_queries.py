@@ -137,6 +137,63 @@ def skyline_users_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skyline_docs_by_lang",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / n_chars AS alpha_ratio
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, round(alpha_ratio, 4) AS alpha_ratio
+    FROM d q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d p
+        WHERE p.lang = q.lang
+          AND p.n_chars >= q.n_chars
+          AND p.alpha_ratio >= q.alpha_ratio
+          AND (p.n_chars > q.n_chars OR p.alpha_ratio > q.alpha_ratio)
+    )
+    """,
+)
+def skyline_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document frontier: longest AND cleanest (highest
+    alphabetic-character ratio) — the grouped 2-D skyline, every stage
+    keyed by ``lang`` so languages never interact.  The ratio is an
+    exact-int ÷ exact-int double, identical in both engines, so
+    dominance edges cannot drift; rounding happens only in the output
+    projection."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+                "double"
+            )
+            / F.col("n_chars")
+        ).alias("alpha_ratio"),
+    )
+    sky = skyline_2d(
+        d,
+        F.col("n_chars"),
+        F.col("alpha_ratio"),
+        group_by=["lang"],
+    )
+    return sky.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+    )
+
+
+@register(
     "skyline_incremental_parts",
     oracle=f"""
     SELECT CAST(p_partkey AS BIGINT) AS p_partkey,

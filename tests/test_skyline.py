@@ -106,6 +106,25 @@ def test_pareto_layers_match_iterated_brute(spark, pts):
     assert got == expect
 
 
+@_SLOW
+@given(pts=_pts2, groups=st.lists(st.integers(0, 2), min_size=1, max_size=40))
+def test_skyline_2d_grouped_matches_per_group_brute(spark, pts, groups):
+    n = min(len(pts), len(groups))
+    rows = [(i, groups[i], *pts[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, g long, x long, y long")
+    got = sorted(
+        (r.g, r.x, r.y)
+        for r in skyline_2d(
+            df, F.col("x"), F.col("y"), n_buckets=4, group_by=["g"]
+        ).collect()
+    )
+    expect = []
+    for gval in set(groups[:n]):
+        sub = [pts[i] for i in range(n) if groups[i] == gval]
+        expect.extend((gval, x, y) for x, y in _brute_skyline(sub))
+    assert got == sorted(expect)
+
+
 def test_skyline_2d_duplicates_all_kept(spark):
     # two copies of the maximal point: neither dominates the other
     df = spark.createDataFrame(
