@@ -166,6 +166,11 @@ SCALE_TWINS = (
     "skyline_users_3d",
     "skyline_docs_by_lang",
     "mutual_info_priority_status",
+    # round-9 privacy family: the k=20 suppression RELEASE (grouped
+    # count + null-safe semi-join back + checksum) — the family's one
+    # corpus-scale data-movement shape; the audits/ladder are
+    # single-aggregate reports over the same plan
+    "k_anon_release_checksum_k20",
 )
 
 #: Headline queries whose workload couples to corpus size (their

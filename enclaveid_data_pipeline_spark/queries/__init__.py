@@ -26,5 +26,6 @@ from . import graph_queries  # noqa: E402,F401
 from . import dbscan_queries  # noqa: E402,F401
 from . import mview_queries  # noqa: E402,F401
 from . import skyline_queries  # noqa: E402,F401
+from . import privacy_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,195 @@
+"""Privacy-release queries: k-anonymity audits and releases,
+l-diversity failures, and the generalization-ladder choice — the
+structural privacy layer over the same tables the redaction pass
+scrubs (`pii_scrub_counts`).
+
+All group/count arithmetic is exact integers; dates/hours are
+formatted strings (NTZ-safe in both engines), so oracles replay
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.kanon import (
+    choose_generalization,
+    k_anonymity_report,
+    l_diversity_failures,
+    suppress_small_groups,
+)
+from ..sources.readers import read_table
+from .registry import register
+
+# shared oracle fragment: the one-row k-anonymity report over a
+# (quasi) grouping — DuckDB side of k_anonymity_report
+_REPORT_SQL = """
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n >= {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_groups,
+           CAST(sum(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS suppressed_groups,
+           CAST(sum(CASE WHEN n >= {k} THEN n ELSE 0 END) AS BIGINT)
+               AS kept_rows,
+           CAST(sum(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT)
+               AS suppressed_rows
+    FROM ({groups})
+"""
+
+_EVENTS_DAY_GROUPS = """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "k_anon_report_events_k10",
+    oracle=_REPORT_SQL.format(k=10, groups=_EVENTS_DAY_GROUPS),
+)
+def k_anon_report_events_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit at k=10 over the (event_type, day)
+    quasi-identifier: a group smaller than k re-identifies its
+    members by linkage on those two columns; the report counts what a
+    suppression release keeps vs drops.  One grouped count — linear."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    return k_anonymity_report(ev, ["event_type", "day"], k=10)
+
+
+@register(
+    "k_anon_release_checksum_k20",
+    oracle="""
+    WITH keep AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
+        FROM events
+        GROUP BY 1, 2
+        HAVING count(*) >= 20
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(e.event_id) AS BIGINT) AS id_checksum
+    FROM events e
+    JOIN keep k
+      ON e.event_type = k.event_type
+     AND strftime(e.ts, '%Y-%m-%d') = k.day
+    """,
+)
+def k_anon_release_checksum_k20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The k=20 suppression RELEASE itself (semi-join of rows whose
+    quasi-group survives), checksummed — pins the release path, not
+    just the audit arithmetic: row count and the exact id sum match
+    the oracle's HAVING+join formulation."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    release = suppress_small_groups(ev, ["event_type", "day"], k=20)
+    return release.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+
+
+@register(
+    "l_diversity_docs_l4",
+    oracle="""
+    SELECT lang,
+           CAST(n_chars // 10 AS BIGINT) AS size_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive
+    FROM documents
+    GROUP BY 1, 2
+    HAVING count(*) >= 3 AND count(DISTINCT source) < 4
+    """,
+)
+def l_diversity_docs_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homogeneity-attack audit: (lang, 10-char size band) groups
+    that pass k=3 anonymity yet hold < 4 distinct sources — a reader
+    who knows a document's language and rough length narrows its
+    source even from a k-anonymous release.  (Band/l chosen so the
+    audit is non-empty at every gate SF — the corpus' four sources
+    are near-uniform, so coarse bands never fail diversity.)"""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") / 10)
+        .cast("long")
+        .alias("size_band"),
+        "source",
+    )
+    return l_diversity_failures(
+        docs, ["lang", "size_band"], "source", l_min=4, k=3
+    )
+
+
+_LADDER_ORACLE = f"""
+    WITH r_hour AS ({_REPORT_SQL.format(k=50, groups='''
+        SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS q,
+               count(*) AS n
+        FROM events GROUP BY 1, 2''')}),
+    r_day AS ({_REPORT_SQL.format(k=50, groups=_EVENTS_DAY_GROUPS)}),
+    r_type AS ({_REPORT_SQL.format(k=50, groups='''
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY 1''')}),
+    flags AS (
+        SELECT
+          (SELECT suppressed_rows <= 0.05 * (kept_rows + suppressed_rows)
+           FROM r_hour) AS ok_hour,
+          (SELECT suppressed_rows <= 0.05 * (kept_rows + suppressed_rows)
+           FROM r_day) AS ok_day
+    )
+    SELECT CASE WHEN ok_hour THEN 'type_hour'
+                WHEN ok_day THEN 'type_day'
+                ELSE 'type_only' END AS level,
+           {', '.join(
+               "CASE WHEN ok_hour THEN (SELECT %s FROM r_hour) "
+               "WHEN ok_day THEN (SELECT %s FROM r_day) "
+               "ELSE (SELECT %s FROM r_type) END AS %s" % (c, c, c, c)
+               for c in (
+                   'k', 'n_groups', 'kept_groups', 'suppressed_groups',
+                   'kept_rows', 'suppressed_rows',
+               )
+           )}
+    FROM flags
+"""
+
+
+@register("k_anon_ladder_events", oracle=_LADDER_ORACLE)
+def k_anon_ladder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder choice at k=50 with a 5% suppression
+    budget: try (event_type, hour), then (event_type, day), then
+    event_type alone — the first level within budget wins (the
+    utility-vs-privacy trade made mechanical).  The driver loop walks
+    LADDER LEVELS (three aggregates), never data; the oracle replays
+    the same decision in pure SQL."""
+    ev = read_table(spark, sf_dir, "events")
+    ladder = [
+        (
+            "type_hour",
+            [
+                F.col("event_type"),
+                F.date_format("ts", "yyyy-MM-dd HH"),
+            ],
+        ),
+        (
+            "type_day",
+            [F.col("event_type"), F.date_format("ts", "yyyy-MM-dd")],
+        ),
+        ("type_only", [F.col("event_type")]),
+    ]
+    level, report = choose_generalization(
+        ev, ladder, k=50, max_suppressed_fraction=0.05
+    )
+    return report.select(
+        F.lit(level).alias("level"),
+        "k",
+        "n_groups",
+        "kept_groups",
+        "suppressed_groups",
+        "kept_rows",
+        "suppressed_rows",
+    )
