@@ -190,15 +190,25 @@ def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
     obj = list(objectives)
 
     def _part(batches: Iterator) -> Iterator:
+        # Stream Arrow batches: fold each into the running skyline
+        # (skyline(sky ∪ batch) — new points may both join AND evict)
+        # so executor memory holds the frontier plus ONE batch, never
+        # the whole partition.
         import pandas as pd
 
-        rows = [b for b in batches if len(b)]
-        if not rows:
-            return
-        pdf = pd.concat(rows, ignore_index=True)
-        vals = pdf[obj].to_numpy(dtype="float64")
-        keep = _local_skyline(vals)
-        yield pdf.iloc[keep]
+        sky = None
+        for b in batches:
+            if not len(b):
+                continue
+            cur = (
+                b
+                if sky is None
+                else pd.concat([sky, b], ignore_index=True)
+            )
+            keep = _local_skyline(cur[obj].to_numpy(dtype="float64"))
+            sky = cur.iloc[keep].reset_index(drop=True)
+        if sky is not None and len(sky):
+            yield sky
 
     cand = d.mapInPandas(_part, schema=d.schema)
     rhs = cand.select(
