@@ -76,8 +76,11 @@ def skyline_2d(
     small and needs no bucketing.
 
     Null objectives are dropped (dominance is undefined on nulls —
-    same contract as the rank operators).  Output keeps the input
-    columns unchanged.
+    same contract as the rank operators).  Group keys must be
+    NON-NULL as well: a null key would survive the groupBy but drop
+    at the equi-join back (nulls never equi-join) — same contract as
+    the rank operators' order keys.  Output keeps the input columns
+    unchanged.
     """
     gcols = list(group_by)
     d = (
