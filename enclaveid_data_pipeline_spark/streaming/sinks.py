@@ -186,6 +186,56 @@ def rollup_sink(
     return w.start()
 
 
+def skyline_sink(
+    stream_df: DataFrame,
+    path: str,
+    objectives: tuple[str, ...],
+    checkpoint_dir: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Continuously maintained Pareto frontier: each micro-batch folds
+    into the persisted skyline via ``skyline_upsert_kd`` — for an
+    INSERT-only stream, skyline(corpus so far) = skyline(old frontier
+    ∪ batch), so per-batch cost is O(batch + frontier) and the corpus
+    is never re-scanned (the streaming twin of
+    ``skyline_incremental_parts``; the theorem and its DELETE caveat
+    live on the operator).
+
+    Replay safety: the table embeds the last folded ``_batch_id`` and
+    a redelivered micro-batch is skipped — though unlike the rollup
+    sink's sums this fold is also IDEMPOTENT (re-folding the same
+    rows cannot change a frontier), so the high-water mark is a cost
+    optimization and a restart-from-zero guard, not a correctness
+    requirement.  The frontier is small by construction — reading it
+    back and overwriting per batch is O(frontier).
+    """
+    from ..operators.skyline import skyline_kd, skyline_upsert_kd
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        spark = batch_df.sparkSession
+        existing = _read_existing(spark, path)
+        if existing is not None:
+            done = existing.agg(F.max("_batch_id")).collect()[0][0]
+            if done is not None and batch_id <= done:
+                return  # replayed batch: frontier already reflects it
+            merged = skyline_upsert_kd(
+                existing.drop("_batch_id"), batch_df, list(objectives)
+            )
+        else:
+            merged = skyline_kd(batch_df, list(objectives))
+        out = _materialize(
+            merged.withColumn("_batch_id", F.lit(batch_id)), "local"
+        )
+        out.write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def cdc_snapshot_sink(
     stream_df: DataFrame,
     path: str,
