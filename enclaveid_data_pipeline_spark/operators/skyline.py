@@ -267,6 +267,8 @@ def pareto_layers_2d(
     anti-join removes exactly the peeled rows).  Adds a ``layer``
     BIGINT column.  Fixed small ``layers`` — each peel is one
     :func:`skyline_2d` pass over the shrinking remainder."""
+    if layers < 1:
+        raise ValueError(f"layers must be >= 1, got {layers}")
     remaining = df
     out: DataFrame | None = None
     for i in range(1, layers + 1):

@@ -74,8 +74,8 @@ def k_anon_report_events_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(e.event_id) AS BIGINT) AS id_checksum
     FROM events e
     JOIN keep k
-      ON e.event_type = k.event_type
-     AND strftime(e.ts, '%Y-%m-%d') = k.day
+      ON e.event_type IS NOT DISTINCT FROM k.event_type
+     AND strftime(e.ts, '%Y-%m-%d') IS NOT DISTINCT FROM k.day
     """,
 )
 def k_anon_release_checksum_k20(

@@ -201,13 +201,17 @@ def skyline_sink(
     ``skyline_incremental_parts``; the theorem and its DELETE caveat
     live on the operator).
 
-    Replay safety: the table embeds the last folded ``_batch_id`` and
-    a redelivered micro-batch is skipped — though unlike the rollup
-    sink's sums this fold is also IDEMPOTENT (re-folding the same
-    rows cannot change a frontier), so the high-water mark is a cost
-    optimization and a restart-from-zero guard, not a correctness
-    requirement.  The frontier is small by construction — reading it
-    back and overwriting per batch is O(frontier).
+    Replay safety: unlike the rollup sink's sums this fold is
+    IDEMPOTENT (re-folding rows already reflected in the frontier
+    cannot change it), so every batch folds UNCONDITIONALLY — no
+    ``_batch_id`` high-water mark.  A guard would not just be
+    redundant, it would be wrong: after a checkpoint-less restart
+    the source renumbers batches from 0, and a skip-while-id-low
+    window silently drops any NEW rows riding those early replayed
+    batches (round-9 advice).  A redelivered batch costs one
+    harmless O(batch + frontier) re-fold instead.  The frontier is
+    small by construction — reading it back and overwriting per
+    batch is O(frontier).
     """
     from ..operators.skyline import skyline_kd, skyline_upsert_kd
 
@@ -217,17 +221,14 @@ def skyline_sink(
         spark = batch_df.sparkSession
         existing = _read_existing(spark, path)
         if existing is not None:
-            done = existing.agg(F.max("_batch_id")).collect()[0][0]
-            if done is not None and batch_id <= done:
-                return  # replayed batch: frontier already reflects it
+            # drop() is a no-op when absent: tolerate tables written
+            # by the pre-round-10 guard that embedded a _batch_id
             merged = skyline_upsert_kd(
                 existing.drop("_batch_id"), batch_df, list(objectives)
             )
         else:
             merged = skyline_kd(batch_df, list(objectives))
-        out = _materialize(
-            merged.withColumn("_batch_id", F.lit(batch_id)), "local"
-        )
+        out = _materialize(merged, "local")
         out.write.mode("overwrite").parquet(path)
 
     w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")

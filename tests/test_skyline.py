@@ -186,3 +186,11 @@ def test_skyline_kd_partition_invariance(spark):
         for r in skyline_kd(df.repartition(8), ["a", "b", "c"]).collect()
     )
     assert one == many
+
+
+def test_pareto_layers_rejects_nonpositive_layers(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="layers"):
+        pareto_layers_2d(df, F.col("x"), F.col("y"), "id", layers=0)

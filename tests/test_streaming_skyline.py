@@ -89,10 +89,16 @@ def test_skyline_sink_tracks_frontier_and_survives_replay(spark, tmp_path):
     evicted = {r.event_id for r in spark.read.parquet(out).collect()}
     assert 3 not in evicted and 6 not in evicted
 
-    # restart with NO checkpoint: the source replays everything as
-    # batch 0, which the _batch_id high-water mark skips — the
-    # frontier is unchanged (and would be even without the skip:
-    # the fold is idempotent)
+    # restart with NO checkpoint AND a never-folded file already in
+    # the directory: the source renumbers batches from 0, so a
+    # batch-id high-water guard would skip the replayed low-numbered
+    # batches — including the one carrying the NEW rows (the
+    # round-9-advice loss window).  The fold is idempotent and runs
+    # unconditionally, so the replay is harmless and the new
+    # dominating point lands: (6,6) dominates every earlier point,
+    # leaving it the sole frontier member.
+    batch3 = [(7, 6, 6)]
+    _drop(spark, tmp_path, stream_dir, "002", batch3)
     q2 = skyline_sink(
         read_event_stream(spark, str(stream_dir)),
         out,
@@ -103,5 +109,7 @@ def test_skyline_sink_tracks_frontier_and_survives_replay(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
+    pts_all = [(a, b) for _, a, b in batch1 + batch2 + batch3]
     again = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
-    assert again == final
+    assert again == _brute(pts_all)
+    assert (6, 6) in again
