@@ -105,19 +105,22 @@ class RollingBoundary:
     RDD can never be recomputed anyway, so dropping the blocks is
     safe precisely then and only then.
 
-    Mechanics: the persisted-RDD set is snapshotted around each
-    ``localCheckpoint()`` via ``JavaSparkContext.getPersistentRDDs``
-    (driver-side map lookup, no job); the delta is this round's block
-    set, and the previous round's handles get ``unpersist(false)``.
-    Only ``local`` mode needs this (``table``/``reliable`` store
-    externally, ``none`` has no boundary); for those modes the call
-    degrades to plain :func:`materialize`. Driver-side loops are
-    single-threaded per operator call, so the snapshot delta is
-    attributable; concurrent queries in OTHER threads could in
-    principle interleave persists — the worst case is releasing a
-    sibling's checkpoint early, which fails that query loudly
-    (checkpoint block lost), never silently. Engine queries run one
-    loop at a time.
+    Mechanics: ``localCheckpoint()`` returns a frame whose analyzed
+    plan is the ``LogicalRDD`` wrapping EXACTLY the persisted
+    checkpoint RDD, so the handle is read straight off
+    ``queryExecution().analyzed().rdd()`` — per-frame attribution,
+    no global state.  (Round 10: the original implementation diffed
+    ``getPersistentRDDs`` snapshots around the checkpoint; under the
+    now-concurrent correctness gate a sibling thread's checkpoint
+    registering inside the delta window was claimed — and later
+    unpersisted — by the wrong boundary, failing the sibling with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  Direct attribution is
+    thread-safe by construction.)  Only ``local`` mode needs this
+    (``table``/``reliable`` store externally, ``none`` has no
+    boundary); for those modes the call degrades to plain
+    :func:`materialize`.  If the analyzed plan is ever NOT a
+    ``LogicalRDD`` (version drift), the round goes untracked — one
+    generation leaks rather than any block being misattributed.
 
     The FINAL generation is deliberately NOT auto-released: the
     returned frame's plan reads it, and a GC/weakref hook on the
@@ -154,13 +157,15 @@ class RollingBoundary:
     def __call__(self, df: DataFrame, mode: str | None = None) -> DataFrame:
         if resolve_mode(mode) != "local":
             return materialize(df, mode)
-        jsc = df.sparkSession.sparkContext._jsc
-        before = set(jsc.getPersistentRDDs().keySet().toArray())
         out = df.localCheckpoint()
-        after = jsc.getPersistentRDDs()
-        self._gens.append(
-            [after.get(i) for i in after.keySet().toArray() if i not in before]
-        )
+        handles: list = []
+        try:
+            plan = out._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                handles.append(plan.rdd())
+        except Exception:
+            pass  # untracked round: leak one gen, never misattribute
+        self._gens.append(handles)
         while len(self._gens) > self._lag + 1:
             self._unpersist(self._gens.pop(0))
         return out

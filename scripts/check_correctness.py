@@ -7,13 +7,32 @@ and an order-insensitive value comparison (columns sorted by name,
 rows sorted by all columns, exact equality). Exit code 1 on any
 mismatch.
 
+Round 10 (judge r9 #1): queries run CONCURRENTLY.  The serial loop
+had grown to ~29 min at sf0.1 for 264 queries — the longest feedback
+loop in the build.  Now a thread pool drives ``CHECK_THREADS``
+(default 8) queries at once, each worker pinned to its own FAIR
+scheduler pool so one big Spark job cannot head-of-line-block the
+small ones, and each query's DuckDB oracle runs on a SEPARATE thread
+pool concurrently with its Spark side (per-thread ``con.cursor()`` —
+cursors share the parent connection's catalog but execute
+independently).  Safe because registry queries are pure plan builds
+over a shared immutable corpus: no query writes to disk, and the only
+session-conf touches are idempotent constants (nanosAsLong, the
+per-sf_dir shuffle-partition autotune) identical across all workers.
+Per-query pass/fail semantics, line format, summary, and footer are
+byte-identical to the serial runner; only line ORDER follows
+completion order.  ``CHECK_THREADS=1`` restores serial execution.
+
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 import pandas as pd
@@ -44,12 +63,50 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Problem strings, empty when the two frames match."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rows {len(spark_pdf)} != {len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"cols {s_cols} != {d_cols}")
+    if not problems:
+        a, b = normalize(spark_pdf), normalize(duck_pdf)
+        if not a.equals(b):
+            neq = (a != b).any(axis=0)
+            bad_cols = list(neq[neq].index)
+            diff_mask = (a != b).any(axis=1)
+            idx = list(a.index[diff_mask])[:3]
+            detail = []
+            for i in idx:
+                detail.append(
+                    f"row{i}: "
+                    + "; ".join(
+                        f"{c}: {a.at[i, c]} != {b.at[i, c]}"
+                        for c in bad_cols
+                        if a.at[i, c] != b.at[i, c]
+                    )
+                )
+            problems.append(
+                f"values differ in {bad_cols}: " + " | ".join(detail)
+            )
+    return problems
+
+
 def main() -> int:
     t_wall = time.time()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    n_threads = max(1, int(os.environ.get("CHECK_THREADS", "8")))
 
-    spark = get_spark("check_correctness")
+    # 8 concurrent queries share one JVM: same 16g default heap as
+    # bench sessions (engine/test sessions keep 8g).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(
+        "check_correctness",
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -59,10 +116,8 @@ def main() -> int:
     # SF of this run, parsed from the dir name (sf0.01 → 0.01);
     # unparseable dirs run everything (scaled fixtures pass sfN dirs)
     try:
-        import os as _os
-
         sf = float(
-            _os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         )
     except ValueError:
         sf = None
@@ -71,10 +126,67 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = []
+
+    failures: list[str] = []
     attempted = 0
     pinned = 0
-    for name, fn in qs.items():
+    print_lock = threading.Lock()
+    tls = threading.local()
+    pool_seq = iter(range(10**9))
+
+    def _pin_fair_pool() -> None:
+        """Give each worker thread its own FAIR pool (lazily, once).
+        Local properties are per-Python-thread under pinned-thread
+        mode, so this isolates scheduling without touching others."""
+        if not hasattr(tls, "pool"):
+            tls.pool = f"gate-{next(pool_seq)}"
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", tls.pool
+            )
+
+    ora_pool = ThreadPoolExecutor(max_workers=n_threads)
+    ora_tls = threading.local()
+
+    def _oracle(sql: str) -> pd.DataFrame:
+        if not hasattr(ora_tls, "cursor"):
+            ora_tls.cursor = con.cursor()
+        return ora_tls.cursor.execute(sql).fetchdf()
+
+    def _run(name: str) -> tuple[str | None, str]:
+        """(failure-name-or-None, result line) for one query."""
+        _pin_fair_pool()
+        fn = qs[name]
+        t0 = time.time()
+        ora_fut = (
+            ora_pool.submit(_oracle, oracles[name])
+            if name in oracles
+            else None
+        )
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            if ora_fut is not None:
+                ora_fut.cancel()
+            return name, f"FAIL  {name}: spark error: {e}"
+        if ora_fut is None:
+            return None, (
+                f"ok*   {name}: rows-only ({len(spark_pdf)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
+        try:
+            duck_pdf = ora_fut.result()
+        except Exception as e:  # noqa: BLE001
+            return name, f"FAIL  {name}: duckdb error: {e}"
+        problems = _compare(spark_pdf, duck_pdf)
+        if problems:
+            return name, f"FAIL  {name}: " + "; ".join(problems)
+        return None, (
+            f"ok    {name}: {len(spark_pdf)} rows match "
+            f"({time.time()-t0:.1f}s)"
+        )
+
+    todo: list[str] = []
+    for name in qs:
         if only and name not in only:
             continue
         qdef = REGISTRY.get(name)
@@ -86,55 +198,23 @@ def main() -> int:
             pinned += 1
             print(f"pin   {name}: gate_sf_max={cap} < sf={sf}, skipped")
             continue
-        attempted += 1
-        t0 = time.time()
-        try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(spark_pdf)} rows, "
-                  f"{time.time()-t0:.1f}s)")
-            continue
-        try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
+        todo.append(name)
+    attempted = len(todo)
 
-        problems = []
-        if len(spark_pdf) != len(duck_pdf):
-            problems.append(f"rows {len(spark_pdf)} != {len(duck_pdf)}")
-        s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
-        if s_cols != d_cols:
-            problems.append(f"cols {s_cols} != {d_cols}")
-        if not problems:
-            a, b = normalize(spark_pdf), normalize(duck_pdf)
-            if not a.equals(b):
-                neq = (a != b).any(axis=0)
-                bad_cols = list(neq[neq].index)
-                diff_mask = (a != b).any(axis=1)
-                idx = list(a.index[diff_mask])[:3]
-                detail = []
-                for i in idx:
-                    detail.append(
-                        f"row{i}: "
-                        + "; ".join(
-                            f"{c}: {a.at[i, c]} != {b.at[i, c]}"
-                            for c in bad_cols
-                            if a.at[i, c] != b.at[i, c]
-                        )
-                    )
-                problems.append(f"values differ in {bad_cols}: " + " | ".join(detail))
-        if problems:
-            failures.append(name)
-            print(f"FAIL  {name}: " + "; ".join(problems))
-        else:
-            print(f"ok    {name}: {len(spark_pdf)} rows match "
-                  f"({time.time()-t0:.1f}s)")
+    def _run_and_print(name: str) -> None:
+        fail, line = _run(name)
+        with print_lock:
+            if fail is not None:
+                failures.append(fail)
+            print(line, flush=True)
+
+    if n_threads == 1:
+        for name in todo:
+            _run_and_print(name)
+    else:
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            list(pool.map(_run_and_print, todo))
+    ora_pool.shutdown(wait=False)
 
     print(
         f"\n{attempted - len(failures)}/{attempted} passed"
@@ -154,6 +234,7 @@ def main() -> int:
         print(
             f"# registry_names={len(qs)} attempted={attempted} "
             f"pinned={pinned} total_wall_sec={time.time() - t_wall:.0f}"
+            f" threads={n_threads}"
         )
     return 1 if failures else 0
 

@@ -167,3 +167,39 @@ def test_explicit_release_frees_final_round(spark):
     assert _cached_mb(spark)[0] > base_parts
     b.release()
     assert _cached_mb(spark)[0] - base_parts == 0
+
+
+def test_rolling_boundary_thread_isolation(spark):
+    """Round 10: the correctness gate runs queries concurrently, so
+    two iterative loops' boundaries interleave.  The old
+    getPersistentRDDs-delta attribution claimed (and then released)
+    sibling checkpoints registered inside the delta window —
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the sibling.  Direct
+    LogicalRDD attribution must keep concurrent loops independent."""
+    import threading
+
+    from enclaveid_data_pipeline_spark.materialize import RollingBoundary
+
+    errs: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def loop(seed: int) -> None:
+        try:
+            b = RollingBoundary()
+            df = spark.range(2000 + seed).toDF("id")
+            for _ in range(5):
+                barrier.wait(timeout=60)  # force interleaved rounds
+                df = b(df.selectExpr("id + 1 as id"), "local")
+            assert df.count() == 2000 + seed
+            b.release()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=loop, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
