@@ -245,7 +245,8 @@ def skyline_upsert_kd(
     scan plus work proportional to the (small) frontier; the same
     incremental == recompute oracle discipline as ``operators/ivm``.
     DELETEs invalidate the theorem (an evicted row may resurface) —
-    deletion feeds must recompute or keep peeled layers as standby.
+    deletion feeds repair from standby layers instead
+    (:func:`skyline_delete_kd` over :func:`pareto_layers_kd` state).
     """
     cols = list(base_skyline.columns)
     return skyline_kd(
@@ -280,3 +281,92 @@ def pareto_layers_2d(
             sky.select(id_col), on=id_col, how="left_anti"
         )
     return out
+
+
+def pareto_layers_kd(
+    df: DataFrame,
+    objectives: Sequence[str],
+    id_col: str,
+    layers: int = 2,
+) -> DataFrame:
+    """d-dimensional skyline peeling: layer 1 is the frontier, layer
+    i the frontier of what remains after peeling 1..i-1 (``id_col``
+    must be a unique key).  Adds a ``layer`` BIGINT column.  Each
+    peel is one :func:`skyline_kd` pass over the shrinking
+    remainder — fixed small ``layers``, so cost is layers ×
+    (local-skyline + broadcast cross-check), never quadratic.
+
+    This is the STANDBY STATE for deletion repair
+    (:func:`skyline_delete_kd`): dominance depth strictly decreases
+    along dominance edges, so every row below the tracked depth has
+    a dominator chain threading one row through EVERY tracked layer
+    — which is what makes layer-local repair sound.
+    """
+    if layers < 1:
+        raise ValueError(f"layers must be >= 1, got {layers}")
+    remaining = df
+    out: DataFrame | None = None
+    for i in range(1, layers + 1):
+        sky = skyline_kd(remaining, objectives).withColumn(
+            "layer", F.lit(i).cast("long")
+        )
+        out = sky if out is None else out.unionByName(sky)
+        remaining = remaining.join(
+            sky.select(id_col), on=id_col, how="left_anti"
+        )
+    return out
+
+
+class SkylineRepairDepthError(ValueError):
+    """Deletions reached the deepest standby layer: rows BELOW the
+    tracked depth may surface onto the frontier, so layer-local
+    repair is no longer provably exact — recompute the layers from
+    the corpus (or maintain more of them)."""
+
+
+def skyline_delete_kd(
+    base_layers: DataFrame,
+    deletes: DataFrame,
+    objectives: Sequence[str],
+    id_col: str,
+    n_layers: int,
+) -> DataFrame:
+    """Skyline after DELETING rows, repaired from the top
+    ``n_layers`` standby Pareto layers (:func:`pareto_layers_kd`
+    state with a ``layer`` column) — never re-reading the corpus.
+
+    Soundness: every row deeper than the tracked layers has (by the
+    strictly-decreasing dominance depth of its dominator chain, plus
+    transitivity) at least one dominator IN EACH tracked layer — in
+    particular in layer ``n_layers``.  If the deletion set does not
+    touch layer ``n_layers``, those deepest-layer dominators all
+    survive, so no untracked row can surface, and
+
+        skyline(corpus \\ D)  =  skyline((∪ tracked layers) \\ D)
+
+    exactly (a tracked row dominated only by an untracked row is
+    impossible for the same chain reason).  Cost: one semi-join
+    guard plus one :func:`skyline_kd` over the small layer union.
+
+    Honest bound, TYPED: deletions that do hit layer ``n_layers``
+    raise :class:`SkylineRepairDepthError` before any repair work —
+    the theorem is gone and a silent wrong frontier is worse than a
+    loud recompute.  Low-frequency deletes on curation tables make
+    2–3 standby layers ample in practice.
+    """
+    hit_deepest = (
+        base_layers.filter(F.col("layer") == n_layers)
+        .join(deletes.select(id_col), on=id_col, how="semi")
+        .limit(1)
+        .count()
+    )
+    if hit_deepest:
+        raise SkylineRepairDepthError(
+            f"deletion set touches standby layer {n_layers} (the "
+            "deepest tracked): rows below the tracked depth may "
+            "surface; recompute pareto_layers_kd from the corpus"
+        )
+    survivors = base_layers.join(
+        deletes.select(id_col), on=id_col, how="left_anti"
+    ).drop("layer")
+    return skyline_kd(survivors, objectives)

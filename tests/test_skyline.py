@@ -194,3 +194,107 @@ def test_pareto_layers_rejects_nonpositive_layers(spark):
     df = spark.createDataFrame([(1, 1, 1)], "id long, x long, y long")
     with pytest.raises(ValueError, match="layers"):
         pareto_layers_2d(df, F.col("x"), F.col("y"), "id", layers=0)
+
+
+def _brute_peel(pts: list[tuple], layers: int) -> dict[int, int]:
+    """{point-index: layer} for the first `layers` peels."""
+    remaining = list(enumerate(pts))
+    out: dict[int, int] = {}
+    for layer in range(1, layers + 1):
+        vals = [p for _, p in remaining]
+        sky = [
+            i
+            for i, q in remaining
+            if not any(
+                all(pc >= qc for pc, qc in zip(p, q))
+                and any(pc > qc for pc, qc in zip(p, q))
+                for p in vals
+            )
+        ]
+        for i in sky:
+            out[i] = layer
+        remaining = [(i, p) for i, p in remaining if i not in sky]
+    return out
+
+
+@_SLOW
+@given(pts=_pts3)
+def test_pareto_layers_kd_matches_iterated_brute(spark, pts):
+    from enclaveid_data_pipeline_spark.operators.skyline import (
+        pareto_layers_kd,
+    )
+
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    got = {
+        r.id: r.layer
+        for r in pareto_layers_kd(
+            df, ["a", "b", "c"], "id", layers=2
+        ).collect()
+    }
+    assert got == _brute_peel(pts, 2)
+
+
+@_SLOW
+@given(pts=_pts3)
+def test_skyline_delete_repair_matches_recompute(spark, pts):
+    """Delete the even-index half of layer 1; repaired frontier from
+    3 standby layers must equal the brute skyline of the surviving
+    corpus (rows only ever surface from tracked layers — guard
+    guarantees it)."""
+    from enclaveid_data_pipeline_spark.operators.skyline import (
+        SkylineRepairDepthError,
+        pareto_layers_kd,
+        skyline_delete_kd,
+    )
+
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    layers = pareto_layers_kd(df, ["a", "b", "c"], "id", layers=3)
+    model = _brute_peel(pts, 1)
+    del_ids = sorted(i for i in model if i % 2 == 0)
+    dels = spark.createDataFrame(
+        [(i,) for i in del_ids] or [(-1,)], "id long"
+    )
+    try:
+        repaired = skyline_delete_kd(
+            layers, dels, ["a", "b", "c"], "id", n_layers=3
+        )
+    except SkylineRepairDepthError:
+        # only legal when a deleted id really sits in layer 3 —
+        # impossible here (deletes come from layer 1), so re-raise
+        raise
+    got = sorted(r.id for r in repaired.collect())
+    survivors = [p for i, p in enumerate(pts) if i not in del_ids]
+    sky = set()
+    for i, q in enumerate(pts):
+        if i in del_ids:
+            continue
+        if not any(
+            all(pc >= qc for pc, qc in zip(p, q))
+            and any(pc > qc for pc, qc in zip(p, q))
+            for p in survivors
+        ):
+            sky.add(i)
+    assert got == sorted(sky)
+
+
+def test_skyline_delete_depth_guard_raises(spark):
+    """Deleting a deepest-tracked-layer row voids the repair theorem
+    and must raise the typed error, not return a wrong frontier."""
+    import pytest
+
+    from enclaveid_data_pipeline_spark.operators.skyline import (
+        SkylineRepairDepthError,
+        pareto_layers_kd,
+        skyline_delete_kd,
+    )
+
+    # chain 3 > 2 > 1 (strict dominance): layers are {3},{2},{1}
+    df = spark.createDataFrame(
+        [(0, 3, 3), (1, 2, 2), (2, 1, 1)], "id long, a long, b long"
+    )
+    layers = pareto_layers_kd(df, ["a", "b"], "id", layers=2)
+    dels = spark.createDataFrame([(1,)], "id long")  # layer-2 row
+    with pytest.raises(SkylineRepairDepthError):
+        skyline_delete_kd(layers, dels, ["a", "b"], "id", n_layers=2)
