@@ -743,6 +743,11 @@ def test_lakehouse_end_to_end(spark, tmp_path):
         seq_cols=("seq",),
         stats_cols=("k",),
         checkpoint_dir=str(tmp_path / "e2e_ck"),
+        # round 10: knob on — the full-rewrite fold leaves its own
+        # commits clean, so this exercises the health-check path and
+        # pins that it never fires a spurious OPTIMIZE (version
+        # numbers below would shift if it did)
+        auto_optimize=True,
     )
     try:
         drop("000", [(i, i * 10, i) for i in range(1, 51)])
