@@ -25,6 +25,9 @@ linear at any scale, no unpartitioned windows, no pairs:
 - :func:`t_closeness_failures` — quasi-groups whose sensitive-value
   distribution sits further than ``t_max`` (total variation
   distance) from the global distribution.
+- :func:`t_closeness_emd_failures` — the ordered-domain variant:
+  Earth Mover's Distance with unit spacing, weighting a leak by how
+  far probability mass travels across the sorted domain.
 - :func:`choose_generalization` — ONE-PASS walk of an ORDERED ladder
   of coarsenings (finest first): every level's report comes from a
   single union-tagged aggregate (round 10, judge r9 #7 — one Spark
@@ -126,9 +129,10 @@ def t_closeness_failures(
     """Quasi-groups that pass k-anonymity yet leak through SKEW:
     group size ≥ k but the group's sensitive-value distribution is
     further than ``t_max`` from the GLOBAL sensitive distribution in
-    total variation distance, ``TV = ½ Σ_v |p_g(v) − p(v)|`` (the
-    exact-arithmetic member of the t-closeness distance family; EMD
-    needs an ordered domain and is a planned extension).
+    total variation distance, ``TV = ½ Σ_v |p_g(v) − p(v)|`` — the
+    unordered member of the t-closeness distance family
+    (:func:`t_closeness_emd_failures` is the ordered-domain EMD
+    companion).
 
     Absent values need no domain join: for values the group never
     holds, ``|0 − p(v)| = p(v)``, and ``Σ_{v∉G} p(v) = 1 − Σ_{v∈G}
@@ -296,3 +300,101 @@ def choose_generalization(
         if ok:
             return name, _rep(i)
     return ladder[-1][0], _rep(len(ladder) - 1)
+
+
+def t_closeness_emd_failures(
+    df: DataFrame,
+    quasi: Sequence[str],
+    sensitive: str,
+    t_max: float,
+    k: int = 1,
+) -> DataFrame:
+    """Ordered-domain t-closeness: Earth Mover's Distance between
+    each quasi-group's sensitive distribution and the global one,
+    with unit spacing between adjacent domain values —
+    ``EMD = (Σ_k |Σ_{j≤k} (p_g(v_j) − p(v_j))|) / (m−1)`` over the
+    ``m`` globally-observed values in sort order (the Li/Li/
+    Venkatasubramanian ordered-distance form).  TV treats "one band
+    off" and "nine bands off" the same; on ORDERED sensitive
+    attributes (income bands, length deciles, severity grades) EMD
+    weights leaks by how far probability mass travels, which is the
+    semantically right audit.
+
+    Exact arithmetic end to end: cumulative differences are
+    ``N·CumGroup_k − n_g·CumGlobal_k`` in DECIMAL(38,0) integers over
+    the common denominator ``(m−1)·n_g·N``, one double division at
+    the end — bit-identical in both engines.  The global cumulative
+    comes from a θ-self-join of the m-row domain table (m² on a
+    broadcast-tiny frame — NOT an unpartitioned window), and the
+    per-group cumulative runs under a window PARTITIONED BY the
+    quasi key over the |groups|·m completion grid.  Cost:
+    O(|groups|·m) — right for categorical/banded sensitive columns,
+    which is the only place ordered EMD is meaningful; NULL
+    sensitive values are dropped (no position in an ordered domain).
+
+    Returns failing group keys with ``n_rows`` and ``emd``."""
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(sensitive).isNotNull())
+    joint = d.groupBy(*quasi, sensitive).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__ngv")
+    )
+    dom = d.groupBy(sensitive).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__nv")
+    )
+    # global cumulative + domain size via the tiny θ-join (m² on m
+    # rows, broadcast): no unpartitioned ordered window anywhere
+    a = dom.select(F.col(sensitive).alias("__s"), "__nv")
+    b = dom.select(
+        F.col(sensitive).alias("__s2"), F.col("__nv").alias("__nv2")
+    )
+    cum = (
+        a.join(F.broadcast(b), F.col("__s2") <= F.col("__s"))
+        .groupBy("__s", "__nv")
+        .agg(F.sum("__nv2").alias("__cumnv"))
+    )
+    mtot = dom.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum("__nv").alias("__N"),
+    )
+    groups = d.groupBy(*quasi).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__ng")
+    )
+    grid = (
+        groups.join(F.broadcast(cum))
+        .join(F.broadcast(mtot))
+        .join(
+            joint.select(
+                *quasi, F.col(sensitive).alias("__s"), "__ngv"
+            ),
+            on=[*quasi, "__s"],
+            how="left",
+        )
+        .withColumn("__g", F.coalesce(F.col("__ngv"), F.lit(0)))
+    )
+    w = Window.partitionBy(*quasi).orderBy("__s")
+    grid = grid.withColumn("__cumg", F.sum("__g").over(w))
+    diff = F.abs(
+        F.col("__cumg") * F.col("__N") - F.col("__ng") * F.col("__cumnv")
+    )
+    per = grid.groupBy(*quasi).agg(
+        F.max("__ng").alias("__ng"),
+        F.max("__N").alias("__N"),
+        F.max("__m").alias("__m"),
+        F.sum(diff).alias("__num"),
+    )
+    emd = F.col("__num").cast("double") / (
+        (F.col("__m") - F.lit(1)).cast("decimal(38,0)")
+        * F.col("__ng")
+        * F.col("__N")
+    ).cast("double")
+    return (
+        per.filter(F.col("__m") > 1)
+        .withColumn("__emd", emd)
+        .filter((F.col("__ng") >= k) & (F.col("__emd") > t_max))
+        .select(
+            *quasi,
+            F.col("__ng").cast("long").alias("n_rows"),
+            F.col("__emd").alias("emd"),
+        )
+    )

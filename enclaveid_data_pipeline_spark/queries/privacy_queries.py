@@ -261,3 +261,77 @@ def t_closeness_docs_t03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round("tv", 6).alias("tv"),
     )
+
+
+@register(
+    "t_closeness_emd_docs",
+    oracle="""
+    WITH d AS (
+        SELECT source, CAST(n_chars // 10 AS BIGINT) AS band
+        FROM documents
+    ),
+    joint AS (SELECT source, band, count(*) AS ngv FROM d GROUP BY 1, 2),
+    dom AS (SELECT band, count(*) AS nv FROM d GROUP BY 1),
+    cum AS (
+        SELECT a.band, sum(b.nv) AS cumnv
+        FROM dom a JOIN dom b ON b.band <= a.band GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n, count(DISTINCT band) AS m FROM d
+    ),
+    grp AS (SELECT source, count(*) AS ng FROM d GROUP BY 1),
+    grid AS (
+        SELECT g.source, c.band, c.cumnv, g.ng,
+               coalesce(j.ngv, 0) AS ngv
+        FROM grp g CROSS JOIN cum c
+        LEFT JOIN joint j
+               ON j.source = g.source AND j.band = c.band
+    ),
+    cg AS (
+        SELECT source, band, cumnv, ng,
+               sum(ngv) OVER (PARTITION BY source ORDER BY band)
+                   AS cumg
+        FROM grid
+    ),
+    per AS (
+        SELECT cg.source,
+               max(cg.ng) AS ng,
+               max(t.m) AS m,
+               max(t.n) AS n,
+               sum(abs(CAST(cumg AS HUGEINT) * t.n
+                       - CAST(ng AS HUGEINT) * cumnv)) AS num
+        FROM cg CROSS JOIN tot t
+        GROUP BY cg.source
+    )
+    SELECT source,
+           CAST(ng AS BIGINT) AS n_rows,
+           round(CAST(num AS DOUBLE)
+                 / CAST((m - 1) * ng * n AS DOUBLE), 6) AS emd
+    FROM per
+    WHERE ng >= 10
+      AND CAST(num AS DOUBLE) / CAST((m - 1) * ng * n AS DOUBLE) > 0.02
+    """,
+)
+def t_closeness_emd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-domain t-closeness (EMD, unit spacing) over sources:
+    which sources' document-LENGTH distribution (10-char bands — an
+    ORDERED sensitive domain) drifts more than t=0.02 earth-mover
+    mass from the corpus-wide length distribution.  TV would score
+    "all mass one band over" and "all mass nine bands over"
+    identically; EMD weights by travel, which is the right audit on
+    ordered attributes.  The engine's |groups|x|domain| completion
+    grid + θ-join global cumulative replays bit-identically against
+    this window-function SQL (both sides integer numerators, one
+    final division)."""
+    from ..operators.kanon import t_closeness_emd_failures
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") / 10).cast("long").alias("band"),
+    )
+    fails = t_closeness_emd_failures(
+        docs, ["source"], "band", t_max=0.02, k=10
+    )
+    return fails.select(
+        "source", "n_rows", F.round("emd", 6).alias("emd")
+    )

@@ -212,3 +212,56 @@ def test_ladder_t_budget_rejects_skewed_level(spark):
     )
     assert lvl_t == "coarse"
     assert rep.collect()[0].kept_rows == 10
+
+
+def test_t_closeness_emd_matches_brute_model(spark):
+    """Ordered-domain EMD per group vs an exhaustive python model
+    (cumulative |p_g - p| over the sorted global domain, normalized
+    by m-1), including groups missing interior domain values."""
+    from enclaveid_data_pipeline_spark.operators.kanon import (
+        t_closeness_emd_failures,
+    )
+
+    data = [
+        (0, 1), (0, 1), (0, 2),
+        (1, 3), (1, 3), (1, 3),
+        (2, 1), (2, 3),
+        (3, 2),
+    ]
+    df = spark.createDataFrame(data, "q long, band long")
+    n = len(data)
+    domain = sorted({b for _, b in data})
+    m = len(domain)
+    glob = {v: sum(1 for _, b in data if b == v) for v in domain}
+    model = {}
+    for q in {q for q, _ in data}:
+        grp = [b for gq, b in data if gq == q]
+        ng = len(grp)
+        cum = 0.0
+        acc = 0.0
+        for v in domain:
+            cum += grp.count(v) / ng - glob[v] / n
+            acc += abs(cum)
+        model[q] = (ng, acc / (m - 1))
+    got = {
+        r.q: (r.n_rows, r.emd)
+        for r in t_closeness_emd_failures(
+            df, ["q"], "band", t_max=0.0, k=1
+        ).collect()
+    }
+    expect = {q: v for q, v in model.items() if v[1] > 0.0}
+    assert set(got) == set(expect)
+    for q in got:
+        assert got[q][0] == expect[q][0]
+        assert abs(got[q][1] - expect[q][1]) < 1e-12
+    # EMD sees DISTANCE: group 1 (all at band 3) is further from the
+    # global than group 0 (mass at 1-2, near the global mode)
+    assert got[1][1] > got[0][1]
+    # threshold + k gate
+    flagged = t_closeness_emd_failures(
+        df, ["q"], "band", t_max=got[0][1] + 1e-9, k=2
+    ).collect()
+    assert {r.q for r in flagged} == {
+        q for q, (ng, e) in model.items()
+        if ng >= 2 and e > got[0][1] + 1e-9
+    }
