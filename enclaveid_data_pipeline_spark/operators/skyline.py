@@ -370,3 +370,91 @@ def skyline_delete_kd(
         deletes.select(id_col), on=id_col, how="left_anti"
     ).drop("layer")
     return skyline_kd(survivors, objectives)
+
+
+def skyline_2d_grouped_window(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    group_by: Sequence[str],
+) -> DataFrame:
+    """Per-group 2-D Pareto frontier for ENTITY-CARDINALITY groups
+    (millions of users/documents), the path :func:`skyline_2d`'s
+    docstring prescribes at that cardinality: with many small groups
+    the broadcast |groups|×buckets prefix table stops being small,
+    while a window PARTITIONED BY the group key is exactly the
+    right shape — each partition is one entity's handful of rows.
+
+    Same dominance semantics as :func:`skyline_2d` (both objectives
+    maximized, nulls dropped, duplicates of maximal points kept):
+    one groupBy to the per-(group, x) best y, a group-partitioned
+    prefix-max over descending DISTINCT x (rows frame is exact
+    because the grouped table has one row per x), one equi-join
+    back.  No unpartitioned window, no broadcast, no buckets —
+    shuffle keys are the group columns, so the plan scales with
+    groups × per-group frontier work.
+    """
+    gcols = list(group_by)
+    if not gcols:
+        raise ValueError(
+            "group_by must be non-empty; use skyline_2d for the "
+            "global frontier"
+        )
+    d = (
+        df.withColumn(_X, x.cast("double"))
+        .withColumn(_Y, y.cast("double"))
+        .filter(F.col(_X).isNotNull() & F.col(_Y).isNotNull())
+    )
+    g = d.groupBy(*gcols, _X).agg(F.max(_Y).alias(_GY))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.desc(_X))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = g.withColumn(_M1, F.max(_GY).over(w))
+    return (
+        d.join(stats, on=[*gcols, _X])
+        .filter(
+            (F.col(_M1).isNull() | (F.col(_M1) < F.col(_Y)))
+            & (F.col(_Y) == F.col(_GY))
+        )
+        .select(*df.columns)
+    )
+
+
+def pareto_layers_upsert_kd(
+    base_layers: DataFrame,
+    inserts: DataFrame,
+    objectives: Sequence[str],
+    id_col: str,
+    n_layers: int,
+) -> DataFrame:
+    """Incremental top-K layer maintenance for INSERT-only feeds:
+    the new top ``n_layers`` Pareto layers computed from the OLD
+    LAYER STATE plus the insert batch — the corpus below the tracked
+    depth is never re-read.  This is the insert half of the layer
+    lifecycle; :func:`skyline_delete_kd` is the delete half.
+
+    Exact by the depth-monotonicity of insertion: adding points can
+    only INCREASE a row's dominance depth, so (a) rows deeper than
+    the tracked layers stay deeper — they can never climb into the
+    top K — and (b) every row whose NEW depth is ≤ K had old depth
+    ≤ K, i.e. lives in the stored state (or the batch).  Peeling the
+    (stored ∪ batch) subset reproduces true depths for all of them:
+    any dominator of a depth-≤K row has depth < K and is therefore
+    in the subset, and a row whose true depth exceeds K carries a
+    dominator CHAIN threading all K tracked layers inside the
+    subset, pinning its subset depth above K too.  Hence
+
+        layers_K(corpus ∪ batch) = layers_K(stored layers ∪ batch)
+
+    row-for-row.  Cost: one :func:`pareto_layers_kd` over layer
+    state + batch — O(frontier state), not O(corpus).
+    """
+    cols = [c for c in base_layers.columns if c != "layer"]
+    return pareto_layers_kd(
+        base_layers.select(*cols).unionByName(inserts.select(*cols)),
+        objectives,
+        id_col,
+        layers=n_layers,
+    )

@@ -375,3 +375,103 @@ def skyline_delete_repair_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("p_size"),
         F.round("p_retailprice", 2).alias("price"),
     )
+
+
+@register(
+    "skyline_events_per_user",
+    oracle="""
+    SELECT CAST(q.user_id AS BIGINT) AS user_id,
+           CAST(q.event_id AS BIGINT) AS event_id,
+           q.value AS value,
+           strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events q
+    WHERE q.value IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = q.user_id
+          AND p.value IS NOT NULL
+          AND p.ts >= q.ts AND p.value >= q.value
+          AND (p.ts > q.ts OR p.value > q.value)
+      )
+    """,
+)
+def skyline_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2-D frontier (most recent AND most valuable events)
+    at ENTITY group cardinality — the `skyline_2d_grouped_window`
+    path: thousands-to-millions of tiny groups make the broadcast
+    bucket-prefix table the wrong shape, and a window PARTITIONED BY
+    user_id the right one (each partition is one user's handful of
+    rows; no broadcast, no buckets, no unpartitioned window).
+    Recency enters as exact integer epoch-µs, so dominance edges
+    cannot float-drift; the oracle is the per-user NOT-EXISTS
+    definition."""
+    from ..functions.timeutils import epoch_micros
+    from ..operators.skyline import skyline_2d_grouped_window
+
+    ev = read_table(spark, sf_dir, "events")
+    sky = skyline_2d_grouped_window(
+        ev,
+        epoch_micros(F.col("ts")),
+        F.col("value"),
+        group_by=["user_id"],
+    )
+    return sky.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@register(
+    "pareto_layers_incremental_parts",
+    oracle=f"""
+    WITH l1 AS (
+        SELECT p_partkey FROM part q
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE {_PART_DOM})
+    ),
+    rest AS (
+        SELECT * FROM part
+        WHERE p_partkey NOT IN (SELECT p_partkey FROM l1)
+    ),
+    l2 AS (
+        SELECT p_partkey FROM rest q
+        WHERE NOT EXISTS (SELECT 1 FROM rest p WHERE {_PART_DOM})
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(1 AS BIGINT) AS layer FROM l1
+    UNION ALL
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(2 AS BIGINT) AS layer FROM l2
+    """,
+)
+def pareto_layers_incremental_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Insert half of the layer-state lifecycle pinned against full
+    recompute: parts split 90/10 into base and insert batch, the
+    base's top-2 Pareto layers upserted with the batch
+    (`pareto_layers_upsert_kd` — layer state ∪ batch, the sub-layer
+    corpus never re-read), and the oracle peels TWO layers over the
+    whole corpus — incremental must equal recompute row-for-row
+    (depth-monotonicity of insertion; `skyline_delete_kd` is the
+    delete half)."""
+    from ..operators.skyline import (
+        pareto_layers_kd,
+        pareto_layers_upsert_kd,
+    )
+
+    p = read_table(spark, sf_dir, "part").withColumn(
+        "neg_price", -F.col("p_retailprice")
+    )
+    base = p.filter(F.pmod("p_partkey", F.lit(10)) != 0)
+    batch = p.filter(F.pmod("p_partkey", F.lit(10)) == 0)
+    base_layers = pareto_layers_kd(
+        base, ["p_size", "neg_price"], "p_partkey", layers=2
+    )
+    new_layers = pareto_layers_upsert_kd(
+        base_layers, batch, ["p_size", "neg_price"], "p_partkey", n_layers=2
+    )
+    return new_layers.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), "layer"
+    )

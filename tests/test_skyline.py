@@ -298,3 +298,67 @@ def test_skyline_delete_depth_guard_raises(spark):
     dels = spark.createDataFrame([(1,)], "id long")  # layer-2 row
     with pytest.raises(SkylineRepairDepthError):
         skyline_delete_kd(layers, dels, ["a", "b"], "id", n_layers=2)
+
+
+_gpts2 = st.lists(
+    st.tuples(
+        st.integers(0, 2), st.integers(0, 5), st.integers(0, 5)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_SLOW
+@given(pts=_gpts2)
+def test_grouped_window_skyline_matches_brute(spark, pts):
+    from enclaveid_data_pipeline_spark.operators.skyline import (
+        skyline_2d_grouped_window,
+    )
+
+    rows = [(i, g, x, y) for i, (g, x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, g long, x long, y long")
+    got = sorted(
+        (r.g, r.x, r.y)
+        for r in skyline_2d_grouped_window(
+            df, F.col("x"), F.col("y"), group_by=["g"]
+        ).collect()
+    )
+    expect = []
+    for grp in {g for g, _, _ in pts}:
+        gp = [(x, y) for g, x, y in pts if g == grp]
+        expect.extend((grp, x, y) for x, y in _brute_skyline(gp))
+    assert got == sorted(expect)
+
+
+@_SLOW
+@given(pts=_pts3)
+def test_pareto_layers_upsert_equals_recompute(spark, pts):
+    """Insert fold: top-2 layers of (base layers ∪ batch) must equal
+    the top-2 layers of the full corpus, for every random split
+    (depth-monotonicity of insertion)."""
+    from enclaveid_data_pipeline_spark.operators.skyline import (
+        pareto_layers_kd,
+        pareto_layers_upsert_kd,
+    )
+
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    base = df.filter(F.col("id") % 3 != 0)
+    batch = df.filter(F.col("id") % 3 == 0)
+    base_layers = pareto_layers_kd(
+        base, ["a", "b", "c"], "id", layers=2
+    )
+    inc = {
+        r.id: r.layer
+        for r in pareto_layers_upsert_kd(
+            base_layers, batch, ["a", "b", "c"], "id", n_layers=2
+        ).collect()
+    }
+    full = {
+        r.id: r.layer
+        for r in pareto_layers_kd(
+            df, ["a", "b", "c"], "id", layers=2
+        ).collect()
+    }
+    assert inc == full
