@@ -279,6 +279,22 @@ def choose_generalization(
         t_fail = {r["__lvl"]: r["__nf"] for r in counts}
 
     def _rep(i: int) -> DataFrame:
+        if i not in rows:
+            # empty input: one explicit all-zero row, preserving the
+            # old per-level k_anonymity_report's ungrouped-agg shape
+            return df.sparkSession.range(1).select(
+                F.lit(k).cast("long").alias("k"),
+                *[
+                    F.lit(0).cast("long").alias(c)
+                    for c in (
+                        "n_groups",
+                        "kept_groups",
+                        "suppressed_groups",
+                        "kept_rows",
+                        "suppressed_rows",
+                    )
+                ],
+            )
         return reps.filter(F.col("__lvl") == i).select(
             F.lit(k).cast("long").alias("k"),
             "n_groups",
@@ -289,7 +305,12 @@ def choose_generalization(
         )
 
     for i, (name, _cols) in enumerate(ladder):
-        row = rows[i]
+        row = rows.get(i)
+        if row is None:
+            # empty input: no groups at any level — zero suppression,
+            # first level trivially within budget (the old per-level
+            # report returned an all-zero row here)
+            return name, _rep(i)
         total = row.kept_rows + row.suppressed_rows
         ok = (
             total == 0

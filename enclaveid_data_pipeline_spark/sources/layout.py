@@ -1655,11 +1655,20 @@ def _auto_optimize_report(
     committed states, and streaming cursors fold forward through it
     like any other commit).  The report is rewritten to the
     post-OPTIMIZE state with the pre-compaction numbers kept under
-    ``pre_optimize_*`` so the trigger stays auditable."""
+    ``pre_optimize_*`` so the trigger stays auditable.
+
+    The DML version is ALREADY COMMITTED when this runs, so an
+    OPTIMIZE failure must not masquerade as a failed delete/update:
+    the report comes back with the successful DML state plus
+    ``auto_optimize_error`` instead of raising."""
     health = snapshot_health(path, version=report["version"], backend=be)
-    opt_v = optimize_snapshot(
-        spark, path, backend=be, max_retries=max_retries
-    )
+    try:
+        opt_v = optimize_snapshot(
+            spark, path, backend=be, max_retries=max_retries
+        )
+    except Exception as e:  # noqa: BLE001
+        report["auto_optimize_error"] = f"{type(e).__name__}: {e}"
+        return report
     after = snapshot_health(path, version=opt_v, backend=be)
     report.update(
         {

@@ -353,3 +353,27 @@ def test_auto_optimize_commit_preserves_stream_cursor(spark, tmp_path):
     assert rep["auto_optimized"] is True
     # two commits later (DML + OPTIMIZE) the cursor still answers 4
     assert stream_batch_id(p, "s1") == 4
+
+
+def test_auto_optimize_failure_preserves_dml_report(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE failing AFTER the DML commit must not masquerade as
+    a failed delete: the report carries the committed DML state plus
+    auto_optimize_error."""
+    import enclaveid_data_pipeline_spark.sources.layout as layout
+
+    p = _mk(spark, tmp_path, "auto_fail")
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated optimize failure")
+
+    monkeypatch.setattr(layout, "optimize_snapshot", boom)
+    rep = layout.delete_where_mor(
+        spark, p, [("v", "==", 0)], auto_optimize=True
+    )
+    assert rep["rows_deleted"] == 715
+    assert rep["auto_optimized"] is False
+    assert "simulated optimize failure" in rep["auto_optimize_error"]
+    # the delete itself is committed and visible
+    assert read_snapshot(spark, p).count() == 5_000 - 715

@@ -265,3 +265,22 @@ def test_t_closeness_emd_matches_brute_model(spark):
         q for q, (ng, e) in model.items()
         if ng >= 2 and e > got[0][1] + 1e-9
     }
+
+
+def test_ladder_empty_input_returns_first_level_zero_report(spark):
+    df = spark.createDataFrame([], "id long, fine long, coarse long")
+    ladder = [
+        ("fine", [F.col("fine")]),
+        ("coarse", [F.col("coarse")]),
+    ]
+    level, rep = choose_generalization(
+        df, ladder, k=5, max_suppressed_fraction=0.0
+    )
+    assert level == "fine"
+    row = rep.collect()[0]
+    assert (
+        row.n_groups == 0
+        and row.kept_rows == 0
+        and row.suppressed_rows == 0
+        and row.k == 5
+    )
