@@ -220,7 +220,10 @@ def choose_generalization(
     (size ≥ k) groups fails :func:`t_closeness_failures` at
     ``t_max`` — the skewness-attack backstop on top of the
     suppression budget.  Costs exactly one more union-tagged
-    aggregate action when enabled."""
+    aggregate action when enabled, and the returned report then
+    carries a ``t_failures`` column so the over-budget last-resort
+    return is checkable for BOTH budgets (without the t budget the
+    report schema is unchanged)."""
     if not ladder:
         raise ValueError("empty generalization ladder")
     width = max(len(cols) for _, cols in ladder)
@@ -278,31 +281,35 @@ def choose_generalization(
         )
         t_fail = {r["__lvl"]: r["__nf"] for r in counts}
 
+    rep_cols = (
+        "n_groups",
+        "kept_groups",
+        "suppressed_groups",
+        "kept_rows",
+        "suppressed_rows",
+    )
+    t_budget_on = sensitive is not None and t_max is not None
+
     def _rep(i: int) -> DataFrame:
-        if i not in rows:
-            # empty input: one explicit all-zero row, preserving the
-            # old per-level k_anonymity_report's ungrouped-agg shape
-            return df.sparkSession.range(1).select(
-                F.lit(k).cast("long").alias("k"),
-                *[
-                    F.lit(0).cast("long").alias(c)
-                    for c in (
-                        "n_groups",
-                        "kept_groups",
-                        "suppressed_groups",
-                        "kept_rows",
-                        "suppressed_rows",
-                    )
-                ],
+        # built from the ALREADY-collected row as literals — a
+        # filter on `reps` would re-run the whole union aggregate
+        # when the caller materializes the report (and the "one
+        # Spark action" claim would hold for selection only)
+        row = rows.get(i)
+        sel = [F.lit(k).cast("long").alias("k")] + [
+            F.lit(row[c] if row is not None else 0)
+            .cast("long")
+            .alias(c)
+            for c in rep_cols
+        ]
+        if t_budget_on:
+            # surface the SECOND budget in the report too: "the last
+            # level is returned even when over budget — callers
+            # check" must be checkable for the t budget as well
+            sel.append(
+                F.lit(t_fail.get(i, 0)).cast("long").alias("t_failures")
             )
-        return reps.filter(F.col("__lvl") == i).select(
-            F.lit(k).cast("long").alias("k"),
-            "n_groups",
-            "kept_groups",
-            "suppressed_groups",
-            "kept_rows",
-            "suppressed_rows",
-        )
+        return df.sparkSession.range(1).select(*sel)
 
     for i, (name, _cols) in enumerate(ladder):
         row = rows.get(i)

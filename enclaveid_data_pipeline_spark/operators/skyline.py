@@ -393,6 +393,13 @@ def skyline_2d_grouped_window(
     back.  No unpartitioned window, no broadcast, no buckets —
     shuffle keys are the group columns, so the plan scales with
     groups × per-group frontier work.
+
+    NULL group keys form ONE group (SQL GROUP BY semantics — the
+    join back is null-safe, so NULL-key rows are never silently
+    dropped).  Note this differs from a raw ``p.g = q.g``
+    NOT-EXISTS, under which every NULL-key row is vacuously its own
+    frontier; oracles over a nullable group column must spell the
+    grouping with ``IS NOT DISTINCT FROM``.
     """
     gcols = list(group_by)
     if not gcols:
@@ -411,9 +418,17 @@ def skyline_2d_grouped_window(
         .orderBy(F.desc(_X))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    stats = g.withColumn(_M1, F.max(_GY).over(w))
+    stats = g.withColumn(_M1, F.max(_GY).over(w)).select(
+        *[F.col(c).alias(f"__sg_{c}") for c in gcols],
+        F.col(_X).alias("__sg_x"),
+        _GY,
+        _M1,
+    )
+    cond = F.col(_X) == F.col("__sg_x")
+    for c in gcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__sg_{c}"))
     return (
-        d.join(stats, on=[*gcols, _X])
+        d.join(stats, cond)
         .filter(
             (F.col(_M1).isNull() | (F.col(_M1) < F.col(_Y)))
             & (F.col(_Y) == F.col(_GY))

@@ -1661,7 +1661,11 @@ def _auto_optimize_report(
     OPTIMIZE failure must not masquerade as a failed delete/update:
     the report comes back with the successful DML state plus
     ``auto_optimize_error`` instead of raising."""
-    health = snapshot_health(path, version=report["version"], backend=be)
+    # the caller's report already holds the DML version's health
+    # verdict — re-reading snapshot_health here would be a redundant
+    # O(files) metadata scan per trigger
+    pre_version = report["version"]
+    pre_dv = report["dv_fraction"]
     try:
         opt_v = optimize_snapshot(
             spark, path, backend=be, max_retries=max_retries
@@ -1676,8 +1680,8 @@ def _auto_optimize_report(
             "dv_fraction": after["dv_fraction"],
             "needs_compaction": after["needs_compaction"],
             "auto_optimized": True,
-            "pre_optimize_version": health["version"],
-            "pre_optimize_dv_fraction": health["dv_fraction"],
+            "pre_optimize_version": pre_version,
+            "pre_optimize_dv_fraction": pre_dv,
         }
     )
     return report
@@ -2413,16 +2417,21 @@ def advise_layout(
     }
 
     top = cols[0]
-    cluster: list[str] = [top]
-    method = "range"
-    for c in cols[1:]:
-        if total_w[c] >= zorder_share * total_w[top]:
-            cluster.append(c)
-    if len(cluster) > 1 and all(c in numeric for c in cluster[:3]):
-        cluster = cluster[:3]
+    cands = [top] + [
+        c for c in cols[1:] if total_w[c] >= zorder_share * total_w[top]
+    ]
+    # Z-order over the NUMERIC hot columns whenever the top column is
+    # numeric and at least one numeric runner-up crosses the share —
+    # a non-numeric column also crossing the share must not downgrade
+    # the numeric pair to linear clustering (it can't be Z-ordered,
+    # but it shouldn't veto the ones that can)
+    num_cands = [c for c in cands if c in numeric]
+    if top in numeric and len(num_cands) > 1:
+        cluster = num_cands[:3]
         method = "zorder"
-    elif len(cluster) > 2:
-        cluster = cluster[:2]
+    else:
+        cluster = cands[:2]
+        method = "range"
 
     blooms = [
         c

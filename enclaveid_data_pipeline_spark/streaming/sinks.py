@@ -201,17 +201,27 @@ def skyline_sink(
     ``skyline_incremental_parts``; the theorem and its DELETE caveat
     live on the operator).
 
-    Replay safety: unlike the rollup sink's sums this fold is
-    IDEMPOTENT (re-folding rows already reflected in the frontier
-    cannot change it), so every batch folds UNCONDITIONALLY — no
+    Replay safety: every batch folds UNCONDITIONALLY — no
     ``_batch_id`` high-water mark.  A guard would not just be
     redundant, it would be wrong: after a checkpoint-less restart
     the source renumbers batches from 0, and a skip-while-id-low
     window silently drops any NEW rows riding those early replayed
-    batches (round-9 advice).  A redelivered batch costs one
-    harmless O(batch + frontier) re-fold instead.  The frontier is
-    small by construction — reading it back and overwriting per
-    batch is O(frontier).
+    batches (round-9 advice).  What MAKES the unconditional fold
+    safe is the full-row dedup below: dominance needs a strict ``>``
+    in some objective, so a redelivered row and its already-folded
+    copy would both survive ``skyline_kd`` as exact-duplicate
+    maximal points and a crash-between-write-and-checkpoint would
+    permanently double the frontier.  ``dropDuplicates()`` on the
+    (small) frontier output collapses exact full-row duplicates —
+    which is precisely what a redelivery is.  Contract note: feeds
+    whose rows carry a unique id keep multiset semantics (distinct
+    ids with tied objective vectors all survive, as in the batch
+    operator); only rows identical in EVERY column fold to one,
+    and such rows are indistinguishable from redeliveries by any
+    reader.  A redelivered batch costs one harmless
+    O(batch + frontier) re-fold; the frontier is small by
+    construction — reading it back and overwriting per batch is
+    O(frontier).
     """
     from ..operators.skyline import skyline_kd, skyline_upsert_kd
 
@@ -228,7 +238,7 @@ def skyline_sink(
             )
         else:
             merged = skyline_kd(batch_df, list(objectives))
-        out = _materialize(merged, "local")
+        out = _materialize(merged.dropDuplicates(), "local")
         out.write.mode("overwrite").parquet(path)
 
     w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
@@ -522,7 +532,23 @@ def versioned_snapshot_sink(
         if auto_optimize:
             health = snapshot_health(path, backend=backend)
             if health["needs_compaction"]:
-                optimize_snapshot(spark, path, backend=backend)
+                # the batch's snapshot is ALREADY committed: a failed
+                # maintenance compaction must not fail the trigger
+                # (the replay guard would skip the batch on restart
+                # and the stream would crash-loop on every trigger
+                # while the failure persists — same isolation policy
+                # as the DML path's _auto_optimize_report)
+                try:
+                    optimize_snapshot(spark, path, backend=backend)
+                except Exception as e:  # noqa: BLE001
+                    import sys as _sys
+
+                    print(
+                        f"# versioned_snapshot_sink auto_optimize "
+                        f"failed (batch {batch_id} committed): "
+                        f"{type(e).__name__}: {e}",
+                        file=_sys.stderr,
+                    )
 
     w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
     if checkpoint_dir is not None:

@@ -284,3 +284,28 @@ def test_ladder_empty_input_returns_first_level_zero_report(spark):
         and row.suppressed_rows == 0
         and row.k == 5
     )
+
+
+def test_ladder_t_budget_report_carries_t_failures(spark):
+    """When every level fails the t budget, the last-resort return
+    must be CHECKABLE: the report carries t_failures > 0 (without
+    the t budget the schema is unchanged)."""
+    data = [(i, i // 5, "a" if i < 5 else "b") for i in range(10)]
+    df = spark.createDataFrame(data, "id long, fine long, sens string")
+    ladder = [("fine", [F.col("fine")])]
+    lvl, rep = choose_generalization(
+        df,
+        ladder,
+        k=2,
+        max_suppressed_fraction=0.0,
+        sensitive="sens",
+        t_max=0.3,
+    )
+    assert lvl == "fine"  # last resort: only level
+    row = rep.collect()[0]
+    assert row.t_failures == 2  # both released groups are skewed
+    # without the t budget: no t_failures column
+    _, rep2 = choose_generalization(
+        df, ladder, k=2, max_suppressed_fraction=0.0
+    )
+    assert "t_failures" not in rep2.columns

@@ -128,3 +128,21 @@ def test_advise_layout_input_guards(spark):
         advise_layout(df, [[("day", "==", 1)]], weights=[1, 2])
     with pytest.raises(ValueError, match="no predicates"):
         advise_layout(df, [[], []])
+
+
+def test_nonnumeric_hot_column_does_not_veto_zorder(spark, tmp_path):
+    """A string column crossing the z-order share must not downgrade
+    two hot numeric columns to linear clustering (review finding,
+    round 10): Z-order runs over the numeric subset."""
+    df = _frame(spark).withColumn(
+        "cat", (F.col("id") % 3).cast("string")
+    )
+    workload = [
+        [("day", ">=", 10), ("day", "<", 20)],
+        [("hour", ">=", 4), ("hour", "<", 8)],
+        [("cat", "==", "1")],
+    ]
+    advice = advise_layout(df, workload)
+    assert advice["method"] == "zorder"
+    assert set(advice["cluster_cols"]) == {"day", "hour"}
+    assert "cat" not in advice["cluster_cols"]

@@ -362,3 +362,24 @@ def test_pareto_layers_upsert_equals_recompute(spark, pts):
         ).collect()
     }
     assert inc == full
+
+
+def test_grouped_window_skyline_keeps_null_group(spark):
+    """NULL group keys form one GROUP-BY-semantics group and are
+    never silently dropped (null-safe join back)."""
+    from enclaveid_data_pipeline_spark.operators.skyline import (
+        skyline_2d_grouped_window,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 1, 1), (1, None, 2, 2), (2, 7, 5, 5)],
+        "id long, g long, x long, y long",
+    )
+    got = sorted(
+        (r.id,)
+        for r in skyline_2d_grouped_window(
+            df, F.col("x"), F.col("y"), group_by=["g"]
+        ).collect()
+    )
+    # within the NULL group, (2,2) dominates (1,1)
+    assert got == [(1,), (2,)]

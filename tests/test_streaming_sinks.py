@@ -1251,3 +1251,64 @@ def test_catalog_txn_sink_maintains_star_rollup(spark, tmp_path):
     for v in cat.versions():
         m = cat.mapping(v)
         assert ("fact" in m) == ("rollup" in m)
+
+
+def test_versioned_sink_auto_optimize_failure_does_not_kill_stream(
+    spark, tmp_path, monkeypatch
+):
+    """A failed maintenance OPTIMIZE after the batch's snapshot
+    committed must not fail the trigger (review finding, round 10):
+    the replay guard would skip the batch on restart and the stream
+    would crash-loop while the failure persists. The sink logs and
+    keeps going."""
+    import enclaveid_data_pipeline_spark.sources.layout as layout
+    from enclaveid_data_pipeline_spark.sources.layout import (
+        read_snapshot,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        versioned_snapshot_sink,
+    )
+
+    real_health = layout.snapshot_health
+    monkeypatch.setattr(
+        layout,
+        "snapshot_health",
+        lambda *a, **kw: {**real_health(*a, **kw), "needs_compaction": True},
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated optimize failure")
+
+    monkeypatch.setattr(layout, "optimize_snapshot", boom)
+
+    stream_dir = tmp_path / "aopt_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "aopt_table")
+    schema = "k int, v long, seq long"
+
+    def drop(name, rows):
+        staging = tmp_path / "aoptstage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"b-{name}.parquet")
+
+    q = versioned_snapshot_sink(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        out,
+        keys=("k",),
+        seq_cols=("seq",),
+        checkpoint_dir=str(tmp_path / "aopt_ck"),
+        auto_optimize=True,
+    )
+    try:
+        drop("000", [(1, 10, 1), (2, 20, 2)])
+        q.processAllAvailable()
+        assert q.isActive  # trigger survived the optimize failure
+        drop("001", [(3, 30, 3)])
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
+    assert read_snapshot(spark, out).count() == 3

@@ -113,3 +113,47 @@ def test_skyline_sink_tracks_frontier_and_survives_replay(spark, tmp_path):
     again = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
     assert again == _brute(pts_all)
     assert (6, 6) in again
+
+
+def test_skyline_sink_replay_does_not_duplicate_frontier(
+    spark, tmp_path
+):
+    """The crash-between-write-and-checkpoint shape: a full
+    checkpoint-less replay redelivers rows IDENTICAL to the persisted
+    frontier's. Dominance needs a strict >, so without the sink's
+    full-row dedup both copies survive skyline_kd and the frontier
+    doubles (review finding, round 10)."""
+    stream_dir = tmp_path / "sky2_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "sky2_out")
+
+    batch1 = [(1, 5, 1), (2, 1, 5), (3, 3, 3)]
+    q = skyline_sink(
+        read_event_stream(spark, str(stream_dir)),
+        out,
+        objectives=("a", "b"),
+        transform=_project,
+    )
+    try:
+        _drop(spark, tmp_path, stream_dir, "000", batch1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
+    assert first == _brute([(a, b) for _, a, b in batch1])
+
+    # replay with NO new data and NO checkpoint: every redelivered
+    # row is byte-identical to a frontier row — the frontier must
+    # come back EXACTLY equal, not doubled
+    q2 = skyline_sink(
+        read_event_stream(spark, str(stream_dir)),
+        out,
+        objectives=("a", "b"),
+        transform=_project,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
+    assert again == first  # multiset equality: no duplicated rows
