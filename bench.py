@@ -171,6 +171,16 @@ SCALE_TWINS = (
     # corpus-scale data-movement shape; the audits/ladder are
     # single-aggregate reports over the same plan
     "k_anon_release_checksum_k20",
+    # round-10: skyline lifecycle + t-closeness, decade-measured from
+    # day one. Repair/upsert are layer-state-proportional (3× linear
+    # peels); the grouped-window frontier shuffles on user_id only;
+    # t-closeness is one (quasi, sensitive) shuffle + broadcast
+    # domain (TV) or a |groups|×|domain| grid (EMD).
+    "skyline_delete_repair_parts",
+    "pareto_layers_incremental_parts",
+    "skyline_events_per_user",
+    "t_closeness_docs_t03",
+    "t_closeness_emd_docs",
 )
 
 #: Headline queries whose workload couples to corpus size (their
@@ -823,6 +833,11 @@ SF10_QUERIES = (
     # plus bounded candidate work; the ratio should read ~10x
     "skyline_parts_2d",
     "skyline_users_3d",
+    # round-10: the grouped-window frontier (10× users → 10× tiny
+    # window partitions — the exact shape that must NOT superline)
+    # and the EMD grid (groups×domain — domain fixed, groups ~flat)
+    "skyline_events_per_user",
+    "t_closeness_emd_docs",
 )
 
 #: Sketch accuracy gates re-evaluated at sf10 (judge r5 #7): the

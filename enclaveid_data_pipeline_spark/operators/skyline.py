@@ -184,6 +184,15 @@ def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
     column names MAXIMIZED; nulls dropped).  Local skyline per
     partition (vectorized), then a broadcast anti-join cross-check of
     the small candidate union — no shuffle of the full input at all.
+
+    Only the OBJECTIVE columns ride through the pandas pass (round
+    10): shipping full rows paid Arrow serialization on every wide
+    payload column (part names/comments measured ~2× the whole
+    operator); the surviving objective VECTORS semi-join back to the
+    input instead.  Lossless for the multiset contract: any row whose
+    vector equals a surviving vector is itself non-dominated
+    (duplicates never dominate each other), so the vector semi-join
+    returns exactly the skyline rows, duplicates included.
     """
     cols = list(df.columns)
     d = df
@@ -213,7 +222,8 @@ def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
         if sky is not None and len(sky):
             yield sky
 
-    cand = d.mapInPandas(_part, schema=d.schema)
+    narrow = d.select(*obj)
+    cand = narrow.mapInPandas(_part, schema=narrow.schema).dropDuplicates()
     rhs = cand.select(
         *[F.col(c).alias(f"__r_{c}") for c in obj]
     )
@@ -225,7 +235,8 @@ def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
             " OR ".join(f"`__r_{c}` > `{c}`" for c in obj)
         )
     )
-    return cand.join(F.broadcast(rhs), dom, "left_anti").select(*cols)
+    winners = cand.join(F.broadcast(rhs), dom, "left_anti")
+    return d.join(F.broadcast(winners), on=obj, how="semi").select(*cols)
 
 
 def skyline_upsert_kd(
@@ -262,19 +273,27 @@ def pareto_layers_2d(
     id_col: str,
     layers: int = 2,
     n_buckets: int = 64,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Iterative skyline peeling: layer 1 is the frontier, layer 2 the
     frontier of what remains, … (``id_col`` must be a unique key; the
     anti-join removes exactly the peeled rows).  Adds a ``layer``
     BIGINT column.  Fixed small ``layers`` — each peel is one
-    :func:`skyline_2d` pass over the shrinking remainder."""
+    :func:`skyline_2d` pass over the shrinking remainder, its
+    (small) frontier materialized so later layers' plans don't
+    re-embed earlier peels (see :func:`pareto_layers_kd`)."""
+    from ..materialize import materialize as _mat
+
     if layers < 1:
         raise ValueError(f"layers must be >= 1, got {layers}")
     remaining = df
     out: DataFrame | None = None
     for i in range(1, layers + 1):
-        sky = skyline_2d(remaining, x, y, n_buckets=n_buckets).withColumn(
-            "layer", F.lit(i).cast("long")
+        sky = _mat(
+            skyline_2d(remaining, x, y, n_buckets=n_buckets).withColumn(
+                "layer", F.lit(i).cast("long")
+            ),
+            materialize,
         )
         out = sky if out is None else out.unionByName(sky)
         remaining = remaining.join(
@@ -288,6 +307,7 @@ def pareto_layers_kd(
     objectives: Sequence[str],
     id_col: str,
     layers: int = 2,
+    materialize: str | None = None,
 ) -> DataFrame:
     """d-dimensional skyline peeling: layer 1 is the frontier, layer
     i the frontier of what remains after peeling 1..i-1 (``id_col``
@@ -296,19 +316,33 @@ def pareto_layers_kd(
     remainder — fixed small ``layers``, so cost is layers ×
     (local-skyline + broadcast cross-check), never quadratic.
 
+    Each layer's (small) frontier is MATERIALIZED (``materialize=``
+    mode, house default localCheckpoint — the ``materialize.py``
+    discipline): without the boundary, layer i's lazy plan re-embeds
+    every earlier layer's mapInPandas subtree (layer 1 recomputes
+    ~2·L times across the union + the anti-join chain — measured 77 s
+    → ~30 s for the 3-layer repair query at sf1).  Cost after the
+    boundary: L scans of the (barely shrinking) corpus, frontier-
+    sized pinned blocks.
+
     This is the STANDBY STATE for deletion repair
     (:func:`skyline_delete_kd`): dominance depth strictly decreases
     along dominance edges, so every row below the tracked depth has
     a dominator chain threading one row through EVERY tracked layer
     — which is what makes layer-local repair sound.
     """
+    from ..materialize import materialize as _mat
+
     if layers < 1:
         raise ValueError(f"layers must be >= 1, got {layers}")
     remaining = df
     out: DataFrame | None = None
     for i in range(1, layers + 1):
-        sky = skyline_kd(remaining, objectives).withColumn(
-            "layer", F.lit(i).cast("long")
+        sky = _mat(
+            skyline_kd(remaining, objectives).withColumn(
+                "layer", F.lit(i).cast("long")
+            ),
+            materialize,
         )
         out = sky if out is None else out.unionByName(sky)
         remaining = remaining.join(
