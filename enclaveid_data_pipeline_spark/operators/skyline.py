@@ -477,6 +477,7 @@ def pareto_layers_upsert_kd(
     objectives: Sequence[str],
     id_col: str,
     n_layers: int,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Incremental top-K layer maintenance for INSERT-only feeds:
     the new top ``n_layers`` Pareto layers computed from the OLD
@@ -506,4 +507,5 @@ def pareto_layers_upsert_kd(
         objectives,
         id_col,
         layers=n_layers,
+        materialize=materialize,
     )

@@ -641,3 +641,74 @@ def catalog_txn_sink(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def skyline_layers_sink(
+    stream_df: DataFrame,
+    path: str,
+    objectives: tuple[str, ...],
+    id_col: str,
+    n_layers: int = 2,
+    checkpoint_dir: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Continuously maintained top-K Pareto LAYER STATE for an
+    INSERT-only stream: each micro-batch folds through
+    ``pareto_layers_upsert_kd`` — exact by depth-monotonicity of
+    insertion (layers_K(corpus ∪ batch) = layers_K(stored layers ∪
+    batch)), so the corpus below the tracked depth is never re-read
+    and per-trigger cost is O(batch + layer state).
+
+    This is the streaming producer of the standby state
+    ``skyline_delete_kd`` repairs from: layer 1 is always the live
+    frontier (same rows ``skyline_sink`` would hold), layers 2..K
+    are the repair shelf a later deletion falls back on.  DELETE
+    feeds must NOT flow through this sink — deletions can promote
+    rows from BELOW the tracked depth into deeper layers, which no
+    layer-local fold can see (only the frontier repair theorem
+    survives deletion; run ``skyline_delete_kd`` offline and rebuild
+    layers from the corpus when deletions strike).  Replay safety:
+    unconditional idempotent fold + full-row dedup, exactly the
+    ``skyline_sink`` discipline (a batch-id guard would drop new
+    rows after a checkpoint-less restart).
+    """
+    from ..operators.skyline import (
+        pareto_layers_kd,
+        pareto_layers_upsert_kd,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        spark = batch_df.sparkSession
+        existing = _read_existing(spark, path)
+        # materialize="none": the fold input is layer-state + one
+        # batch (tiny), so the per-layer boundary that matters for
+        # corpus-scale peels would only pin blocks the stream never
+        # releases (K frontier block-sets PER TRIGGER, unbounded);
+        # the single _materialize below cuts lineage for the
+        # overwrite instead
+        if existing is not None:
+            merged = pareto_layers_upsert_kd(
+                existing,
+                batch_df,
+                list(objectives),
+                id_col,
+                n_layers=n_layers,
+                materialize="none",
+            )
+        else:
+            merged = pareto_layers_kd(
+                batch_df,
+                list(objectives),
+                id_col,
+                layers=n_layers,
+                materialize="none",
+            )
+        out = _materialize(merged.dropDuplicates(), "local")
+        out.write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -157,3 +157,76 @@ def test_skyline_sink_replay_does_not_duplicate_frontier(
         q2.stop()
     again = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
     assert again == first  # multiset equality: no duplicated rows
+
+
+def test_skyline_layers_sink_matches_batch_peel(spark, tmp_path):
+    """Layer-state lifecycle, streamed: after N insert batches the
+    persisted top-2 layers equal the batch peel over every row ever
+    inserted (the pareto_layers_upsert_kd theorem, streamed), and a
+    checkpoint-less replay leaves the state exactly equal (full-row
+    dedup discipline)."""
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        skyline_layers_sink,
+    )
+
+    stream_dir = tmp_path / "lay_in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "lay_out")
+
+    batch1 = [(1, 5, 1), (2, 1, 5), (3, 3, 3), (4, 2, 2)]
+    batch2 = [(5, 4, 4), (6, 0, 0), (7, 6, 6)]
+
+    def start():
+        return skyline_layers_sink(
+            read_event_stream(spark, str(stream_dir)),
+            out,
+            objectives=("a", "b"),
+            id_col="event_id",
+            n_layers=2,
+            transform=_project,
+        )
+
+    q = start()
+    try:
+        _drop(spark, tmp_path, stream_dir, "000", batch1)
+        q.processAllAvailable()
+        _drop(spark, tmp_path, stream_dir, "001", batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _brute_layers(pts):
+        remaining = dict(pts)
+        got = {}
+        for layer in (1, 2):
+            vals = list(remaining.values())
+            sky = [
+                i
+                for i, q_ in remaining.items()
+                if not any(
+                    all(pc >= qc for pc, qc in zip(p, q_))
+                    and any(pc > qc for pc, qc in zip(p, q_))
+                    for p in vals
+                )
+            ]
+            for i in sky:
+                got[i] = layer
+                del remaining[i]
+        return got
+
+    pts = {i: (a, b) for i, a, b in batch1 + batch2}
+    expect = _brute_layers(pts)
+    state = {
+        r.event_id: r.layer for r in spark.read.parquet(out).collect()
+    }
+    assert state == expect
+
+    # checkpoint-less replay: state must come back EXACTLY equal
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(out).collect()
+    assert {r.event_id: r.layer for r in rows} == expect
+    assert len(rows) == len(expect)  # no duplicated rows either
