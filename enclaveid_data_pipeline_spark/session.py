@@ -41,9 +41,21 @@ def get_spark(
     utils/old_history_utils.py:137-165).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle/spill files MUST NOT live in /tmp: long benches have lost
+    # live blockmgr-*/temp_shuffle_* files to external /tmp cleaners
+    # (FileNotFound mid-stage -> task retries -> driver timeout).  Keep
+    # scratch under an engine-owned directory; overridable via env.
+    # spark.local.dir is a static conf — only the first session creator
+    # in the JVM gets a say, which is fine: every entrypoint funnels
+    # through get_spark.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if not local_dir:
+        local_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.local.dir", local_dir)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
