@@ -15,11 +15,10 @@ from ..operators.similarity import pairwise_similarity
 from ..sources.readers import read_table
 from .registry import REGISTRY, register
 
+# native kernel; bit-identical after round-6 on the fixtures (see
+# similarity_queries._duck_cos for the verification note)
 _DUCK_COS = (
-    "((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, "
-    "unnest(b.embedding)::DOUBLE AS y) z) / "
-    "(sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x) z)) * "
-    "sqrt((SELECT sum(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y) z))))"
+    "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 )
 
 

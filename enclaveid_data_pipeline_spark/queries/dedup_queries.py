@@ -367,12 +367,10 @@ def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_cos(ea: str, eb: str) -> str:
-    return (
-        f"((SELECT sum(x*y) FROM (SELECT unnest({ea})::DOUBLE AS x, "
-        f"unnest({eb})::DOUBLE AS y) z) / "
-        f"(sqrt((SELECT sum(x*x) FROM (SELECT unnest({ea})::DOUBLE AS x) z)) * "
-        f"sqrt((SELECT sum(y*y) FROM (SELECT unnest({eb})::DOUBLE AS y) z))))"
-    )
+    # native kernel; bit-identical after round-6 on the fixtures and
+    # ~2500x faster than the correlated-subquery form (see
+    # similarity_queries._duck_cos for the verification note)
+    return f"list_cosine_similarity(({ea})::DOUBLE[], ({eb})::DOUBLE[])"
 
 
 @register(
@@ -3367,12 +3365,26 @@ _BLOCKING_ORACLE = f"""
         SELECT count(*) AS n FROM documents
     ), dsh AS MATERIALIZED (
         SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM toks
+    ), shx AS (
+        -- round-11: inverted-index truth (same rewrite the Spark
+        -- side got in round 7) — the all-pairs list_intersect theta
+        -- join was the gate's single largest cost (>500s at sf0.1);
+        -- lossless because J >= 0.8 requires sharing >= 1 shingle
+        SELECT doc_id, unnest(s) AS sh FROM dsh
+    ), ssz AS (
+        SELECT doc_id, len(s) AS n FROM dsh
+    ), tinter AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               count(*) AS i
+        FROM shx a JOIN shx b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     ), truth AS MATERIALIZED (
-        SELECT a.doc_id AS left_id, b.doc_id AS right_id
-        FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-                    / (len(a.s) + len(b.s)
-                       - len(list_intersect(a.s, b.s))), 6) >= 0.8
+        SELECT left_id, right_id
+        FROM tinter
+        JOIN ssz sa ON sa.doc_id = left_id
+        JOIN ssz sb ON sb.doc_id = right_id
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.8
     ), bsh AS (
         SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
     ), bhsig AS (

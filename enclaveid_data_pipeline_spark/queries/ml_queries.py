@@ -333,11 +333,10 @@ def json_validity_counters_multi(
     return session_validity_counters(ex, group_cols=("user_id",))
 
 
+# native kernel; bit-identical after round-6 on the fixtures (see
+# similarity_queries._duck_cos for the verification note)
 _DUCK_PAIR_COS = (
-    "((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,"
-    " unnest(b.embedding)::DOUBLE AS y) z) / "
-    "(sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x) z)) * "
-    "sqrt((SELECT sum(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y) z))))"
+    "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 )
 
 
