@@ -226,6 +226,31 @@ def choose_generalization(
     report schema is unchanged)."""
     if not ladder:
         raise ValueError("empty generalization ladder")
+    # The one-pass union tags levels by casting every quasi
+    # expression to STRING; grouping is faithful only for types whose
+    # string rendering is injective w.r.t. Spark's native grouping —
+    # calendar/categorical/integer coarsenings, i.e. what ladders are
+    # made of. Float (-0.0 groups with 0.0 natively but renders
+    # distinct), binary, and nested types could alias or split
+    # groups, so they are rejected here rather than silently
+    # diverging from the old native-type per-level grouping
+    # (r10 advice).
+    _bad_prefixes = ("float", "double", "binary", "struct", "array", "map")
+    probe = df.select(
+        *[
+            c.alias(f"__p{i}_{j}")
+            for i, (_n, cols) in enumerate(ladder)
+            for j, c in enumerate(cols)
+        ]
+    )
+    for f_ in probe.schema.fields:
+        t = f_.dataType.simpleString()
+        if t.startswith(_bad_prefixes):
+            raise TypeError(
+                "choose_generalization ladder quasi expressions must "
+                "have injective string rendering (calendar/categorical/"
+                f"integer); got {t} — recast or bucket the column first"
+            )
     width = max(len(cols) for _, cols in ladder)
     qcols = [f"__q{j}" for j in range(width)]
 

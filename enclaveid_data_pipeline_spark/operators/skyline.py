@@ -281,15 +281,17 @@ def pareto_layers_2d(
     BIGINT column.  Fixed small ``layers`` — each peel is one
     :func:`skyline_2d` pass over the shrinking remainder, its
     (small) frontier materialized so later layers' plans don't
-    re-embed earlier peels (see :func:`pareto_layers_kd`)."""
-    from ..materialize import materialize as _mat
+    re-embed earlier peels; the per-layer handles are RELEASED once
+    the final union is materialized (see :func:`pareto_layers_kd`)."""
+    from ..materialize import RollingBoundary, materialize as _mat
 
     if layers < 1:
         raise ValueError(f"layers must be >= 1, got {layers}")
+    boundary = RollingBoundary(lag=layers)
     remaining = df
     out: DataFrame | None = None
     for i in range(1, layers + 1):
-        sky = _mat(
+        sky = boundary(
             skyline_2d(remaining, x, y, n_buckets=n_buckets).withColumn(
                 "layer", F.lit(i).cast("long")
             ),
@@ -299,7 +301,11 @@ def pareto_layers_2d(
         remaining = remaining.join(
             sky.select(id_col), on=id_col, how="left_anti"
         )
-    return out
+    # one residue per call, not L (r10 advice): the union boundary is
+    # eager, so after it the per-layer blocks have zero readers
+    final = _mat(out, materialize)
+    boundary.release()
+    return final
 
 
 def pareto_layers_kd(
@@ -330,15 +336,22 @@ def pareto_layers_kd(
     along dominance edges, so every row below the tracked depth has
     a dominator chain threading one row through EVERY tracked layer
     — which is what makes layer-local repair sound.
+
+    Storage (round 11, r10 advice): the per-layer boundaries are
+    needed only while later peels read them; once the final UNION is
+    materialized they have zero readers and are released, so a call
+    leaves ONE final-generation residue (the house invariant) instead
+    of L pinned frontier block-sets per query in a long session.
     """
-    from ..materialize import materialize as _mat
+    from ..materialize import RollingBoundary, materialize as _mat
 
     if layers < 1:
         raise ValueError(f"layers must be >= 1, got {layers}")
+    boundary = RollingBoundary(lag=layers)
     remaining = df
     out: DataFrame | None = None
     for i in range(1, layers + 1):
-        sky = _mat(
+        sky = boundary(
             skyline_kd(remaining, objectives).withColumn(
                 "layer", F.lit(i).cast("long")
             ),
@@ -348,7 +361,9 @@ def pareto_layers_kd(
         remaining = remaining.join(
             sky.select(id_col), on=id_col, how="left_anti"
         )
-    return out
+    final = _mat(out, materialize)
+    boundary.release()
+    return final
 
 
 class SkylineRepairDepthError(ValueError):

@@ -267,8 +267,14 @@ def t_closeness_docs_t03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_closeness_emd_docs",
     oracle="""
     WITH d AS (
+        -- band IS NOT NULL mirrors the engine (NULL sensitive rows
+        -- have no position in an ordered domain and are dropped
+        -- BEFORE n_g and N); // is floor division, matching the
+        -- engine's F.floor — both pin the twin under schema drift
+        -- (r10 advice; n_chars is never NULL/negative today)
         SELECT source, CAST(n_chars // 10 AS BIGINT) AS band
         FROM documents
+        WHERE n_chars IS NOT NULL
     ),
     joint AS (SELECT source, band, count(*) AS ngv FROM d GROUP BY 1, 2),
     dom AS (SELECT band, count(*) AS nv FROM d GROUP BY 1),
@@ -327,7 +333,9 @@ def t_closeness_emd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select(
         "source",
-        (F.col("n_chars") / 10).cast("long").alias("band"),
+        # floor (not cast-truncation) so the band matches DuckDB's
+        # // under negative inputs too
+        F.floor(F.col("n_chars") / 10).cast("long").alias("band"),
     )
     fails = t_closeness_emd_failures(
         docs, ["source"], "band", t_max=0.02, k=10

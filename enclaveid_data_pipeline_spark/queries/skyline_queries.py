@@ -388,7 +388,12 @@ def skyline_delete_repair_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE q.value IS NOT NULL
       AND NOT EXISTS (
         SELECT 1 FROM events p
-        WHERE p.user_id = q.user_id
+        -- null-safe group equality: the engine side
+        -- (skyline_2d_grouped_window) puts NULL keys in ONE window
+        -- partition, so the oracle must treat NULL = NULL as the
+        -- same group too (r10 advice; events.user_id has no NULLs
+        -- today — this pins the twin under schema drift)
+        WHERE p.user_id IS NOT DISTINCT FROM q.user_id
           AND p.value IS NOT NULL
           AND p.ts >= q.ts AND p.value >= q.value
           AND (p.ts > q.ts OR p.value > q.value)

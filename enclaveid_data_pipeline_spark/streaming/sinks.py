@@ -192,6 +192,7 @@ def skyline_sink(
     objectives: tuple[str, ...],
     checkpoint_dir: str | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    dedup_keys: tuple[str, ...] | None = None,
 ) -> StreamingQuery:
     """Continuously maintained Pareto frontier: each micro-batch folds
     into the persisted skyline via ``skyline_upsert_kd`` — for an
@@ -218,7 +219,14 @@ def skyline_sink(
     ids with tied objective vectors all survive, as in the batch
     operator); only rows identical in EVERY column fold to one,
     and such rows are indistinguishable from redeliveries by any
-    reader.  A redelivered batch costs one harmless
+    reader.  ID-LESS feeds with genuine duplicate events therefore
+    diverge from the batch operator's multiset contract — full-row
+    dedup collapses them (r10 advice).  Such feeds should pass
+    ``dedup_keys``: an explicit row-identity tuple (e.g. a unique
+    event id, as :func:`skyline_layers_sink` requires) on which
+    redeliveries — and only redeliveries — collide; the fold then
+    dedups on exactly that tuple and multiset semantics for distinct
+    identities are preserved.  A redelivered batch costs one harmless
     O(batch + frontier) re-fold; the frontier is small by
     construction — reading it back and overwriting per batch is
     O(frontier).
@@ -238,7 +246,12 @@ def skyline_sink(
             )
         else:
             merged = skyline_kd(batch_df, list(objectives))
-        out = _materialize(merged.dropDuplicates(), "local")
+        deduped = (
+            merged.dropDuplicates(list(dedup_keys))
+            if dedup_keys
+            else merged.dropDuplicates()
+        )
+        out = _materialize(deduped, "local")
         out.write.mode("overwrite").parquet(path)
 
     w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
