@@ -189,6 +189,10 @@ SCALE_TWINS = (
     "skyline_events_per_user",
     "t_closeness_docs_t03",
     "t_closeness_emd_docs",
+    # round-11: perceptual-hash image near-dup, decade-measured from
+    # day one (Zipf-derived grids -> real BMP round trip -> dHash ->
+    # pigeonhole Hamming banding; pair volume is corpus-linear)
+    "phash_near_dup_pairs",
 )
 
 #: Headline queries whose workload couples to corpus size (their
