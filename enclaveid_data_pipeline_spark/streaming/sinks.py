@@ -1018,3 +1018,75 @@ def read_closed_sessions(spark, path: str) -> DataFrame:
     return spark.read.option(
         "basePath", os.path.join(path, "closed")
     ).parquet(os.path.join(path, "closed", "_batch_id=*"))
+
+
+def backfill_dead_letter(
+    spark,
+    dead_letter_path: str,
+    rollup_path: str,
+    keys: tuple[str, ...],
+    measures: dict,
+) -> dict:
+    """Reprocess quarantined late rows into the rollup — the second
+    half of the late-data contract: :func:`_quarantine_late` makes
+    late arrivals auditable; this folds the audited rows back in once
+    an operator decides they belong (the batch backfill a streaming
+    pipeline schedules off-peak).
+
+    Idempotent: the rollup table records the highest dead-letter
+    ``_batch_id`` already folded (``_dlq_folded``); a backfill folds
+    only newer quarantine partitions, and the fold + marker update
+    land in ONE atomic table overwrite, so a crashed backfill either
+    fully happened or didn't. Dead-letter files are never deleted
+    here — they are the audit record; retention is a separate sweep.
+
+    Returns ``{"rows_folded": n, "batches_folded_through": id}``.
+    """
+    from ..operators.rollup import merge_rollups, rollup_partials
+
+    existing = _read_existing(spark, rollup_path)
+    if existing is None:
+        raise FileNotFoundError(
+            f"no rollup table at {rollup_path!r} to backfill into"
+        )
+    try:
+        dead = read_dead_letter(spark, dead_letter_path)
+    except AnalysisException:
+        return {"rows_folded": 0, "batches_folded_through": None}
+    meta_cols = [c for c in existing.columns if c.startswith("_")]
+    head = existing.agg(
+        *[F.max(c).alias(c) for c in meta_cols]
+    ).collect()[0]
+    folded_through = (
+        head["_dlq_folded"] if "_dlq_folded" in meta_cols else None
+    )
+    todo = (
+        dead.filter(F.col("_batch_id") > folded_through)
+        if folded_through is not None
+        else dead
+    )
+    stats = todo.agg(
+        F.count(F.lit(1)), F.max("_batch_id")
+    ).collect()[0]
+    n_rows, new_max = int(stats[0]), stats[1]
+    if n_rows == 0:
+        return {
+            "rows_folded": 0,
+            "batches_folded_through": folded_through,
+        }
+    clean = todo.drop("_batch_id", "_quarantine_wm_us", "__ts_us")
+    merged = merge_rollups(
+        existing.drop(*meta_cols),
+        rollup_partials(clean, keys, measures),
+        keys,
+        measures,
+    )
+    for c in meta_cols:
+        if c != "_dlq_folded":
+            merged = merged.withColumn(c, F.lit(head[c]))
+    merged = merged.withColumn(
+        "_dlq_folded", F.lit(int(new_max)).cast("long")
+    )
+    out = _materialize(merged, "local")
+    out.write.mode("overwrite").parquet(rollup_path)
+    return {"rows_folded": n_rows, "batches_folded_through": int(new_max)}

@@ -161,3 +161,58 @@ def test_rollup_sink_quarantines_late_rows(spark, tmp_path):
     # the late 100.0 was quarantined, never folded
     assert rollup[1] == (4.0, 4)
     assert rollup[2] == (3.0, 1)
+
+
+def test_backfill_dead_letter_folds_once(spark, tmp_path):
+    """Audited late rows fold back into the rollup exactly once —
+    the reprocessing half of the quarantine contract."""
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        backfill_dead_letter,
+    )
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    out = tmp_path / "rollup"
+    dlq = tmp_path / "dlq"
+
+    _write_drop(
+        spark, stream_dir, "drop-000",
+        [(i, 1, _mins(i), 1.0) for i in range(4)],
+    )
+    _write_drop(
+        spark, stream_dir, "drop-001",
+        [(10, 1, _mins(-120), 100.0), (11, 2, _mins(10), 3.0)],
+    )
+    q = rollup_sink(
+        _events_stream(spark, stream_dir),
+        str(out),
+        ("user_id",),
+        {"total": ("sum", "value"), "n": ("count", "*")},
+        checkpoint_dir=str(tmp_path / "ck"),
+        late_spec=("ts", 3600.0),
+        dead_letter_path=str(dlq),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = ("user_id",)
+    measures = {"total": ("sum", "value"), "n": ("count", "*")}
+    rep = backfill_dead_letter(spark, str(dlq), str(out), keys, measures)
+    assert rep["rows_folded"] == 1
+    rollup = {
+        r["user_id"]: (r["total"], r["n"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rollup[1] == (104.0, 5)  # late 100.0 now folded
+    assert rollup[2] == (3.0, 1)
+
+    # idempotent: a second backfill folds nothing
+    rep2 = backfill_dead_letter(spark, str(dlq), str(out), keys, measures)
+    assert rep2["rows_folded"] == 0
+    rollup2 = {
+        r["user_id"]: (r["total"], r["n"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rollup2 == rollup
