@@ -433,6 +433,49 @@ def _streaming_block(spark) -> dict:
         file=sys.stderr,
     )
 
+    # round-11: the parquet-state incremental sessionize sink (the
+    # foreachBatch twin of the stateful operator, with late-data
+    # quarantine machinery engaged but no late rows in this feed) —
+    # measured beside the state-store path it mirrors
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        sessionize_sink,
+    )
+
+    _gc_fence(spark)
+    tmp_s = tempfile.mkdtemp(prefix="bench_sessink_")
+    try:
+        t0 = time.perf_counter()
+        q = sessionize_sink(
+            read_event_stream(spark, SF1_DIR).select(
+                "user_id", "ts", "value"
+            ),
+            os.path.join(tmp_s, "sessions"),
+            gap_seconds=1800.0,
+            delay_seconds=3600.0,
+            checkpoint_dir=os.path.join(tmp_s, "ckpt"),
+            dead_letter_path=os.path.join(tmp_s, "dlq"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dt = time.perf_counter() - t0
+        n_closed = spark.read.parquet(
+            os.path.join(tmp_s, "sessions", "closed")
+        ).count()
+        out["sessionize_sink"] = {
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_events / dt),
+            "n_closed": n_closed,
+        }
+        print(
+            f"# [sf1-stream] sessionize_sink: {dt:.3f}s "
+            f"({out['sessionize_sink']['rows_per_sec']} rows/s)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(tmp_s, ignore_errors=True)
+
     _gc_fence(spark)
     tmp = tempfile.mkdtemp(prefix="bench_rollup_")
     try:
