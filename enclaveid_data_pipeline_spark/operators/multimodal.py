@@ -407,6 +407,76 @@ def phash_near_dup_pairs(
     )
 
 
+#: audio envelope shape: ENV_BUCKETS peak-amplitude cells give
+#: ENV_BUCKETS - 1 = 63 gradient bits — same non-negative-int64
+#: contract as the image dHash.
+ENV_BUCKETS = 64
+
+
+def decode_wav_envelope(payload: bytes, buckets: int = ENV_BUCKETS) -> list[int]:
+    """Real WAV decode (stdlib, 16-bit PCM) → peak |amplitude| per
+    equal time bucket — the audio sibling of the image pixel grid.
+    Bucketing by FRACTION of duration makes the envelope (and so the
+    hash) stable under uniform resampling; peak (not mean) makes it
+    stable under sample decimation that keeps local maxima."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width, n_frames = w.getsampwidth(), w.getnframes()
+        frames = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError(
+            "audio envelope hash handles 16-bit PCM WAV only"
+        )
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    n = len(samples)
+    if n < buckets:
+        raise ValueError(f"{n} samples < {buckets} envelope buckets")
+    env = []
+    for b in range(buckets):
+        lo, hi = b * n // buckets, (b + 1) * n // buckets
+        env.append(max(abs(s) for s in samples[lo:hi]))
+    return env
+
+
+def envelope_dhash(env: list[int]) -> int:
+    """Difference hash of an amplitude envelope: bit ``i`` = 1 iff
+    ``env[i] < env[i+1]``. Gradient directions are invariant to
+    positive amplitude scaling (volume normalization) — the audio
+    analog of dHash's brightness invariance."""
+    out = 0
+    for i in range(len(env) - 1):
+        if env[i] < env[i + 1]:
+            out |= 1 << i
+    return out
+
+
+def audio_dhash(
+    assets: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, dhash) over WAV payloads: real decode → envelope →
+    :func:`envelope_dhash`, via narrow-Arrow mapInPandas. Near-dup
+    pairs come from the SAME :func:`phash_near_dup_pairs` pigeonhole
+    banding (63-bit hash, identical contract)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+    narrow = assets.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                envelope_dhash(decode_wav_envelope(bytes(b)))
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "dhash": hashes})
+
+    return narrow.mapInPandas(op, schema=schema)
+
+
 def synthetic_assets(spark, docs: DataFrame, n_modalities: int = 3) -> DataFrame:
     """Build a deterministic multimodal table from the documents
     corpus (text bytes stand in for media payloads) — test fixture

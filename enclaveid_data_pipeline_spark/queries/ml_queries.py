@@ -847,7 +847,12 @@ def phash_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(doc_id)
             yield pd.DataFrame({"id": ids, "dhash": hashes})
 
-    hashed = cells.mapInPandas(op, schema="id long, dhash long")
+    from ..materialize import materialize as _materialize
+
+    # boundary: both sides of the pigeonhole self-join read the
+    # (one-row-per-doc) hash table; without it the whole
+    # tokenize->grid->BMP->decode pipeline runs twice (plan-audited)
+    hashed = _materialize(cells.mapInPandas(op, schema="id long, dhash long"))
     return phash_near_dup_pairs(hashed, radius=2).select(
         F.col("left_id").cast("long").alias("left_id"),
         F.col("right_id").cast("long").alias("right_id"),

@@ -98,3 +98,73 @@ def test_spark_phash_pairs_twins_collide_distinct_dont(spark):
         for r in phash_near_dup_pairs(hashed, radius=2).collect()
     }
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+# ---- audio envelope hash (WAV twin of the image dHash) -----------------
+
+import io
+import struct as _struct
+import wave as _wave
+
+from enclaveid_data_pipeline_spark.operators.multimodal import (
+    ENV_BUCKETS,
+    audio_dhash,
+    decode_wav_envelope,
+    envelope_dhash,
+)
+
+
+def _wav(amps: list[int], per_bucket: int = 8, rate: int = 8000) -> bytes:
+    """16-bit PCM WAV: per envelope bucket, alternating +/-A square
+    wave (decimation by 2 keeps the peak — the resample twin)."""
+    samples = []
+    for a in amps:
+        for i in range(per_bucket):
+            samples.append(a if i % 2 == 0 else -a)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _amps(seed: int) -> list[int]:
+    rng = random.Random(seed)
+    return [rng.randrange(0, 16000) * 2 for _ in range(ENV_BUCKETS)]
+
+
+def test_wav_envelope_roundtrip():
+    amps = _amps(20)
+    assert decode_wav_envelope(_wav(amps)) == amps
+
+
+def test_audio_hash_resample_and_volume_invariant():
+    amps = _amps(21)
+    base = envelope_dhash(decode_wav_envelope(_wav(amps)))
+    # 2x decimation (every other sample survives = all +A peaks)
+    down = _wav(amps, per_bucket=4)
+    assert envelope_dhash(decode_wav_envelope(down)) == base
+    # exact halved volume preserves every strict < relation
+    half = _wav([a // 2 for a in amps])
+    assert envelope_dhash(decode_wav_envelope(half)) == base
+    other = envelope_dhash(decode_wav_envelope(_wav(_amps(22))))
+    assert bin(base ^ other).count("1") > 8
+
+
+def test_spark_audio_pairs(spark):
+    amps = _amps(23)
+    rows = [
+        (1, _wav(amps)),
+        (2, _wav(amps, per_bucket=4)),  # resampled twin
+        (3, _wav([a // 2 for a in amps])),  # volume twin
+        (4, _wav(_amps(24))),
+        (5, _wav(_amps(25))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id: long, content: binary")
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in phash_near_dup_pairs(audio_dhash(df), radius=2).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
