@@ -885,3 +885,76 @@ def load_ann_index(
             f"{meta.get('index_kind')!r}, expected {expect_kind!r}"
         )
     return read_snapshot(spark, path, version=version), meta
+
+
+def quantizer_staleness(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Operational drift report for a (persisted) IVF coarse
+    quantizer: assign the CURRENT corpus to the trained centroids and
+    report, per cell, the member count and the mean/min assignment
+    similarity — the two numbers that say "retrain": cells draining
+    or ballooning mean the data moved between cells; falling
+    assignment similarity means the data moved away from every
+    centroid. Pairs with :func:`save_ann_index` /
+    :func:`load_ann_index` to make quantizer refresh a measured
+    decision instead of a daily habit.
+
+    Physical shape: the same broadcast-centroid argmin as
+    :func:`assign_cells` (shuffle carries one row per corpus vector),
+    then one per-cell aggregate. Mean is computed over the
+    integer-exact micro-similarity (round(sim,6)·10⁶ as BIGINT) so
+    the oracle replays it without float-summation-order drift.
+    """
+    cent = _prep_centroids(centroids, id_col, vec_col)
+    sim = F.round(
+        cosine_similarity(
+            F.col("__v"),
+            F.col("__ce"),
+            a_norm=F.col("__vn"),
+            b_norm=F.col("__cen"),
+            assume_double=True,
+        ),
+        6,
+    )
+    pairs = (
+        _fan_out(
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                as_double(F.col(vec_col)).alias("__v"),
+                l2_norm(F.col(vec_col)).alias("__vn"),
+            )
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("__id", (-sim).alias("negsim"), "cent_id")
+    )
+    best = (
+        pairs.groupBy("__id")
+        .agg(F.min(F.struct("negsim", "cent_id")).alias("s"))
+        .select(
+            (-F.col("s.negsim")).alias("sim"),
+            F.col("s.cent_id").alias("cell"),
+        )
+    )
+    micro = F.round(F.col("sim") * 1_000_000).cast("long")
+    return (
+        best.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(micro).alias("__sum_micro"),
+            F.min("sim").alias("__min"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_members",
+            F.round(
+                F.col("__sum_micro")
+                / (F.col("n_members") * F.lit(1_000_000.0)),
+                6,
+            ).alias("mean_sim"),
+            F.round("__min", 6).alias("min_sim"),
+        )
+    )
