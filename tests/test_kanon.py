@@ -309,3 +309,30 @@ def test_ladder_t_budget_report_carries_t_failures(spark):
         df, ladder, k=2, max_suppressed_fraction=0.0
     )
     assert "t_failures" not in rep2.columns
+
+
+def test_ladder_rejects_non_injective_string_types(spark):
+    """Float/binary/nested quasi expressions are rejected up front:
+    the one-pass union casts quasi values to string, and those types'
+    renderings are not injective w.r.t. Spark's native grouping
+    (-0.0 groups with 0.0 natively but renders distinct)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0.5, "x")], "id long, score double, sens string"
+    )
+    with pytest.raises(TypeError, match="injective string rendering"):
+        choose_generalization(
+            df,
+            [("by_score", [F.col("score")])],
+            k=2,
+            max_suppressed_fraction=0.5,
+        )
+    # integer/calendar coarsenings stay accepted
+    lvl, _ = choose_generalization(
+        df,
+        [("by_id", [F.col("id")])],
+        k=1,
+        max_suppressed_fraction=1.0,
+    )
+    assert lvl == "by_id"
