@@ -216,3 +216,88 @@ def test_backfill_dead_letter_folds_once(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert rollup2 == rollup
+
+
+def test_sessionize_sink_parity_with_stateful_operator(spark, tmp_path):
+    """The parquet-state sink and the state-store operator must emit
+    the SAME closed-session multiset on the same feed (the bench
+    already pins 952,820 == 952,820 at sf1; this is the cheap local
+    pin on the sf0.001 events table, split into two micro-batches)."""
+    import pyarrow.parquet as pq
+
+    from enclaveid_data_pipeline_spark.streaming.sessions import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+    from enclaveid_data_pipeline_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    tbl = pq.read_table(f"{sf}/events.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), stream_dir / "drop-000.parquet")
+    pq.write_table(tbl.slice(half), stream_dir / "drop-001.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    out = tmp_path / "sessions"
+    q = sessionize_sink(
+        read_event_stream(
+            spark, str(stream_dir), glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        str(out),
+        gap_seconds=1800.0,
+        delay_seconds=3600.0,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink_closed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"],
+         r["n_events"], round(r["total_value"], 4), r["n_late"])
+        for r in read_closed_sessions(spark, str(out)).collect()
+    }
+
+    sess = stateful_sessionize(
+        read_event_stream(
+            spark, str(stream_dir), glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        watermark_delay="1 hour",
+    )
+    res = run_stream_to_memory(
+        spark, sess, "parity_stateful", output_mode="append"
+    )
+    op_closed = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1e6),
+            int(r["session_end"].timestamp() * 1e6),
+            r["n_events"],
+            round(r["total_value"], 4),
+            r["n_late"],
+        )
+        for r in res.collect()
+    }
+    # the operator's trailing open sessions flush only when a later
+    # trigger advances the watermark; compare on the sink's CLOSED
+    # set, every one of which the operator must also have emitted or
+    # still hold open past the watermark — closed-by-data sessions
+    # must match exactly
+    assert sink_closed
+    missing = sink_closed - op_closed
+    # any session the sink closed purely by watermark may still sit
+    # open in the operator (wm lags one batch there); such sessions
+    # are exactly the per-user LAST ones
+    last_per_user = {}
+    for s in sink_closed:
+        if s[0] not in last_per_user or s[1] > last_per_user[s[0]][1]:
+            last_per_user[s[0]] = s
+    assert missing <= set(last_per_user.values())
+    # and nothing the operator closed is unknown to the sink
+    assert op_closed <= sink_closed | set(last_per_user.values())
