@@ -958,3 +958,143 @@ def quantizer_staleness(
             F.round("__min", 6).alias("min_sim"),
         )
     )
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+    probes: int = 2,
+    dims: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): instead of
+    OR-amplifying recall with more tables (``multitable_bucket_ids``
+    — tables× the index storage and candidate volume), each query
+    ALSO probes the buckets reachable by flipping its
+    lowest-confidence sign bits — the planes whose projection margin
+    |⟨v,w_p⟩| is smallest, i.e. where the hash was closest to
+    landing on the other side. ``probes`` single-bit flips in
+    ascending-margin order (ties by plane id) + the home bucket =
+    ``probes + 1`` buckets probed per query, against ONE stored
+    bucket table.
+
+    Scale shape: the corpus is bucketed once (the 100 TB layout
+    column); probing multiplies only the QUERY side by probes+1
+    before the equi-join, so candidate volume ≈ (probes+1)/tables of
+    the equivalent multi-table index at comparable recall. Each
+    corpus vector lives in one bucket, so probed buckets never
+    duplicate a candidate and no post-join dedup is needed. Margins
+    are rounded (6 dp) before ordering so the probe sequence is
+    engine-replayable bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    def _projections(vec: Column) -> list[Column]:
+        out = []
+        for p in range(planes):
+            if dims is not None:
+                w = F.array(*[F.lit(x) for x in _plane_weights(p, dims)])
+                proj = F.aggregate(
+                    F.zip_with(vec, w, lambda x, wt: x.cast("double") * wt),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            else:
+                proj = F.aggregate(
+                    F.sequence(F.lit(1), F.size(vec)),
+                    F.lit(0.0),
+                    lambda acc, d: acc
+                    + F.element_at(vec, d).cast("double")
+                    * F.when(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{p}|"), d.cast("string"))),
+                            1,
+                            1,
+                        ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                )
+            out.append(proj)
+        return out
+
+    projs = _projections(F.col("__v"))
+    base = F.lit(0).cast("long")
+    for p, proj in enumerate(projs):
+        base = base + (proj > 0).cast("long") * F.lit(1 << p)
+    flips = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(F.abs(proj), 6).alias("m"),
+                        F.lit(p).cast("int").alias("p"),
+                        F.lit(1 << p).cast("long").alias("mask"),
+                    )
+                    for p, proj in enumerate(projs)
+                ]
+            )
+        ),
+        1,
+        probes,
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .withColumn("__base", base)
+        .withColumn("__flips", flips)
+        .select(
+            "query_id",
+            F.col("__v").alias("__qv"),
+            "__qn",
+            F.explode(
+                F.concat(
+                    F.array(F.col("__base")),
+                    F.transform(
+                        F.col("__flips"),
+                        lambda s: F.col("__base").bitwiseXOR(s["mask"]),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        hyperplane_sign_bits(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__qv"),
+            F.col("__cv"),
+            a_norm=F.col("__qn"),
+            b_norm=F.col("__cn"),
+            assume_double=True,
+        ),
+        6,
+    )
+    pairs = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -456,6 +456,71 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_lsh_multiprobe_top5",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT vec_id, embedding,
+               {_duck_bucket('embedding')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe, bucket
+        FROM buckets WHERE vec_id % 50 = 0
+    ), marg AS (
+        SELECT q.query_id, g.p,
+               round(abs((SELECT sum(CASE WHEN
+                   substr(md5(g.p || '|' || i), 1, 1) IN {_HEX_HIGH}
+                   THEN q.qe[i]::DOUBLE ELSE -q.qe[i]::DOUBLE END)
+                   FROM generate_series(1, 64) z(i))), 6) AS m
+        FROM q, generate_series(0, 3) g(p)
+    ), ranked_m AS (
+        SELECT query_id, p,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY m, p
+               ) AS rn
+        FROM marg
+    ), probes AS (
+        SELECT query_id, bucket FROM q
+        UNION ALL
+        SELECT r.query_id, xor(q.bucket, 1::BIGINT << r.p)
+        FROM ranked_m r JOIN q ON q.query_id = r.query_id
+        WHERE r.rn <= 2
+    ), pairs AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM probes p
+        JOIN q ON q.query_id = p.query_id
+        JOIN buckets c
+          ON c.bucket = p.bucket AND c.vec_id != p.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): the query probes its own
+    bucket PLUS the buckets across its two lowest-margin hyperplanes
+    (the bits most likely to be wrong) — near-multi-table recall from
+    ONE stored bucket table, with candidate volume scaled by
+    (probes+1) on the query side only. The margin-ordered probe
+    sequence is rounded before ranking so the oracle replays it
+    exactly (operators.knn.lsh_multiprobe_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    from ..operators.knn import lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding",
+        k=5, planes=4, probes=2, dims=64,
+    )
+
+
+@register(
     "knn_ivf_top5",
     oracle=f"""
     WITH cent AS (

@@ -621,3 +621,40 @@ def test_heavy_hitters_exact_equals_groupby_truth(spark):
 
     with pytest.raises(ValueError, match="phi"):
         heavy_hitters_exact(df, F.col("tok"), phi=1.5)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH must recover at least the single-bucket
+    result set's recall vs exact truth (its probe set is a strict
+    superset of the home bucket), and strictly more candidates."""
+    from pyspark.sql import functions as F
+
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+    from enclaveid_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def pairs(df):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    truth = pairs(brute_force_topk(queries, emb, k=5))
+    single = pairs(
+        lsh_bucketed_topk(queries, emb, k=5, planes=4, dims=64)
+    )
+    multi = pairs(
+        lsh_multiprobe_topk(queries, emb, k=5, planes=4, probes=2, dims=64)
+    )
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single
+    # probing 3 of 16 buckets must surface new top-5 members for at
+    # least some query on this corpus
+    assert multi != single
