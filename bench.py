@@ -193,6 +193,10 @@ SCALE_TWINS = (
     # day one (Zipf-derived grids -> real BMP round trip -> dHash ->
     # pigeonhole Hamming banding; pair volume is corpus-linear)
     "phash_near_dup_pairs",
+    # round-11: unigram-LM subword encode — every stage is
+    # distinct-word-weighted, so the decade should amortize (vocab
+    # grows sub-linearly in corpus size)
+    "unigram_encode_corpus",
 )
 
 #: Headline queries whose workload couples to corpus size (their

@@ -1794,3 +1794,126 @@ def cms_join_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---- unigram-LM subword tokenizer (round 11) ---------------------------
+
+
+def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
+    """Oracle for unigram_encode_corpus: seed counts + integer
+    micro-bit costs + the Viterbi DP UNROLLED over word positions
+    (the _duck_kmeans_iter trick — recursive CTEs can't argmin per
+    state, a fixed unroll can: step i takes the min (cost, k,
+    prev_pos) struct over the ≤ max_piece candidate back-pointers).
+    Tie order matches operators.unigram.viterbi_segment_word
+    exactly; every quantity after the one ln() is BIGINT."""
+    from ..functions.zipfmap import DUCK_ZIPF_TOKS
+
+    steps = []
+    for i in range(1, max_word_len + 1):
+        cands = []
+        for j in range(1, min(max_piece, i) + 1):
+            cands.append(
+                f"SELECT b.w, b.c + co.cost AS c, b.k + 1 AS k, "
+                f"{i - j} AS prev FROM b{i - j} b "
+                f"JOIN costs co ON co.piece = substr(b.w, {i - j + 1}, {j}) "
+                f"WHERE length(b.w) >= {i}"
+            )
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+        # a chain where b_i references b_{i-1}..b_{i-4} would expand
+        # ~4^i subplans (measured: >200s at sf0.01; materialized:
+        # seconds)
+        steps.append(
+            f", cand{i} AS ({' UNION ALL '.join(cands)}), "
+            f"b{i} AS MATERIALIZED ("
+            f"SELECT w, s['c'] AS c, s['k'] AS k FROM ("
+            f"SELECT w, min(struct_pack(c := c, k := k, p := prev)) AS s "
+            f"FROM cand{i} GROUP BY w) z)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT w, c, k FROM b{i} WHERE length(w) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    return f"""
+    WITH otoks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ztl AS (
+        SELECT doc_id, {DUCK_ZIPF_TOKS} AS zt FROM otoks
+    ), toks AS (
+        SELECT doc_id, unnest(zt) AS tok FROM ztl
+    ), wf AS MATERIALIZED (
+        SELECT tok AS w, count(*) AS freq FROM toks GROUP BY 1
+    ), pos AS (
+        SELECT w, freq, unnest(generate_series(1, length(w))) AS i
+        FROM wf
+    ), sub AS (
+        SELECT substr(w, i, l) AS piece, freq
+        FROM (SELECT w, freq, i,
+                     unnest(generate_series(
+                         1, least({max_piece}, length(w) - i + 1))) AS l
+              FROM pos) z
+    ), cnt AS MATERIALIZED (
+        SELECT piece, sum(freq) AS cnt FROM sub GROUP BY 1
+        HAVING sum(freq) >= 2 OR length(piece) = 1
+    ), tot AS (
+        SELECT sum(cnt) AS total FROM cnt
+    ), costs AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(ln(total::DOUBLE / cnt) / ln(2) * 1024)
+                    AS BIGINT) AS cost
+        FROM cnt, tot
+    ), b0 AS MATERIALIZED (
+        SELECT w, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS k
+        FROM wf
+    ){''.join(steps)}, final AS (
+        {final}
+    )
+    SELECT t.doc_id,
+           CAST(sum(f.k) AS BIGINT) AS n_pieces,
+           CAST(sum(f.c) AS BIGINT) AS enc_cost
+    FROM toks t JOIN final f ON f.w = t.tok
+    GROUP BY t.doc_id
+    """
+
+
+@register("unigram_encode_corpus", oracle=_duck_unigram_oracle())
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM (SentencePiece-style) subword encode
+    over the Zipf-vocabulary corpus: seed substring counts (≤4-char
+    pieces, min count 2, single chars always kept) → integer
+    micro-bit costs → exact-integer Viterbi over DISTINCT words
+    (operators.unigram) → hash-join back to token occurrences →
+    per-doc piece count + encoded cost. The other major subword
+    algorithm beside the BPE family (operators/bpe.py); all corpus
+    passes are distinct-word-weighted, so cost per stage is the
+    (small) vocabulary, never corpus size. The oracle replays the
+    whole thing including the Viterbi DP, unrolled per word
+    position."""
+    from ..functions.zipfmap import zipf_token_rows
+    from ..operators.unigram import (
+        costs_from_counts,
+        distinct_words,
+        seed_piece_counts,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    zt = zipf_token_rows(docs).select(
+        F.col("id").alias("doc_id"), F.col("ztok").alias("tok")
+    )
+    words = distinct_words(zt, "tok")
+    counts = seed_piece_counts(words, max_piece_len=4, min_count=2)
+    costs = costs_from_counts(counts)
+    seg = viterbi_segment(words, costs).select(
+        F.col("word").alias("tok"),
+        F.size("pieces").cast("long").alias("k"),
+        F.col("cost").alias("c"),
+    )
+    return (
+        zt.join(seg, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.sum("c").cast("long").alias("enc_cost"),
+        )
+    )
