@@ -1799,14 +1799,16 @@ def cms_join_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- unigram-LM subword tokenizer (round 11) ---------------------------
 
 
-def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
-    """Oracle for unigram_encode_corpus: seed counts + integer
-    micro-bit costs + the Viterbi DP UNROLLED over word positions
-    (the _duck_kmeans_iter trick — recursive CTEs can't argmin per
-    state, a fixed unroll can: step i takes the min (cost, k,
-    prev_pos) struct over the ≤ max_piece candidate back-pointers).
-    Tie order matches operators.unigram.viterbi_segment_word
-    exactly; every quantity after the one ln() is BIGINT."""
+def _duck_unigram_prefix(max_word_len: int = 12, max_piece: int = 4) -> str:
+    """Shared oracle prefix: Zipf tokens → distinct-word freqs →
+    seed counts → integer micro-bit costs → the Viterbi DP UNROLLED
+    over word positions (the _duck_kmeans_iter trick — recursive
+    CTEs can't argmin per state, a fixed unroll can: step i takes
+    the min (cost, k, prev_pos) struct over the ≤ max_piece
+    candidate back-pointers; b_i also carries the winning prev for
+    backtracking). Tie order matches
+    operators.unigram.viterbi_segment_word exactly; every quantity
+    after the one ln() is BIGINT."""
     from ..functions.zipfmap import DUCK_ZIPF_TOKS
 
     steps = []
@@ -1826,14 +1828,10 @@ def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
         steps.append(
             f", cand{i} AS ({' UNION ALL '.join(cands)}), "
             f"b{i} AS MATERIALIZED ("
-            f"SELECT w, s['c'] AS c, s['k'] AS k FROM ("
+            f"SELECT w, s['c'] AS c, s['k'] AS k, s['p'] AS prev FROM ("
             f"SELECT w, min(struct_pack(c := c, k := k, p := prev)) AS s "
             f"FROM cand{i} GROUP BY w) z)"
         )
-    final = " UNION ALL ".join(
-        f"SELECT w, c, k FROM b{i} WHERE length(w) = {i}"
-        for i in range(1, max_word_len + 1)
-    )
     return f"""
     WITH otoks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1865,7 +1863,16 @@ def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
     ), b0 AS MATERIALIZED (
         SELECT w, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS k
         FROM wf
-    ){''.join(steps)}, final AS (
+    ){''.join(steps)}"""
+
+
+def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
+    """unigram_encode_corpus oracle: DP prefix + per-doc encode agg."""
+    final = " UNION ALL ".join(
+        f"SELECT w, c, k FROM b{i} WHERE length(w) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    return f"""{_duck_unigram_prefix(max_word_len, max_piece)}, final AS (
         {final}
     )
     SELECT t.doc_id,
@@ -1873,6 +1880,48 @@ def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
            CAST(sum(f.c) AS BIGINT) AS enc_cost
     FROM toks t JOIN final f ON f.w = t.tok
     GROUP BY t.doc_id
+    """
+
+
+def _duck_unigram_em_oracle(
+    max_word_len: int = 12, max_piece: int = 4, top: int = 20
+) -> str:
+    """unigram_em_vocab_top oracle: DP prefix + UNROLLED BACKTRACK.
+    ``prevs`` holds every position's winning back-pointer; bt_t walks
+    the chain (a word of length L backtracks ≤ L steps), each step
+    emitting the piece it crossed; piece usage × word freq is the
+    hard-EM M-step count."""
+    prevs = " UNION ALL ".join(
+        f"SELECT w, {i} AS pos, prev FROM b{i}"
+        for i in range(1, max_word_len + 1)
+    )
+    bts = []
+    emits = []
+    for t in range(max_word_len):
+        bts.append(
+            f", bt{t + 1} AS MATERIALIZED ("
+            f"SELECT bt.w, p.prev AS pos FROM bt{t} bt "
+            f"JOIN prevs p ON p.w = bt.w AND p.pos = bt.pos "
+            f"WHERE bt.pos > 0)"
+        )
+        emits.append(
+            f"SELECT bt.w, substr(bt.w, p.prev + 1, bt.pos - p.prev) "
+            f"AS piece FROM bt{t} bt "
+            f"JOIN prevs p ON p.w = bt.w AND p.pos = bt.pos "
+            f"WHERE bt.pos > 0"
+        )
+    return f"""{_duck_unigram_prefix(max_word_len, max_piece)},
+    prevs AS MATERIALIZED ({prevs}),
+    bt0 AS MATERIALIZED (SELECT w, length(w) AS pos FROM wf)
+    {''.join(bts)},
+    used AS ({' UNION ALL '.join(emits)}),
+    em AS (
+        SELECT u.piece, sum(wf.freq) AS cnt
+        FROM used u JOIN wf ON wf.w = u.w
+        GROUP BY u.piece
+    )
+    SELECT piece, CAST(cnt AS BIGINT) AS cnt
+    FROM em ORDER BY cnt DESC, piece LIMIT {top}
     """
 
 
@@ -1916,4 +1965,39 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("n_pieces"),
             F.sum("c").cast("long").alias("enc_cost"),
         )
+    )
+
+
+@register("unigram_em_vocab_top20", oracle=_duck_unigram_em_oracle())
+def unigram_em_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM M-step statistics for the unigram tokenizer: the 20
+    most-used pieces (usage = Viterbi occurrences × word frequency)
+    after one E-step under the seed costs — the quantity the next
+    M-step re-scores and the pruning schedule ranks by. The oracle
+    backtracks every word's Viterbi path in SQL (unrolled prev-chain
+    walk) and re-aggregates usage, so the segmentation ITSELF — not
+    just its cost — is value-checked in the gate."""
+    from ..functions.zipfmap import zipf_token_rows
+    from ..operators.unigram import (
+        costs_from_counts,
+        distinct_words,
+        em_piece_counts,
+        seed_piece_counts,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    zt = zipf_token_rows(docs).select(
+        F.col("id").alias("doc_id"), F.col("ztok").alias("tok")
+    )
+    words = distinct_words(zt, "tok")
+    costs = costs_from_counts(
+        seed_piece_counts(words, max_piece_len=4, min_count=2)
+    )
+    seg = viterbi_segment(words, costs)
+    return (
+        em_piece_counts(seg)
+        .select("piece", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(20)
     )
