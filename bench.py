@@ -1296,7 +1296,15 @@ def main() -> int:
             "workload_coupled_twins": dict(SF1_WORKLOAD_COUPLED),
             "sf0.1_headline": per_query,
         }
-        side = os.path.join(here, "bench_scale.json")
+        # the budgeted (driver-default) run writes its OWN side file:
+        # rewriting bench_scale.json would clobber the committed
+        # BENCH_FULL battery with a reduced one every driver pass
+        side = os.path.join(
+            here,
+            "bench_scale.json"
+            if os.environ.get("BENCH_FULL")
+            else "bench_scale_default.json",
+        )
 
         def _flush_scale() -> None:
             # rewrite after every block so a later hard-kill leaves
