@@ -266,7 +266,11 @@ def train_unigram(
     aggregation; plan depth stays constant because each round's cost
     table is COLLECTED (it is the model, vocab-sized by
     construction), so no lineage accumulates across rounds."""
-    words = distinct_words(df, token_col)
+    from ..materialize import materialize as _materialize
+
+    # one boundary: every stage below re-reads the (small) distinct-
+    # word table instead of re-running the corpus explode per action
+    words = _materialize(distinct_words(df, token_col))
     counts = seed_piece_counts(words, max_piece_len, min_count)
     costs = costs_from_counts(counts)
     for _ in range(rounds):
@@ -294,4 +298,6 @@ def encode_tokens(
         F.size("pieces").cast("long").alias("n_pieces"),
         F.col("cost").alias("enc_cost"),
     )
-    return df.join(seg, on=token_col, how="left")
+    # the segmentation table is distinct-word-sized; without the hint
+    # Spark can't estimate mapInPandas output and plans a shuffle join
+    return df.join(F.broadcast(seg), on=token_col, how="left")

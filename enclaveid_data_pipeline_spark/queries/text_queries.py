@@ -1946,11 +1946,19 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         viterbi_segment,
     )
 
+    from ..materialize import materialize as _materialize
+
     docs = read_table(spark, sf_dir, "documents")
+    # the single-file doc scan plans 2 input partitions; fan out
+    # before the per-token md5 explode or the whole pipeline runs at
+    # parallelism 2 (measured: sf1 47s -> below 20s)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     zt = zipf_token_rows(docs).select(
         F.col("id").alias("doc_id"), F.col("ztok").alias("tok")
     )
-    words = distinct_words(zt, "tok")
+    # boundary: seed counts, cost total, cost collect, and the final
+    # join otherwise each re-run the corpus-scale zipf explode
+    words = _materialize(distinct_words(zt, "tok"))
     counts = seed_piece_counts(words, max_piece_len=4, min_count=2)
     costs = costs_from_counts(counts)
     seg = viterbi_segment(words, costs).select(
@@ -1959,7 +1967,7 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cost").alias("c"),
     )
     return (
-        zt.join(seg, on="tok")
+        zt.join(F.broadcast(seg), on="tok")
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_pieces"),
@@ -1986,11 +1994,15 @@ def unigram_em_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         viterbi_segment,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     zt = zipf_token_rows(docs).select(
         F.col("id").alias("doc_id"), F.col("ztok").alias("tok")
     )
-    words = distinct_words(zt, "tok")
+    from ..materialize import materialize as _materialize
+
+    words = _materialize(distinct_words(zt, "tok"))
     costs = costs_from_counts(
         seed_piece_counts(words, max_piece_len=4, min_count=2)
     )
