@@ -2013,3 +2013,67 @@ def unigram_em_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(20)
     )
+
+
+@register("unigram_encode_persisted", oracle=_duck_unigram_oracle())
+def unigram_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode through a PERSISTED tokenizer vocabulary: the seed cost
+    table is saved and re-loaded through the snapshot layer with a
+    kind handshake (operators.knn.save_ann_index — the generic
+    trained-model persistence path, here kind='unigram_costs'), then
+    the corpus encodes under the LOADED table. Must hash-match the
+    same oracle as unigram_encode_corpus: the round trip is exact
+    (piece strings + BIGINT costs through parquet), so a daily
+    pipeline re-trains the tokenizer only when it chooses to — the
+    same contract knn_ivf_persisted pins for the IVF quantizer."""
+    import os as _os
+
+    from ..functions.zipfmap import zipf_token_rows
+    from ..materialize import materialize as _materialize
+    from ..operators.knn import load_ann_index, save_ann_index
+    from ..operators.unigram import (
+        costs_from_counts,
+        distinct_words,
+        seed_piece_counts,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    zt = zipf_token_rows(docs).select(
+        F.col("id").alias("doc_id"), F.col("ztok").alias("tok")
+    )
+    words = _materialize(distinct_words(zt, "tok"))
+    costs = costs_from_counts(
+        seed_piece_counts(words, max_piece_len=4, min_count=2)
+    )
+    repo_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    )
+    idx_path = _os.path.join(
+        repo_root,
+        "spark-warehouse",
+        "_ann_index",
+        f"unigram_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    save_ann_index(
+        costs, idx_path, kind="unigram_costs",
+        params={"max_piece_len": 4, "min_count": 2},
+    )
+    loaded, meta = load_ann_index(spark, idx_path, expect_kind="unigram_costs")
+    seg = viterbi_segment(
+        words, loaded, max_piece_len=int(meta["max_piece_len"])
+    ).select(
+        F.col("word").alias("tok"),
+        F.size("pieces").cast("long").alias("k"),
+        F.col("cost").alias("c"),
+    )
+    return (
+        zt.join(F.broadcast(seg), on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.sum("c").cast("long").alias("enc_cost"),
+        )
+    )
