@@ -2077,3 +2077,71 @@ def unigram_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("enc_cost"),
         )
     )
+
+
+def _duck_unigram_fertility_oracle(
+    max_word_len: int = 12, max_piece: int = 4
+) -> str:
+    final = " UNION ALL ".join(
+        f"SELECT w, c, k FROM b{i} WHERE length(w) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    return f"""{_duck_unigram_prefix(max_word_len, max_piece)}, final AS (
+        {final}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.k) AS BIGINT) AS n_pieces,
+           round(sum(f.k)::DOUBLE / count(*), 6) AS fertility
+    FROM toks t
+    JOIN final f ON f.w = t.tok
+    JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "unigram_fertility_by_source",
+    oracle=_duck_unigram_fertility_oracle(),
+)
+def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword pieces per token) per data
+    source — the per-source efficiency number a mixture designer
+    reads next to token budgets (sources that fragment badly cost
+    more sequence length per unit of text; the unigram sibling of
+    bpe_fertility_by_lang). One encode pass over distinct words, one
+    broadcast join, one aggregate."""
+    from ..functions.zipfmap import zipf_token_rows
+    from ..materialize import materialize as _materialize
+    from ..operators.unigram import (
+        costs_from_counts,
+        distinct_words,
+        seed_piece_counts,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    rdocs = docs.repartition(spark.sparkContext.defaultParallelism)
+    zt = zipf_token_rows(rdocs).select(
+        F.col("id").alias("doc_id"), F.col("ztok").alias("tok")
+    )
+    words = _materialize(distinct_words(zt, "tok"))
+    costs = costs_from_counts(
+        seed_piece_counts(words, max_piece_len=4, min_count=2)
+    )
+    seg = viterbi_segment(words, costs).select(
+        F.col("word").alias("tok"),
+        F.size("pieces").cast("long").alias("k"),
+    )
+    return (
+        zt.join(F.broadcast(seg), on="tok")
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
