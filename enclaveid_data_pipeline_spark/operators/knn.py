@@ -887,6 +887,40 @@ def load_ann_index(
     return read_snapshot(spark, path, version=version), meta
 
 
+def roundtrip_ann_index(
+    spark,
+    index_df: DataFrame,
+    kind: str,
+    params: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Save→load trained index state through the snapshot layer under
+    an EPHEMERAL per-call directory, eagerly materialize the loaded
+    frame, then remove the directory. The full persistence contract is
+    exercised — atomic versioned commit, ``index_kind`` handshake,
+    parquet bit-exactness — but nothing is left on disk (round-11
+    advice: the correctness-gate queries previously committed a new
+    snapshot version under ``<repo>/spark-warehouse/_ann_index`` on
+    every gate execution: unbounded version accumulation in repo
+    state, plus a repo-root-writability requirement a read-only gate
+    shouldn't have). Pipelines that WANT durable indexes keep calling
+    :func:`save_ann_index` / :func:`load_ann_index` directly with a
+    real path. Returns ``(loaded_df, meta)``."""
+    import shutil
+    import tempfile
+
+    from ..materialize import materialize
+
+    path = tempfile.mkdtemp(prefix=f"ann-roundtrip-{kind}-")
+    try:
+        save_ann_index(index_df, path, kind=kind, params=params)
+        loaded, meta = load_ann_index(spark, path, expect_kind=kind)
+        # eager lineage cut (localCheckpoint materializes immediately):
+        # the returned frame must never re-read the deleted directory
+        return materialize(loaded, "local"), meta
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def quantizer_staleness(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -326,31 +326,63 @@ def decode_bmp_gray_grid(payload: bytes) -> list[list[int]]:
     return grid
 
 
-def dhash64(grid: list[list[int]], rows: int = POOL_ROWS, cols: int = POOL_COLS) -> int:
-    """Difference hash of a grayscale grid: average-pool to
-    ``rows x cols`` (integer block means over an even block
-    partition), then bit ``r*(cols-1)+c`` = 1 iff
-    ``pooled[r][c] < pooled[r][c+1]``. Gradient DIRECTIONS survive
-    global brightness shifts and smooth rescaling; exact
-    nearest-neighbor upscales pool back to the identical cell means,
-    so the hash is bit-stable under them (tested).
+def _axis_overlaps(n: int, parts: int) -> list[list[tuple[int, int]]]:
+    """Exact pixel↔cell overlap weights along one axis, in coordinates
+    scaled by ``parts``: pixel ``i`` spans ``[i*parts, (i+1)*parts)``,
+    cell ``p`` spans ``[p*n, (p+1)*n)``. Every cell's scaled length is
+    exactly ``n`` regardless of divisibility, and every weight is an
+    integer — the basis of dhash64's division-free pooling."""
+    out: list[list[tuple[int, int]]] = []
+    for p in range(parts):
+        lo, hi = p * n, (p + 1) * n
+        i0, i1 = lo // parts, -((-hi) // parts)
+        w = []
+        for i in range(i0, i1):
+            ov = min(hi, (i + 1) * parts) - max(lo, i * parts)
+            if ov > 0:
+                w.append((i, ov))
+        out.append(w)
+    return out
 
-    Integer-exact end to end (block sums and one floor division per
-    cell) so the DuckDB oracle can replay it digit-for-digit.
+
+def dhash64(grid: list[list[int]], rows: int = POOL_ROWS, cols: int = POOL_COLS) -> int:
+    """Difference hash of a grayscale grid: EXACT area-weighted (box
+    integral) pooling to ``rows x cols``, then bit ``r*(cols-1)+c`` = 1
+    iff the cell-(r,c) integral < the cell-(r,c+1) integral. Gradient
+    DIRECTIONS survive global brightness shifts and rescaling.
+
+    Pooling is division-free: in coordinates scaled by ``rows``
+    (vertically) and ``cols`` (horizontally), every cell has the
+    identical scaled area ``h*w``, so comparing cell MEANS reduces to
+    comparing exact integer overlap-weighted sums. Because the box
+    integral of a piecewise-constant image scales by exactly ``k²``
+    under a nearest-neighbor ``k×`` upscale, the hash is bit-stable
+    under integer NN resizes of ARBITRARY grids — not only
+    pool-aligned ones. (Round-11 advice: the previous floor-division
+    block means were only resize-stable when ``h%rows==0 and
+    w%cols==0``; unaligned grids changed hash under 2× upscale. On
+    aligned constant-per-cell grids — the oracle's replay surface —
+    the integral comparison equals the raw cell-value comparison, so
+    this fix leaves those hashes unchanged.)
+
+    Integer-exact end to end (weights and sums are integers; the
+    worst-case numerator is ``255*h*w`` — int64-safe to ~190-megapixel
+    inputs, and Python ints never overflow here anyway).
     """
     h = len(grid)
     w = len(grid[0]) if h else 0
     if h < rows or w < cols:
         raise ValueError(f"grid {h}x{w} smaller than pool {rows}x{cols}")
+    wy = _axis_overlaps(h, rows)
+    wx = _axis_overlaps(w, cols)
     pooled = []
     for r in range(rows):
-        r0, r1 = r * h // rows, (r + 1) * h // rows
-        row = []
-        for c in range(cols):
-            c0, c1 = c * w // cols, (c + 1) * w // cols
-            s = sum(grid[i][j] for i in range(r0, r1) for j in range(c0, c1))
-            row.append(s // ((r1 - r0) * (c1 - c0)))
-        pooled.append(row)
+        ypart = [0] * w
+        for i, wt in wy[r]:
+            gi = grid[i]
+            for j in range(w):
+                ypart[j] += wt * gi[j]
+        pooled.append([sum(wt * ypart[j] for j, wt in wx[c]) for c in range(cols)])
     out = 0
     for r in range(rows):
         for c in range(cols - 1):

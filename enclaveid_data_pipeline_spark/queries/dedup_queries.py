@@ -683,30 +683,20 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     save/load round trip must be exact — parquet stores the float32
     embeddings bit-exactly — or the hash comparison fails. A daily
     pipeline retrains the quantizer only when it chooses to, not
-    once per run."""
-    import os as _os
-
-    from ..operators.knn import load_ann_index, save_ann_index
+    once per run. The round trip goes through an ephemeral per-call
+    directory (operators.knn.roundtrip_ann_index) so the gate leaves
+    no repo state behind (round-11 advice)."""
+    from ..operators.knn import roundtrip_ann_index
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     centroids = emb.filter((F.col("vec_id") % 40 == 1) & (F.col("vec_id") < 2000))
-    repo_root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    )
-    idx_path = _os.path.join(
-        repo_root,
-        "spark-warehouse",
-        "_ann_index",
-        f"ivf_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    save_ann_index(
+    loaded, meta = roundtrip_ann_index(
+        spark,
         centroids.select("vec_id", "embedding"),
-        idx_path,
         kind="ivf_centroids",
         params={"nprobe": 2, "metric": "cosine"},
     )
-    loaded, meta = load_ann_index(spark, idx_path, expect_kind="ivf_centroids")
     return ivf_topk(
         queries, emb, loaded, id_col="vec_id", vec_col="embedding",
         k=5, nprobe=int(meta["nprobe"]),
@@ -751,34 +741,18 @@ def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity decaying, mean the quantizer no longer fits the data).
     Mean uses integer micro-similarities so both engines agree
     bit-for-bit regardless of summation order."""
-    import os as _os
-
-    from ..operators.knn import (
-        load_ann_index,
-        quantizer_staleness,
-        save_ann_index,
-    )
+    from ..operators.knn import quantizer_staleness, roundtrip_ann_index
 
     emb = read_table(spark, sf_dir, "embeddings")
     old_cent = emb.filter(
         (F.col("vec_id") % 40 == 1) & (F.col("vec_id") < 1000)
     )
-    repo_root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    )
-    idx_path = _os.path.join(
-        repo_root,
-        "spark-warehouse",
-        "_ann_index",
-        f"ivf_old_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    save_ann_index(
+    loaded, _meta = roundtrip_ann_index(
+        spark,
         old_cent.select("vec_id", "embedding"),
-        idx_path,
         kind="ivf_centroids",
         params={"trained_through": 1000},
     )
-    loaded, _meta = load_ann_index(spark, idx_path, expect_kind="ivf_centroids")
     return quantizer_staleness(
         emb, loaded, id_col="vec_id", vec_col="embedding"
     )

@@ -1074,6 +1074,14 @@ def backfill_dead_letter(
             "rows_folded": 0,
             "batches_folded_through": folded_through,
         }
+    # Pin the partition set to the marker we are about to record: the
+    # fold below is a SECOND lazy scan of the dead-letter directory,
+    # and a quarantine partition written by a still-running stream
+    # between the two jobs would otherwise be folded into the rollup
+    # while new_max (collected above) doesn't cover it — so the next
+    # backfill would fold it AGAIN (double count). With the ceiling,
+    # both scans see exactly the same closed set of partitions.
+    todo = todo.filter(F.col("_batch_id") <= F.lit(int(new_max)))
     clean = todo.drop("_batch_id", "_quarantine_wm_us", "__ts_us")
     merged = merge_rollups(
         existing.drop(*meta_cols),

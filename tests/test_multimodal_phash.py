@@ -63,6 +63,47 @@ def test_resized_twin_identical_hash():
     assert dhash64(_upscale(g, 3)) == dhash64(g)
 
 
+def test_resized_twin_identical_hash_unaligned_dims():
+    """Round-11 advice: floor-division block means were only
+    resize-stable for pool-aligned dims (h%7==0, w%10==0). Exact
+    area-weighted pooling is bit-stable under integer NN upscale for
+    ARBITRARY dims — sweep random unaligned sizes."""
+    rng = random.Random(99)
+    for trial in range(25):
+        h = rng.randrange(POOL_ROWS, 60)
+        w = rng.randrange(POOL_COLS, 60)
+        g = _grid(1000 + trial, h=h, w=w)
+        base = dhash64(g)
+        assert dhash64(_upscale(g, 2)) == base, (h, w)
+        assert dhash64(_upscale(g, 3)) == base, (h, w)
+
+
+def test_mean_comparison_equivalence_on_equal_blocks():
+    """On aligned grids the integral comparison must equal comparing
+    per-cell sums (equal block sizes) — the property the DuckDB
+    oracle's raw cell-value replay relies on."""
+    g = _grid(8, h=POOL_ROWS * 2, w=POOL_COLS * 2)
+    got = dhash64(g)
+    # independent reference: plain block sums on the aligned partition
+    sums = [
+        [
+            sum(
+                g[i][j]
+                for i in range(r * 2, r * 2 + 2)
+                for j in range(c * 2, c * 2 + 2)
+            )
+            for c in range(POOL_COLS)
+        ]
+        for r in range(POOL_ROWS)
+    ]
+    want = 0
+    for r in range(POOL_ROWS):
+        for c in range(POOL_COLS - 1):
+            if sums[r][c] < sums[r][c + 1]:
+                want |= 1 << (r * (POOL_COLS - 1) + c)
+    assert got == want
+
+
 def test_noise_small_hamming_distinct_large():
     g = _grid(5)
     noisy = [list(r) for r in g]
