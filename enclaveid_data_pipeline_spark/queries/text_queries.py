@@ -1799,26 +1799,37 @@ def cms_join_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- unigram-LM subword tokenizer (round 11) ---------------------------
 
 
-def _duck_unigram_prefix(max_word_len: int = 12, max_piece: int = 4) -> str:
-    """Shared oracle prefix: Zipf tokens → distinct-word freqs →
-    seed counts → integer micro-bit costs → the Viterbi DP UNROLLED
-    over word positions (the _duck_kmeans_iter trick — recursive
-    CTEs can't argmin per state, a fixed unroll can: step i takes
-    the min (cost, k, prev_pos) struct over the ≤ max_piece
-    candidate back-pointers; b_i also carries the winning prev for
-    backtracking). Tie order matches
-    operators.unigram.viterbi_segment_word exactly; every quantity
-    after the one ln() is BIGINT."""
-    from ..functions.zipfmap import DUCK_ZIPF_TOKS
-
-    steps = []
+def _duck_viterbi_dp(
+    words_cte: str,
+    costs_cte: str,
+    sfx: str = "",
+    max_word_len: int = 12,
+    max_piece: int = 4,
+) -> str:
+    """The Viterbi DP UNROLLED over word positions as CTE text (the
+    _duck_kmeans_iter trick — recursive CTEs can't argmin per state, a
+    fixed unroll can: step i takes the min (cost, k, prev_pos) struct
+    over the ≤ max_piece candidate back-pointers; b_i also carries the
+    winning prev for backtracking). Parameterized (round 12) so one
+    oracle can instantiate SEVERAL DPs — e.g. the prune-comparison
+    oracle runs the held-out words under two pruned vocabularies.
+    Tie order matches operators.unigram.viterbi_segment_word exactly;
+    every quantity after the one ln() is BIGINT. Emits
+    ``b0{sfx}..b{max_word_len}{sfx}`` over ``words_cte`` (column
+    ``w``) with costs from ``costs_cte``."""
+    steps = [
+        f", b0{sfx} AS MATERIALIZED ("
+        f"SELECT w, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS k "
+        f"FROM {words_cte})"
+    ]
     for i in range(1, max_word_len + 1):
         cands = []
         for j in range(1, min(max_piece, i) + 1):
             cands.append(
                 f"SELECT b.w, b.c + co.cost AS c, b.k + 1 AS k, "
-                f"{i - j} AS prev FROM b{i - j} b "
-                f"JOIN costs co ON co.piece = substr(b.w, {i - j + 1}, {j}) "
+                f"{i - j} AS prev FROM b{i - j}{sfx} b "
+                f"JOIN {costs_cte} co "
+                f"ON co.piece = substr(b.w, {i - j + 1}, {j}) "
                 f"WHERE length(b.w) >= {i}"
             )
         # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
@@ -1826,12 +1837,30 @@ def _duck_unigram_prefix(max_word_len: int = 12, max_piece: int = 4) -> str:
         # ~4^i subplans (measured: >200s at sf0.01; materialized:
         # seconds)
         steps.append(
-            f", cand{i} AS ({' UNION ALL '.join(cands)}), "
-            f"b{i} AS MATERIALIZED ("
+            f", cand{i}{sfx} AS ({' UNION ALL '.join(cands)}), "
+            f"b{i}{sfx} AS MATERIALIZED ("
             f"SELECT w, s['c'] AS c, s['k'] AS k, s['p'] AS prev FROM ("
             f"SELECT w, min(struct_pack(c := c, k := k, p := prev)) AS s "
-            f"FROM cand{i} GROUP BY w) z)"
+            f"FROM cand{i}{sfx} GROUP BY w) z)"
         )
+    return "".join(steps)
+
+
+def _duck_viterbi_final(sfx: str = "", max_word_len: int = 12) -> str:
+    """Per-word (w, c, k) terminal states of a :func:`_duck_viterbi_dp`
+    chain — UNION of each b_i at exactly its word length."""
+    return " UNION ALL ".join(
+        f"SELECT w, c, k FROM b{i}{sfx} WHERE length(w) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+
+
+def _duck_unigram_base(max_piece: int = 4) -> str:
+    """Zipf tokens → distinct-word freqs → seed counts → integer
+    micro-bit costs (CTEs ``toks``, ``wf``, ``cnt``, ``costs``) —
+    the model-training half of every unigram oracle."""
+    from ..functions.zipfmap import DUCK_ZIPF_TOKS
+
     return f"""
     WITH otoks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1860,10 +1889,15 @@ def _duck_unigram_prefix(max_word_len: int = 12, max_piece: int = 4) -> str:
                CAST(round(ln(total::DOUBLE / cnt) / ln(2) * 1024)
                     AS BIGINT) AS cost
         FROM cnt, tot
-    ), b0 AS MATERIALIZED (
-        SELECT w, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS k
-        FROM wf
-    ){''.join(steps)}"""
+    )"""
+
+
+def _duck_unigram_prefix(max_word_len: int = 12, max_piece: int = 4) -> str:
+    """Shared oracle prefix: training base + the seed-cost Viterbi DP
+    over the full corpus vocabulary (tables ``b0..b{max_word_len}``)."""
+    return _duck_unigram_base(max_piece) + _duck_viterbi_dp(
+        "wf", "costs", "", max_word_len, max_piece
+    )
 
 
 def _duck_unigram_oracle(max_word_len: int = 12, max_piece: int = 4) -> str:
@@ -1925,6 +1959,117 @@ def _duck_unigram_em_oracle(
     """
 
 
+#: multi-char pieces kept by each pruning method in the comparison
+_UNIGRAM_PRUNE_K = 40
+#: held-out slice: docs with doc_id % 7 == 3
+_UNIGRAM_HELD_MOD, _UNIGRAM_HELD_REM = 7, 3
+
+
+def _int_compositions(total: int, max_part: int) -> list[tuple[int, ...]]:
+    """All ordered compositions of ``total`` into parts ≤ ``max_part``,
+    excluding the single full-span part — the alternative-segmentation
+    search space for a pruned piece (exact for piece length ≤ 4, so
+    enumeration replaces the DP in SQL)."""
+    out: list[tuple[int, ...]] = []
+
+    def rec(rem: int, acc: tuple[int, ...]) -> None:
+        if rem == 0:
+            if len(acc) > 1:
+                out.append(acc)
+            return
+        for p in range(1, min(max_part, rem) + 1):
+            rec(rem - p, acc + (p,))
+
+    rec(total, ())
+    return out
+
+
+def _duck_unigram_prune_oracle(
+    max_word_len: int = 12, max_piece: int = 4, k: int = _UNIGRAM_PRUNE_K
+) -> str:
+    """unigram_prune_compare oracle: seed model → per-piece likelihood
+    loss (alt-segmentation cost by exhaustive composition enumeration,
+    full span forbidden — exact for ≤4-char pieces) → BOTH prunings at
+    equal vocab size → re-scored costs → two held-out Viterbi DPs →
+    per-method encode totals. Every ranking, loss, and DP quantity is
+    integer-exact, so the two engines agree bit-for-bit."""
+    # alternative-segmentation cost branches per piece length
+    branches = []
+    for ln in range(2, max_piece + 1):
+        for comp in _int_compositions(ln, max_piece):
+            joins, costsum, off = [], [], 1
+            for idx, part in enumerate(comp):
+                joins.append(
+                    f"JOIN costs c{idx} ON c{idx}.piece = "
+                    f"substr(m.piece, {off}, {part})"
+                )
+                costsum.append(f"c{idx}.cost")
+                off += part
+            branches.append(
+                f"SELECT m.piece, {' + '.join(costsum)} AS alt "
+                f"FROM multi m {' '.join(joins)} "
+                f"WHERE length(m.piece) = {ln}"
+            )
+    alts = " UNION ALL ".join(branches)
+
+    def pruned_costs(src: str, name: str) -> str:
+        return f"""{name}_kept AS (
+        SELECT piece, cnt FROM {src}
+        UNION ALL SELECT piece, cnt FROM cnt WHERE length(piece) = 1
+    ), {name} AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(ln(t.tot::DOUBLE / cnt) / ln(2) * 1024)
+                    AS BIGINT) AS cost
+        FROM {name}_kept,
+             (SELECT sum(cnt) AS tot FROM {name}_kept) t
+    )"""
+
+    return f"""{_duck_unigram_base(max_piece)}, multi AS (
+        SELECT piece, cnt FROM cnt WHERE length(piece) > 1
+    ), altc AS MATERIALIZED (
+        SELECT piece, min(alt) AS alt FROM ({alts}) z GROUP BY piece
+    ), loss AS (
+        SELECT m.piece, m.cnt,
+               m.cnt * (a.alt - co.cost) AS loss
+        FROM multi m
+        JOIN altc a USING (piece)
+        JOIN costs co ON co.piece = m.piece
+    ), topcnt AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM multi) z
+        WHERE rk <= {k}
+    ), toploss AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY loss DESC, piece) AS rk
+            FROM loss) z
+        WHERE rk <= {k}
+    ), {pruned_costs('topcnt', 'costsa')}, {pruned_costs('toploss', 'costsb')},
+    htoks AS (
+        SELECT doc_id, tok FROM toks
+        WHERE doc_id % {_UNIGRAM_HELD_MOD} = {_UNIGRAM_HELD_REM}
+    ), hwf AS MATERIALIZED (
+        SELECT tok AS w, count(*) AS freq FROM htoks GROUP BY 1
+    ){_duck_viterbi_dp('hwf', 'costsa', 'pa', max_word_len, max_piece)}{
+      _duck_viterbi_dp('hwf', 'costsb', 'pb', max_word_len, max_piece)},
+    fina AS ({_duck_viterbi_final('pa', max_word_len)}),
+    finb AS ({_duck_viterbi_final('pb', max_word_len)})
+    SELECT 'count_rank' AS method,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.k) AS BIGINT) AS n_pieces,
+           CAST(sum(f.c) AS BIGINT) AS enc_cost
+    FROM htoks t JOIN fina f ON f.w = t.tok
+    UNION ALL
+    SELECT 'likelihood',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(f.k) AS BIGINT),
+           CAST(sum(f.c) AS BIGINT)
+    FROM htoks t JOIN finb f ON f.w = t.tok
+    """
+
+
 # The whole unigram family shares one seed-trained model per
 # (session, sf_dir): round-11 judge #2 — the four gate queries each
 # re-ran seed counts + cost scoring + the Viterbi DP from scratch,
@@ -1976,17 +2121,22 @@ def _unigram_shared(spark: SparkSession, sf_dir: str) -> dict:
             return hit
         words = _materialize(distinct_words(_unigram_tokens(spark, sf_dir), "tok"))
         n_words = words.count()
-        costs = _materialize(
-            costs_from_counts(
-                seed_piece_counts(words, max_piece_len=4, min_count=2)
-            )
+        counts = _materialize(
+            seed_piece_counts(words, max_piece_len=4, min_count=2)
         )
+        costs = _materialize(costs_from_counts(counts))
         seg = _materialize(
             viterbi_segment(
                 words, costs, max_word_len=_UNIGRAM_MAX_WORD_LEN
             )
         )
-        out = {"words": words, "n_words": n_words, "costs": costs, "seg": seg}
+        out = {
+            "words": words,
+            "n_words": n_words,
+            "counts": counts,
+            "costs": costs,
+            "seg": seg,
+        }
         _UNIGRAM_SHARED[key] = out
         return out
 
@@ -2139,5 +2289,71 @@ def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("k").cast("double") / F.count(F.lit(1)), 6
             ).alias("fertility"),
+        )
+    )
+
+
+@register("unigram_prune_compare", oracle=_duck_unigram_prune_oracle())
+def unigram_prune_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-rank vs likelihood-loss pruning at EQUAL vocab size
+    (judge r11 #4): both prunings of the seed vocabulary keep
+    _UNIGRAM_PRUNE_K multi-char pieces + all singles, costs are
+    re-scored over each kept set, and a held-out slice of the corpus
+    (doc_id % 7 == 3 — excluded from nothing during training, which
+    is corpus-wide, but unseen by neither; the split demonstrates
+    generalization measurement, not leakage control) is encoded under
+    both. Output: one row per method with token/piece counts and
+    total encode cost — the measured answer to "does the real
+    SentencePiece criterion beat the count surrogate?" (it should
+    encode no worse: count rank keeps high-usage pieces even when
+    their strings re-segment almost freely from surviving
+    sub-pieces — zero-loss redundancy the likelihood criterion
+    trims). The oracle replays BOTH prunings and BOTH held-out
+    Viterbi DPs; the loss itself is exact-integer
+    usage·(alt_cost−own_cost) with the alternative segmentation
+    enumerated exhaustively (exact for ≤4-char pieces)."""
+    from ..functions.joins import gated_broadcast
+    from ..materialize import materialize as _materialize
+    from ..operators.unigram import (
+        costs_from_counts,
+        distinct_words,
+        prune_vocab,
+        prune_vocab_likelihood,
+        viterbi_segment,
+    )
+
+    sh = _unigram_shared(spark, sf_dir)
+    counts = sh["counts"]
+    held = _unigram_tokens(spark, sf_dir).filter(
+        F.col("doc_id") % _UNIGRAM_HELD_MOD == _UNIGRAM_HELD_REM
+    )
+    hw = _materialize(distinct_words(held, "tok"))
+    n_hw = hw.count()
+
+    def encode_under(pruned: DataFrame, label: str) -> DataFrame:
+        seg = viterbi_segment(
+            hw,
+            costs_from_counts(pruned),
+            max_word_len=_UNIGRAM_MAX_WORD_LEN,
+        ).select(
+            F.col("word").alias("tok"),
+            F.size("pieces").cast("long").alias("k"),
+            F.col("cost").alias("c"),
+        )
+        return (
+            held.join(gated_broadcast(seg, n_hw), on="tok")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("k").cast("long").alias("n_pieces"),
+                F.sum("c").cast("long").alias("enc_cost"),
+            )
+            .select(F.lit(label).alias("method"), "n_tokens", "n_pieces", "enc_cost")
+        )
+
+    return encode_under(
+        prune_vocab(counts, _UNIGRAM_PRUNE_K), "count_rank"
+    ).unionByName(
+        encode_under(
+            prune_vocab_likelihood(counts, _UNIGRAM_PRUNE_K), "likelihood"
         )
     )
