@@ -582,6 +582,80 @@ def test_edit_distance_pairs_equals_bruteforce(spark):
                             key_len=41)
 
 
+def test_edit_distance_funnel_counts_consistent(spark):
+    """The funnel's counters agree with the pair operator they
+    instrument: verified_pairs == |edit_distance_pairs output|, the
+    funnel narrows monotonically (join_rows >= candidate_pairs >=
+    verified_pairs), and engaging block_cols can only REMOVE join
+    volume and candidates — the dial's claim, checked mechanically."""
+    import random
+
+    from enclaveid_data_pipeline_spark.operators.dedup import (
+        edit_distance_funnel,
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(12)
+    base = ["".join(rng.choice("abc ") for _ in range(45)) for _ in range(8)]
+    rows = []
+    for i in range(60):
+        s = list(rng.choice(base))
+        for _ in range(rng.randrange(0, 5)):
+            s[rng.randrange(len(s))] = rng.choice("abc ")
+        rows.append((i, "".join(s), f"g{i % 3}"))
+    df = spark.createDataFrame(rows, "doc_id int, text string, grp string")
+
+    exact = edit_distance_funnel(
+        df, "doc_id", F.col("text"), max_dist=3, key_len=40
+    ).first()
+    blocked = edit_distance_funnel(
+        df, "doc_id", F.col("text"), max_dist=3, key_len=40,
+        block_cols=("grp",), method="blocked",
+    ).first()
+    n_pairs = edit_distance_pairs(
+        df, "doc_id", F.col("text"), max_dist=3, key_len=40
+    ).count()
+
+    assert exact["n_docs"] == 60
+    assert exact["verified_pairs"] == n_pairs > 0
+    assert (
+        exact["join_rows"]
+        >= exact["candidate_pairs"]
+        >= exact["verified_pairs"]
+    )
+    assert exact["max_key_product"] >= 1
+    # the dial only removes volume, never adds
+    assert blocked["join_rows"] <= exact["join_rows"]
+    assert blocked["candidate_pairs"] <= exact["candidate_pairs"]
+    assert blocked["verified_pairs"] <= exact["verified_pairs"]
+    assert blocked["max_key_product"] <= exact["max_key_product"]
+
+
+def test_misra_gries_emissions_bounded_and_superset(spark):
+    """The extracted MG candidate stage honors its two contracts:
+    every partition emits at most k rows (bounded shuffle side — the
+    occupancy counter the decade bench records), and the distinct
+    union retains every true phi-heavy item (the losslessness theorem
+    heavy_hitters_exact builds on)."""
+    from enclaveid_data_pipeline_spark.operators.sketch import (
+        misra_gries_emissions,
+    )
+
+    k = 5
+    # one genuinely heavy item spread across partitions + long tail
+    vals = ["hot"] * 400 + [f"tail{i}" for i in range(300)]
+    items = (
+        spark.createDataFrame([(v,) for v in vals], "item string")
+        .repartition(8)
+    )
+    em = misra_gries_emissions(items, "item", k)
+    per_part = em.withColumn(
+        "p", F.spark_partition_id()
+    ).groupBy("p").count().agg(F.max("count")).first()[0]
+    assert per_part <= k
+    assert "hot" in {r["item"] for r in em.distinct().collect()}
+
+
 def test_heavy_hitters_exact_equals_groupby_truth(spark):
     """Misra-Gries two-pass is EXACT: adversarial spread (the heavy
     item diluted evenly across many partitions, decoys dominating
