@@ -203,6 +203,10 @@ SCALE_TWINS = (
     # distinct-word-weighted, so the decade should amortize (vocab
     # grows sub-linearly in corpus size)
     "unigram_encode_corpus",
+    # round-12: BM25 lexical retrieval, fixed query workload — the
+    # inverted-join production search shape (one term shuffle +
+    # workload-bounded broadcasts), linear by construction
+    "bm25_top5_fixedq",
 )
 
 #: Headline queries whose workload couples to corpus size (their

@@ -2357,3 +2357,76 @@ def unigram_prune_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             prune_vocab_likelihood(counts, _UNIGRAM_PRUNE_K), "likelihood"
         )
     )
+
+
+# ---- BM25 lexical retrieval (round 12) ---------------------------------
+
+_BM25_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id AS d, term AS t, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id AS d, count(*) AS dl FROM tok GROUP BY 1
+    ), corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS S
+        FROM dl
+    ), dfx AS (
+        SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), q AS (
+        SELECT DISTINCT doc_id AS q, term AS t FROM tok
+        WHERE doc_id % 50 = 0 AND doc_id < 25000
+    ), scored AS (
+        SELECT q.q, tf.d,
+               CAST(round(
+                   CAST(round(
+                       ln(1 + (c.N - dfx.df + 0.5) / (dfx.df + 0.5))
+                       * 10000) AS BIGINT)::DOUBLE
+                   * (44 * tf.tf * c.S)::DOUBLE
+                   / (20 * tf.tf * c.S + 6 * c.S + 18 * dl.dl * c.N)::DOUBLE
+               ) AS BIGINT) AS fx
+        FROM tf
+        JOIN q ON q.t = tf.t
+        JOIN dl ON dl.d = tf.d
+        JOIN dfx ON dfx.t = tf.t
+        CROSS JOIN corp c
+    ), summed AS (
+        SELECT q, d, sum(fx) AS sfx FROM scored GROUP BY 1, 2
+    ), ranked AS (
+        SELECT q, d, sfx,
+               row_number() OVER (
+                   PARTITION BY q ORDER BY sfx DESC, d
+               ) AS rank
+        FROM summed
+    )
+    SELECT q AS query_id, CAST(d AS BIGINT) AS neighbor_id,
+           round(sfx / 10000.0, 4) AS score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("bm25_top5_fixedq", oracle=_BM25_ORACLE)
+def bm25_top5_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 lexical retrieval (operators.retrieval.bm25_topk,
+    round 12): the standard-issue probabilistic lexical scorer beside
+    the suite's TF-IDF hybrid path — k1=1.2, b=0.75, +1-floor idf.
+    Fixed query workload (every 50th doc under id 25000, its distinct
+    terms as the query) so the decade signal isolates per-corpus
+    cost: fixed queries x growing inverted index, the production
+    search model. Scoring is integer-exact across engines: k1=6/5
+    and b=3/4 make the tf-normalization a pure integer ratio, idf is
+    pre-rounded to 1e-4 fixed-point from integer (df, N), and
+    per-document scores are BIGINT sums — summation order can never
+    drift the ranking (see the operator docstring for the p/q
+    derivation)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    query_terms = doc_terms.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
+    ).select(F.col("doc_id").alias("query_id"), "term")
+    return bm25_topk(doc_terms, query_terms, k=5)

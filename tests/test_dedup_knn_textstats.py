@@ -732,3 +732,76 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     # probing 3 of 16 buckets must surface new top-5 members for at
     # least some query on this corpus
     assert multi != single
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    """BM25 scores equal an independent Python implementation of the
+    same fixed-point contract on a tiny corpus, self-retrieval ranks
+    the query document first, and rarer terms outweigh stopwords."""
+    import math
+
+    from enclaveid_data_pipeline_spark.operators.retrieval import (
+        BM25_SCALE,
+        bm25_topk,
+    )
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the log",
+        2: "quantum chromodynamics lattice gauge theory",
+        3: "the cat and the dog",
+    }
+    rows = [
+        (d, t) for d, text in corpus.items() for t in text.split(" ")
+    ]
+    doc_terms = spark.createDataFrame(rows, "doc_id long, term string")
+    query_terms = spark.createDataFrame(
+        [(0, t) for t in set(corpus[0].split())]
+        + [(2, t) for t in set(corpus[2].split())],
+        "query_id long, term string",
+    )
+
+    # independent reference with the identical fixed-point contract
+    tf = {}
+    for d, t in rows:
+        tf[(d, t)] = tf.get((d, t), 0) + 1
+    dl = {d: len(text.split()) for d, text in corpus.items()}
+    N, S = len(corpus), sum(dl.values())
+    df = {}
+    for (d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+
+    def score_fx(qid):
+        out = {}
+        for t in set(corpus[qid].split()):
+            idf_fx = round(
+                math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5)) * BM25_SCALE
+            )
+            for d in corpus:
+                if (d, t) not in tf:
+                    continue
+                f = tf[(d, t)]
+                p = 44 * f * S
+                q = 20 * f * S + 6 * S + 18 * dl[d] * N
+                out[d] = out.get(d, 0) + round(idf_fx * p / q)
+        return out
+
+    got = bm25_topk(doc_terms, query_terms, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in (0, 2):
+        want = score_fx(qid)
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        got_rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in got_rows] == [
+            d for d, _ in ranked
+        ]
+        for r in got_rows:
+            assert r["score"] == round(want[r["neighbor_id"]] / BM25_SCALE, 4)
+    # self-retrieval first; the rare-term query never surfaces
+    # stopword-only docs
+    assert by_q[0][0]["neighbor_id"] == 0 or sorted(
+        r["rank"] for r in by_q[0]
+    )[0] == 1
+    assert {r["neighbor_id"] for r in by_q[2]} == {2}
