@@ -98,3 +98,200 @@ def hashed_linear_scores(
         .drop("__mean_w")
     )
     return docs.select(id_col).join(scored, id_col, "left")
+
+
+#: fixed-point scale for trained weights / margins / residuals
+TRAIN_SCALE = 1_000_000
+
+
+def hashed_doc_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+    seed: str = "qcls",
+) -> DataFrame:
+    """(id, feature_id, cnt) hashed bag-of-tokens per document — the
+    shared input of training and fixed-point scoring. One explode +
+    one groupBy; the id space is ``n_features`` by construction."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        )
+        .withColumn(
+            "feature_id", feature_hash(F.col("__tok"), n_features, seed)
+        )
+        .groupBy(id_col, "feature_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_linear_classifier(
+    docs: DataFrame,
+    label: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+    seed: str = "qcls",
+    iterations: int = 2,
+    lr: int = 4,
+    materialize: str | None = None,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression training of the
+    hashed linear model :func:`hashed_linear_scores` serves (round
+    12): the missing training half of the quality-filter loop — the
+    docstring above says weights "arrive from offline training", and
+    now the engine owns that too.
+
+    The model matches inference exactly: margin(d) = Σ_f w[f]·c_{d,f}
+    / dl_d (mean-pooled hashed tokens), p = σ(margin). Full-batch
+    gradient descent, ``iterations`` rounds unrolled into the plan
+    with the weight table (≤ n_features rows) materialized per round
+    — the RollingBoundary discipline of the suite's other iterative
+    operators; per round the corpus-sized feature table is touched
+    exactly twice (forward margins, gradient scatter), each time as
+    one broadcast-weight join + one aggregation, no UDFs.
+
+    EVERY cross-row sum is BIGINT in 1e-6 fixed point — weights,
+    margins, residuals, and per-(doc, feature) gradient
+    contributions are integers, so training is independent of
+    partitioning/summation order and a DuckDB oracle replays it
+    bit-for-bit (the unigram/BM25 integer-contract discipline). The
+    two transcendentals (σ's exp; nothing else) operate on integer
+    inputs and are rounded straight back to fixed point.
+
+    ``label`` is a 0/1 integer Column over ``docs`` (e.g.
+    ``(F.col("lang") == "en").cast("int")``). ``lr`` is an integer
+    learning rate (mean-pooled margins are small; 4 is a sane
+    default at w₀=0). Documents with no tokens contribute nothing.
+    Returns (feature_id, w_fx, weight) — ``weight`` = w_fx/1e6 ready
+    for :func:`hashed_linear_scores`.
+    """
+    from ..materialize import materialize as _mat
+
+    feats = _mat(
+        hashed_doc_features(docs, id_col, text_col, n_features, seed)
+        .join(
+            docs.select(
+                F.col(id_col), label.cast("long").alias("__y")
+            ),
+            on=id_col,
+        ),
+        materialize,
+    )
+    dl = feats.groupBy(id_col).agg(
+        F.sum("cnt").alias("__dl"), F.first("__y").alias("__y")
+    )
+    n_docs = dl.agg(F.count(F.lit(1)).alias("__N"))
+    w = feats.select("feature_id").distinct().withColumn(
+        "w_fx", F.lit(0).cast("long")
+    )
+    for _ in range(iterations):
+        margins = (
+            feats.join(F.broadcast(w), on="feature_id")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("w_fx") * F.col("cnt")).alias("__S"))
+            .join(dl, on=id_col)
+            .select(
+                F.col(id_col),
+                "__y",
+                "__dl",
+                F.round(
+                    F.col("__S").cast("double") / F.col("__dl")
+                )
+                .cast("long")
+                .alias("__m"),
+            )
+        )
+        resid = margins.select(
+            F.col(id_col),
+            "__dl",
+            (
+                F.round(
+                    F.lit(float(TRAIN_SCALE))
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(
+                                F.col("__m").cast("double")
+                                / F.lit(float(TRAIN_SCALE))
+                            )
+                        )
+                    )
+                ).cast("long")
+                - F.col("__y") * F.lit(TRAIN_SCALE)
+            ).alias("__r"),
+        )
+        grads = (
+            feats.join(resid, on=id_col)
+            .groupBy("feature_id")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("__r").cast("double")
+                        * F.col("cnt")
+                        / F.col("__dl")
+                    ).cast("long")
+                ).alias("__g")
+            )
+        )
+        w = _mat(
+            w.join(grads, on="feature_id", how="left")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "feature_id",
+                (
+                    F.col("w_fx")
+                    - F.round(
+                        F.lit(float(lr))
+                        * F.coalesce(F.col("__g"), F.lit(0)).cast(
+                            "double"
+                        )
+                        / F.col("__N")
+                    ).cast("long")
+                ).alias("w_fx"),
+            ),
+            materialize,
+        )
+    return w.select(
+        "feature_id",
+        "w_fx",
+        (F.col("w_fx") / F.lit(float(TRAIN_SCALE))).alias("weight"),
+    )
+
+
+def fixed_point_margins(
+    docs: DataFrame,
+    weights_fx: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+    seed: str = "qcls",
+) -> DataFrame:
+    """(id, m_fx) fixed-point margins of every document under a
+    trained (feature_id, w_fx) table — the evaluation twin of the
+    training forward pass, for oracle-exact downstream thresholds
+    (``m_fx > 0`` ⇔ p > ½). Unseen features weigh 0 via the left
+    join."""
+    feats = hashed_doc_features(docs, id_col, text_col, n_features, seed)
+    return (
+        feats.join(
+            F.broadcast(weights_fx.select("feature_id", "w_fx")),
+            on="feature_id",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("w_fx"), F.lit(0)) * F.col("cnt")
+            ).alias("__S"),
+            F.sum("cnt").alias("__dl"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("__S").cast("double") / F.col("__dl"))
+            .cast("long")
+            .alias("m_fx"),
+        )
+    )

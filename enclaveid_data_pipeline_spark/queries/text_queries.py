@@ -2430,3 +2430,149 @@ def bm25_top5_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
     ).select(F.col("doc_id").alias("query_id"), "term")
     return bm25_topk(doc_terms, query_terms, k=5)
+
+
+# ---- distributed classifier training (round 12) ------------------------
+
+
+def _duck_gd_iter(win: str, wout: str, lr: int = 4) -> str:
+    """One full-batch logistic-GD round as DuckDB CTE text (forward
+    margins -> sigmoid residuals -> per-feature gradient -> weight
+    update), mirroring operators.classifier.train_linear_classifier's
+    integer fixed-point contract term for term. MATERIALIZED for the
+    usual unrolled-chain reason (plain CTEs inline exponentially)."""
+    return f"""
+    m_{wout} AS MATERIALIZED (
+        SELECT f.doc_id, dl.y, dl.dl,
+               CAST(round(sum(w.w * f.c)::DOUBLE / dl.dl) AS BIGINT) AS m
+        FROM f JOIN {win} w USING (feature_id) JOIN dl USING (doc_id)
+        GROUP BY f.doc_id, dl.y, dl.dl
+    ), r_{wout} AS (
+        SELECT doc_id, dl,
+               CAST(round(1000000.0 / (1 + exp(-(m::DOUBLE / 1000000))))
+                    AS BIGINT) - y * 1000000 AS r
+        FROM m_{wout}
+    ), g_{wout} AS (
+        SELECT f.feature_id,
+               sum(CAST(round(r.r::DOUBLE * f.c / r.dl) AS BIGINT)) AS g
+        FROM f JOIN r_{wout} r USING (doc_id)
+        GROUP BY 1
+    ), {wout} AS MATERIALIZED (
+        SELECT w.feature_id,
+               w.w - CAST(round({lr}.0 * coalesce(g.g, 0)::DOUBLE / nd.n)
+                          AS BIGINT) AS w
+        FROM {win} w LEFT JOIN g_{wout} g USING (feature_id) CROSS JOIN nd
+    )"""
+
+
+#: distillation recipe, shared by the Spark query and the oracle:
+#: lr and iteration count were picked by simulating the exact
+#: fixed-point algorithm (teacher-imitation accuracy 0.886 vs 0.536
+#: majority at sf0.01; lr=256 oscillates — full-batch GD's stability
+#: bound — and lr<=64 underfits at this depth)
+_CLF_LR = 128
+_CLF_ITERS = 16
+#: the teacher gate: stopword density above 1/16 (row-local token
+#: rule — cheap here, standing in for an expensive rule cascade)
+_CLF_STOPWORDS = ("the", "a")
+
+_GATE_CLF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), f AS MATERIALIZED (
+        SELECT doc_id,
+               ('0x' || substr(md5('qcls|' || tok), 1, 7))::BIGINT % 256
+                   AS feature_id,
+               count(*) AS c
+        FROM toks GROUP BY 1, 2
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, count(*) AS dl,
+               CASE WHEN sum(CASE WHEN tok IN
+                        {tuple(_CLF_STOPWORDS)} THEN 1 ELSE 0 END) * 16
+                         > count(*)
+                    THEN 1 ELSE 0 END AS y
+        FROM toks GROUP BY 1
+    ), nd AS (SELECT count(*) AS n FROM dl),
+    w0 AS (SELECT DISTINCT feature_id, CAST(0 AS BIGINT) AS w FROM f),
+    {','.join(_duck_gd_iter(f'w{i}', f'w{i + 1}', _CLF_LR) for i in range(_CLF_ITERS))},
+    ev AS MATERIALIZED (
+        SELECT f.doc_id,
+               CAST(round(sum(w.w * f.c)::DOUBLE / max(dl.dl)) AS BIGINT)
+                   AS m
+        FROM f JOIN w{_CLF_ITERS} w USING (feature_id)
+        JOIN dl USING (doc_id)
+        GROUP BY f.doc_id
+    )
+    SELECT CAST(dl.y AS BIGINT) AS teacher_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ev.m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_pos,
+           round(sum(ev.m)::DOUBLE / (count(*) * 1000000.0), 6)
+               AS mean_margin
+    FROM ev JOIN dl USING (doc_id)
+    GROUP BY 1
+"""
+
+
+@register("quality_gate_distilled_classifier", oracle=_GATE_CLF_ORACLE)
+def quality_gate_distilled_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distill a rule-based quality gate into the hashed linear
+    filter by training IN the engine (round 12,
+    operators.classifier.train_linear_classifier — the missing
+    training half of the fastText-shaped inference path, and the
+    production pattern behind learned corpus filters: an expensive
+    teacher labels a corpus slice, a cheap linear student scores
+    everything). Teacher: stopword density > 1/16 (a row-local token
+    rule standing in for a costlier cascade). Student: 16 full-batch
+    logistic-GD rounds over mean-pooled hashed token features,
+    entirely BIGINT fixed-point (weights, margins, residuals,
+    per-(doc,feature) gradient contributions), so the DuckDB oracle
+    unrolls all 16 rounds and matches bit for bit — the unigram/BM25
+    integer-contract discipline applied to model TRAINING. Output:
+    per teacher label, document count, student-positive predictions
+    (margin > 0 ⇔ p > ½) and mean margin; the gap between the two
+    rows' positive rates (≈0.77 vs ≈0.01 at sf0.01) is the measured
+    distillation quality. Per round the corpus-sized feature table
+    is read twice (forward, gradient scatter) with the ≤256-row
+    weight table broadcast — at 100 TB that is 32 scans of a
+    persisted feature table, each a broadcast join + partial agg."""
+    from ..operators.classifier import (
+        fixed_point_margins,
+        train_linear_classifier,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    teacher = (
+        F.size(
+            F.filter(toks, lambda t: t.isin(*_CLF_STOPWORDS))
+        )
+        * 16
+        > F.size(toks)
+    ).cast("int")
+    w = train_linear_classifier(
+        docs,
+        label=teacher,
+        n_features=256,
+        iterations=_CLF_ITERS,
+        lr=_CLF_LR,
+    )
+    margins = fixed_point_margins(docs, w, n_features=256)
+    labeled = docs.select(
+        "doc_id", teacher.cast("long").alias("teacher_label")
+    )
+    return (
+        margins.join(labeled, on="doc_id")
+        .groupBy("teacher_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("m_fx") > 0).cast("long")).alias("n_pred_pos"),
+            F.round(
+                F.sum("m_fx") / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("mean_margin"),
+        )
+    )
