@@ -295,3 +295,123 @@ def fixed_point_margins(
             .alias("m_fx"),
         )
     )
+
+
+def save_classifier(
+    weights_fx: DataFrame, path: str, params: dict | None = None
+) -> int:
+    """Persist a trained (feature_id, w_fx) weight table through the
+    snapshot/catalog layer with the same typed-kind handshake as the
+    ANN index lifecycle (operators.knn.save_ann_index) — atomic
+    versioned commit, time travel to the previous model one version
+    back. Returns the committed version."""
+    from ..sources.layout import write_snapshot
+
+    meta = {"index_kind": "linear_classifier", **(params or {})}
+    return write_snapshot(
+        weights_fx.select("feature_id", "w_fx"), path, commit_meta=meta
+    )
+
+
+def load_classifier(spark, path: str, version: int | None = None):
+    """(weights_fx, meta) of a :func:`save_classifier` table; refuses
+    non-classifier snapshots via the kind handshake."""
+    from ..sources.layout import read_commit_meta, read_snapshot
+
+    meta = read_commit_meta(path, version=version) or {}
+    if meta.get("index_kind") != "linear_classifier":
+        raise ValueError(
+            f"snapshot at {path!r} has kind {meta.get('index_kind')!r},"
+            f" expected 'linear_classifier'"
+        )
+    return read_snapshot(spark, path, version=version), meta
+
+
+def teacher_agreement(
+    docs: DataFrame,
+    weights_fx: DataFrame,
+    label: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+    seed: str = "qcls",
+) -> float:
+    """Fraction of documents where the student's decision
+    (fixed-point margin > 0) matches the teacher label — the
+    classifier's staleness metric: when the corpus drifts away from
+    the distribution the student was trained on, agreement with the
+    (always-current) teacher decays, and THAT is the measured
+    retrain trigger. One broadcast-weight join + one aggregate."""
+    m = fixed_point_margins(
+        docs, weights_fx, id_col, text_col, n_features, seed
+    )
+    row = (
+        m.join(
+            docs.select(F.col(id_col), label.cast("long").alias("__y")),
+            on=id_col,
+        )
+        .agg(
+            F.avg(
+                ((F.col("m_fx") > 0) == (F.col("__y") == 1)).cast("double")
+            ).alias("agreement")
+        )
+        .first()
+    )
+    return float(row["agreement"]) if row["agreement"] is not None else 1.0
+
+
+def refresh_classifier(
+    spark,
+    docs: DataFrame,
+    label: "F.Column",
+    path: str,
+    min_agreement: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iterations: int = 16,
+    lr: int = 128,
+) -> dict:
+    """Close the classifier lifecycle loop, mirroring
+    operators.knn.refresh_ann_index: load the persisted student,
+    measure teacher agreement on the CURRENT corpus, and only below
+    ``min_agreement`` retrain (:func:`train_linear_classifier`) and
+    commit the new weights as the next snapshot version with the
+    triggering measurement in commit_meta. At or above the threshold
+    nothing trains and the version is untouched — the
+    no-needless-retrain half matters because the agreement probe is
+    two cheap passes while retraining is 2·iterations corpus scans.
+    ``n_features``/``seed`` come from the persisted model's meta so
+    student and probe can never hash into different feature spaces.
+    Returns {"refreshed", "version", "agreement", "threshold"}."""
+    from ..sources.layout import current_snapshot
+
+    w, meta = load_classifier(spark, path)
+    n_features = int(meta.get("n_features", 1024))
+    seed = str(meta.get("seed", "qcls"))
+    version = current_snapshot(path)
+    agreement = teacher_agreement(
+        docs, w, label, id_col, text_col, n_features, seed
+    )
+    out = {
+        "refreshed": False,
+        "version": version,
+        "agreement": agreement,
+        "threshold": min_agreement,
+    }
+    if agreement >= min_agreement:
+        return out
+    retrained = train_linear_classifier(
+        docs, label, id_col, text_col, n_features, seed,
+        iterations=iterations, lr=lr,
+    )
+    new_version = save_classifier(
+        retrained,
+        path,
+        params={
+            **{k: v for k, v in meta.items() if k != "index_kind"},
+            "refreshed_from": version,
+            "trigger_agreement": agreement,
+        },
+    )
+    out.update({"refreshed": True, "version": new_version})
+    return out

@@ -94,3 +94,86 @@ def test_trained_weights_drive_float_inference_consistently(spark):
     }
     for d, m in margins.items():
         assert (scores[d] > 0.5) == (m > 0), (d, scores[d], m)
+
+
+def _drift_corpus(spark, proxy_pos, proxy_neg, base):
+    """Teacher = stopword density > 1/16. Positives carry 2x'the' in
+    ~20 tokens plus 4 proxy tokens; negatives carry no stopwords and
+    the OTHER proxy. The proxy is the stronger feature, so a student
+    trained on one proxy assignment flips when the proxies swap —
+    the classic spurious-correlation distribution shift."""
+    rows = []
+    for i in range(16):
+        filler = " ".join(f"w{base}{i}x{j}" for j in range(14))
+        rows.append(
+            (base * 1000 + i,
+             f"the {filler} the {proxy_pos} {proxy_pos} {proxy_pos} {proxy_pos}")
+        )
+        rows.append(
+            (base * 1000 + 100 + i,
+             f"{filler} only{base}{i} {proxy_neg} {proxy_neg} {proxy_neg} {proxy_neg}")
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_refresh_classifier_triggers_on_drift_and_recovers(spark, tmp_path):
+    """Lifecycle loop: persisted student agrees with the teacher on
+    its training distribution (no-op refresh), disagrees after the
+    spurious-correlation flip (refresh triggers, version advances,
+    provenance recorded), and the retrained student recovers."""
+    import os
+
+    from enclaveid_data_pipeline_spark.operators.classifier import (
+        load_classifier,
+        refresh_classifier,
+        save_classifier,
+        teacher_agreement,
+        train_linear_classifier,
+    )
+
+    teacher = (
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t == F.lit("the"))
+        )
+        * 16
+        > F.size(F.split(F.col("text"), " "))
+    ).cast("int")
+    old = _drift_corpus(spark, "proxyA", "proxyB", base=1)
+    new = _drift_corpus(spark, "proxyB", "proxyA", base=2)
+    path = os.path.join(tmp_path, "clf")
+
+    w = train_linear_classifier(
+        old, teacher, n_features=N_FEATURES, iterations=16, lr=128
+    )
+    v1 = save_classifier(
+        w, path, params={"n_features": N_FEATURES, "seed": "qcls"}
+    )
+    assert teacher_agreement(
+        old, w, teacher, n_features=N_FEATURES
+    ) >= 0.95
+
+    # in-distribution: no retrain, version untouched
+    res0 = refresh_classifier(
+        spark, old, teacher, path, min_agreement=0.9
+    )
+    assert res0["refreshed"] is False and res0["version"] == v1
+
+    # drifted corpus: agreement collapses, retrain commits v2
+    res1 = refresh_classifier(
+        spark, new, teacher, path, min_agreement=0.9
+    )
+    assert res1["refreshed"] is True and res1["version"] > v1
+    assert res1["agreement"] < 0.9
+
+    w2, meta = load_classifier(spark, path)
+    assert meta["refreshed_from"] == v1
+    assert meta["trigger_agreement"] == res1["agreement"]
+    assert teacher_agreement(
+        new, w2, teacher, n_features=N_FEATURES
+    ) >= 0.9
+
+    # and the loop is again quiescent on the new distribution
+    res2 = refresh_classifier(
+        spark, new, teacher, path, min_agreement=0.9
+    )
+    assert res2["refreshed"] is False and res2["version"] == res1["version"]
