@@ -68,8 +68,6 @@ def bm25_topk(
     idf uses the +1 floor form ``ln(1 + (N - df + ½)/(df + ½))`` —
     always positive, so stopword-heavy queries degrade gracefully
     instead of subtracting."""
-    from ..functions.joins import gated_broadcast
-
     tf = doc_terms.groupBy(
         F.col(doc_id).alias("__d"), F.col(term).alias("__t")
     ).agg(F.count(F.lit(1)).alias("__tf"))
@@ -81,9 +79,42 @@ def bm25_topk(
         F.sum("__dl").alias("__S"),
     )
     df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    return _bm25_score(
+        tf,
+        df_t,
+        corpus,
+        query_terms.select(
+            F.col(query_id), F.col(term).alias("term")
+        ),
+        k,
+        query_id=query_id,
+        dl=dl,
+    )
+
+
+def _bm25_score(
+    tf: DataFrame,
+    df_t: DataFrame,
+    corpus: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    dl: DataFrame | None = None,
+) -> DataFrame:
+    """Shared BM25 scoring core over index-shaped inputs — ``tf``
+    (__d, __t, __tf[, __dl]), ``df_t`` (__t, __df), ``corpus``
+    (1 row: __N, __S) — consumed by :func:`bm25_topk` (index derived
+    in-plan; per-doc lengths arrive as the separate ``dl`` frame and
+    join AFTER the query-term filter, so only query-relevant
+    postings ever pay the doc-side join) and ``bm25_from_index``
+    (lengths already denormalized into the persisted posting rows).
+    One scoring path ⇒ streamed-index and one-shot results can only
+    differ if the INDEX differs — exactly what the equivalence test
+    pins."""
+    from ..functions.joins import gated_broadcast
 
     q = query_terms.select(
-        F.col(query_id).alias("__q"), F.col(term).alias("__t")
+        F.col(query_id).alias("__q"), F.col("term").alias("__t")
     ).distinct()
     n_q = q.count()
 
@@ -95,11 +126,11 @@ def bm25_topk(
     # corpus vocabulary.
     qterms = q.select("__t").distinct()
     df_q = df_t.join(gated_broadcast(qterms, n_q), on="__t")
-    scored = (
-        tf.join(gated_broadcast(q, n_q), on="__t")
-        .join(dl, on="__d")
-        .join(gated_broadcast(df_q, n_q), on="__t")
-        .crossJoin(F.broadcast(corpus))
+    scored = tf.join(gated_broadcast(q, n_q), on="__t")
+    if dl is not None:
+        scored = scored.join(dl, on="__d")
+    scored = scored.join(gated_broadcast(df_q, n_q), on="__t").crossJoin(
+        F.broadcast(corpus)
     )
     idf_fx = F.round(
         F.log(
@@ -139,4 +170,39 @@ def bm25_topk(
             "score"
         ),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """BM25 top-``k`` served from the PERSISTED inverted index a
+    :func:`streaming.sinks.inverted_index_sink` maintains — the
+    search-over-continuously-ingested-corpus shape. Reads
+    ``<path>/postings`` (term, doc_id, tf, dl — lengths denormalized
+    at write time so serving never joins a doc table), ``<path>/stats``
+    (term, df) and ``<path>/corpus`` (n_docs, total_len), then runs
+    the SAME scoring core as :func:`bm25_topk`. At scale the
+    postings table is bucketed by term, so the query-term semi-join
+    prunes to the probed buckets."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(path, "postings")).select(
+        F.col("doc_id").alias("__d"),
+        F.col("term").alias("__t"),
+        F.col("tf").alias("__tf"),
+        F.col("dl").alias("__dl"),
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats")).select(
+        F.col("term").alias("__t"), F.col("df").alias("__df")
+    )
+    corpus = spark.read.parquet(os.path.join(path, "corpus")).select(
+        F.col("n_docs").alias("__N"), F.col("total_len").alias("__S")
+    )
+    return _bm25_score(
+        postings, stats, corpus, query_terms, k, query_id=query_id
     )

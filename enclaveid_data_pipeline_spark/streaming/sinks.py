@@ -573,6 +573,121 @@ def incremental_dedup_sink(
     return w.start()
 
 
+def inverted_index_sink(
+    stream_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Continuously maintained inverted index for BM25 serving
+    (round 12): the streaming counterpart of
+    ``operators.retrieval.bm25_topk``'s in-plan index derivation,
+    for the corpus that ingests continuously. Three persisted
+    artifacts under ``path``:
+
+    - ``postings/`` — (term, doc_id, tf, dl), the batch's rows
+      written as a DYNAMIC overwrite of their own ``_batch_id=N``
+      partition (deterministic content ⇒ replays rewrite themselves;
+      doc lengths are denormalized at write time so serving never
+      joins a doc table). At scale: bucket by term.
+    - ``stats/`` — (term, df): ADDITIVE fold (df is per-batch new
+      documents per term), guarded by its own ``_batch_id``
+      high-water mark.
+    - ``corpus/`` — one row (n_docs, total_len), same additive fold
+      and its own guard.
+
+    Each additive artifact carries an independent replay guard, so
+    any crash interleaving converges: the postings overwrite is
+    idempotent by construction, and a fold that committed before the
+    crash skips itself on redelivery while the other still applies.
+    Document ids are assumed APPEND-ONLY (the same contract as
+    :func:`incremental_dedup_sink` — a re-ingested doc_id would
+    double-count df/corpus mass; route updates through CDC
+    compaction first). ``operators.retrieval.bm25_from_index`` runs
+    the one-shot scoring core over these tables; the test pins
+    streamed == one-shot equality."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        postings_path = os.path.join(path, "postings")
+        stats_path = os.path.join(path, "stats")
+        corpus_path = os.path.join(path, "corpus")
+        toks = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        batch_postings = _materialize(
+            tf.join(dl, on="doc_id").select(
+                "term",
+                "doc_id",
+                "tf",
+                "dl",
+                F.lit(batch_id).cast("long").alias("_batch_id"),
+            ),
+            "local",
+        )
+        (
+            batch_postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(postings_path)
+        )
+
+        def _additive(artifact_path: str, partial: DataFrame, keys: list):
+            existing = _read_existing(spark, artifact_path)
+            if existing is not None:
+                done = existing.agg(F.max("_batch_id")).collect()[0][0]
+                if done is not None and batch_id <= done:
+                    return
+                merged = (
+                    existing.drop("_batch_id")
+                    .unionByName(partial)
+                    .groupBy(*keys)
+                    .agg(
+                        *[
+                            F.sum(c).alias(c)
+                            for c in partial.columns
+                            if c not in keys
+                        ]
+                    )
+                )
+            else:
+                merged = partial
+            out = _materialize(
+                merged.withColumn(
+                    "_batch_id", F.lit(batch_id).cast("long")
+                ),
+                "local",
+            )
+            out.write.mode("overwrite").parquet(artifact_path)
+
+        _additive(
+            stats_path,
+            batch_postings.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("df")
+            ),
+            ["term"],
+        )
+        _additive(
+            corpus_path,
+            dl.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_len"),
+            ),
+            [],
+        )
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def read_dedup_verdicts(spark, path: str) -> DataFrame:
     """(id, is_dup, _batch_id) verdict log of an
     :func:`incremental_dedup_sink`."""
