@@ -566,12 +566,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    from ..materialize import materialize as _materialize
     from ..operators.rank import global_percent_rank, monotone_bucket
 
     # each axis ranks through the bucketed two-pass form — range
     # buckets keep every quintile rank parallel at any |customers|
-    # (clamping makes out-of-range values edge-bucket, never wrong)
-    d = base
+    # (clamping makes out-of-range values edge-bucket, never wrong).
+    # base is materialized first: each two-pass rank embeds its input
+    # three times (rows + bucket counts + total), so three chained
+    # ranks would re-run the orders aggregate ~3^3 times (the
+    # blended_quality_deciles round-12 finding; the |customers|-row
+    # table is the cheap thing to pin, the orders scan is not).
+    d = _materialize(base, "local")
     for out, order, bucket in (
         (
             "r",

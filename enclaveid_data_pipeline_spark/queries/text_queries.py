@@ -886,9 +886,17 @@ def blended_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
         ).alias("uf"),
     )
+    from ..materialize import materialize as _materialize
     from ..operators.rank import global_percent_rank, monotone_bucket
 
-    j = lm.join(ent, "doc_id").join(dr, "doc_id")
+    # materialize the per-doc signal table BEFORE the rank chain:
+    # each two-pass rank embeds its input subtree three times (rows +
+    # bucket counts + grand total), so four chained ranks otherwise
+    # re-run the token-explode/vocab-join lineage ~3^4 times — the
+    # round-12 gate profile showed 21.5s for 5,000 output rows, and
+    # the cut takes it to ~2s. The table is one row per doc (tiny);
+    # this is the same boundary discipline as the unigram family.
+    j = _materialize(lm.join(ent, "doc_id").join(dr, "doc_id"), "local")
     for sig, lo, hi, out in (
         ("lp", -20.0, 0.0, "r_lm"),
         ("h", 0.0, 16.0, "r_ent"),
@@ -900,11 +908,14 @@ def blended_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             monotone_bucket(F.col(sig), lo, hi, 64),
             out=out,
         )
-    blended = j.select(
-        "doc_id",
-        F.round(
-            (F.col("r_lm") + F.col("r_ent") + F.col("r_uf")) / 3, 6
-        ).alias("blend"),
+    blended = _materialize(
+        j.select(
+            "doc_id",
+            F.round(
+                (F.col("r_lm") + F.col("r_ent") + F.col("r_uf")) / 3, 6
+            ).alias("blend"),
+        ),
+        "local",
     )
     blended = global_percent_rank(
         blended,
