@@ -88,6 +88,11 @@ HEADLINE = (
     "token_pmi_top20",
     "dedup_span_removal",
     "bpe_encode_corpus",
+    # round-12: BM25 lexical retrieval (fixed query workload) — the
+    # production search shape, headline-tracked from day one; the
+    # longitudinal judge comparison uses the round-1 shared subset,
+    # so headline growth is additive, not a break
+    "bm25_top5_fixedq",
 )
 
 

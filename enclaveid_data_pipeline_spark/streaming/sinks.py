@@ -688,6 +688,72 @@ def inverted_index_sink(
     return w.start()
 
 
+def quality_gate_sink(
+    stream_df: DataFrame,
+    path: str,
+    model_path: str,
+    threshold_fx: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Learned quality gate over a document stream (round 12): score
+    every micro-batch with the PERSISTED linear classifier
+    (operators.classifier save/load lifecycle) and route documents to
+    ``<path>/accepted`` or ``<path>/rejected`` by fixed-point margin
+    vs ``threshold_fx`` (0 ⇔ p > ½) — the continuously-ingesting form
+    of the corpus filter, composing the classifier lifecycle with the
+    suite's per-batch idempotency discipline.
+
+    Both outputs are DYNAMIC overwrites of their own ``_batch_id=N``
+    partition: margin scoring is deterministic given (batch, model
+    version), so replays rewrite themselves and no high-water guard
+    is needed. Each row carries ``_model_version`` and ``m_fx`` —
+    when :func:`operators.classifier.refresh_classifier` commits a
+    new version mid-stream, the boundary is queryable from the
+    output itself (which batches were gated by which model).
+    Model weights are re-read per batch (a ≤n_features-row parquet —
+    negligible next to the batch scan) so version pickup needs no
+    restart."""
+    from ..operators.classifier import fixed_point_margins, load_classifier
+    from ..sources.layout import current_snapshot
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w, meta = load_classifier(spark, model_path)
+        version = current_snapshot(model_path)
+        n_features = int(meta.get("n_features", 1024))
+        seed = str(meta.get("seed", "qcls"))
+        margins = fixed_point_margins(
+            batch_df, w, id_col, text_col, n_features, seed
+        )
+        scored = _materialize(
+            batch_df.join(margins, on=id_col).select(
+                *batch_df.columns,
+                "m_fx",
+                F.lit(version).cast("long").alias("_model_version"),
+                F.lit(batch_id).cast("long").alias("_batch_id"),
+            ),
+            "local",
+        )
+        for name, pred in (
+            ("accepted", F.col("m_fx") > F.lit(threshold_fx)),
+            ("rejected", F.col("m_fx") <= F.lit(threshold_fx)),
+        ):
+            (
+                scored.filter(pred)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(os.path.join(path, name))
+            )
+
+    w = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def read_dedup_verdicts(spark, path: str) -> DataFrame:
     """(id, is_dup, _batch_id) verdict log of an
     :func:`incremental_dedup_sink`."""

@@ -177,3 +177,113 @@ def test_refresh_classifier_triggers_on_drift_and_recovers(spark, tmp_path):
         spark, new, teacher, path, min_agreement=0.9
     )
     assert res2["refreshed"] is False and res2["version"] == res1["version"]
+
+
+def test_quality_gate_sink_routes_by_persisted_model(spark, tmp_path):
+    """Streamed gate == batch margins under the persisted model;
+    replay is idempotent; each row records the model version that
+    gated it, and a mid-stream model refresh shows up as a version
+    boundary in the output instead of a restart."""
+    import os
+    import shutil
+
+    from enclaveid_data_pipeline_spark.operators.classifier import (
+        fixed_point_margins,
+        save_classifier,
+        train_linear_classifier,
+    )
+    from enclaveid_data_pipeline_spark.streaming.sinks import (
+        quality_gate_sink,
+    )
+
+    docs = _corpus(spark)
+    w = train_linear_classifier(
+        docs, label=F.col("y"), n_features=N_FEATURES,
+        iterations=8, lr=64,
+    )
+    model_path = os.path.join(tmp_path, "model")
+    v1 = save_classifier(
+        w, model_path, params={"n_features": N_FEATURES, "seed": "qcls"}
+    )
+    want = {
+        r["doc_id"]: r["m_fx"]
+        for r in fixed_point_margins(
+            docs, w, n_features=N_FEATURES
+        ).collect()
+    }
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "gated")
+    rows = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+
+    def drop(name, batch):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        staging = tmp_path / "staging" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"docs-{name}.parquet")
+
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    def start(use_ckpt=True):
+        return quality_gate_sink(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir)),
+            out,
+            model_path,
+            checkpoint_dir=ckpt if use_ckpt else None,
+        )
+
+    q = start()
+    try:
+        drop("000", rows[:12])
+        q.processAllAvailable()
+        drop("001", rows[12:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc = spark.read.parquet(os.path.join(out, "accepted")).collect()
+    rej = spark.read.parquet(os.path.join(out, "rejected")).collect()
+    assert {r["doc_id"] for r in acc} == {d for d, m in want.items() if m > 0}
+    assert {r["doc_id"] for r in rej} == {d for d, m in want.items() if m <= 0}
+    for r in acc + rej:
+        assert r["m_fx"] == want[r["doc_id"]]
+        assert r["_model_version"] == v1
+
+    # no-checkpoint replay (model unchanged) rewrites the same
+    # partitions byte-for-byte
+    q2 = start(use_ckpt=False)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    acc2 = spark.read.parquet(os.path.join(out, "accepted")).collect()
+    assert sorted((r["doc_id"], r["m_fx"]) for r in acc2) == sorted(
+        (r["doc_id"], r["m_fx"]) for r in acc
+    )
+
+    # commit an inverted model mid-stream: the checkpointed query
+    # resumes, only the NEW batch is gated (old partitions keep v1),
+    # and its rows flip decision under the new version
+    inverted = w.select(
+        "feature_id", (-F.col("w_fx")).alias("w_fx"), "weight"
+    )
+    v2 = save_classifier(
+        inverted, model_path,
+        params={"n_features": N_FEATURES, "seed": "qcls"},
+    )
+    q3 = start()
+    try:
+        drop("002", [(500, rows[0][1])])  # clone of a positive doc
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    late = [
+        r
+        for r in spark.read.parquet(os.path.join(out, "rejected")).collect()
+        if r["doc_id"] == 500
+    ]
+    assert len(late) == 1 and late[0]["_model_version"] == v2 > v1
