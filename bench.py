@@ -981,6 +981,11 @@ SF10_QUERIES = (
     # and the EMD grid (groups×domain — domain fixed, groups ~flat)
     "skyline_events_per_user",
     "t_closeness_emd_docs",
+    # round-12: subword encode at the second decade (distinct-word
+    # amortization must hold at 100×) and BM25 fixed-workload search
+    # (growing inverted index, fixed queries — linear by design)
+    "unigram_encode_corpus",
+    "bm25_top5_fixedq",
 )
 
 #: Sketch accuracy gates re-evaluated at sf10 (judge r5 #7): the

@@ -4,10 +4,11 @@ The suite's hybrid search (queries/dedup_queries.py) uses TF-IDF
 cosine as its lexical side; BM25 is the standard-issue lexical
 scorer a search/training-data engine is expected to ship (Robertson &
 Spärck Jones probabilistic relevance framework; the Lucene-default
-``k1=1.2, b=0.75`` variant with the +1 idf floor). Reference surface:
-the reference app delegates keyword search to Postgres full-text
-(which ranks with its own tf/length normalization); this is the
-engine-owned equivalent re-expressed as DataFrame algebra.
+``k1=1.2, b=0.75`` variant with the +1 idf floor). Beyond-reference
+capability by design: the reference ranks only by embedding cosine
+(reference ``assets/recent_history.py:253-320``); BM25 completes the
+lexical half of the hybrid-retrieval family this suite already
+carries (RRF fusion, TF-IDF cosine), expressed as DataFrame algebra.
 
 Plan shape at scale — the same inverted-join discipline as the
 TF-IDF path:
