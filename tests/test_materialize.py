@@ -134,7 +134,13 @@ def test_rolling_boundary_releases_previous_round(spark):
     got = df.agg({"id": "sum"}).collect()[0][0]
     assert got == sum(range(10000)) + 6 * 10000
     b.release()
-    assert _cached_mb(spark)[0] - base_parts == 0
+    # <= 0, not == 0: the suite shares one session, and a PRIOR
+    # test's localCheckpoint blocks (still counted in base_parts
+    # despite clearCache) can be reclaimed asynchronously by the
+    # ContextCleaner mid-test, dropping the count below baseline
+    # (observed -1 in a full-suite run). A LEAK from this test's own
+    # boundary would read > 0, which is what the assert must catch.
+    assert _cached_mb(spark)[0] - base_parts <= 0
 
 
 def test_rolling_boundary_lag_keeps_previous_readable(spark):
@@ -166,7 +172,13 @@ def test_explicit_release_frees_final_round(spark):
     assert out.count() == 50
     assert _cached_mb(spark)[0] > base_parts
     b.release()
-    assert _cached_mb(spark)[0] - base_parts == 0
+    # <= 0, not == 0: the suite shares one session, and a PRIOR
+    # test's localCheckpoint blocks (still counted in base_parts
+    # despite clearCache) can be reclaimed asynchronously by the
+    # ContextCleaner mid-test, dropping the count below baseline
+    # (observed -1 in a full-suite run). A LEAK from this test's own
+    # boundary would read > 0, which is what the assert must catch.
+    assert _cached_mb(spark)[0] - base_parts <= 0
 
 
 def test_rolling_boundary_thread_isolation(spark):
