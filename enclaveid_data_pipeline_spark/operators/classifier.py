@@ -181,7 +181,9 @@ def train_linear_classifier(
         materialize,
     )
     dl = feats.groupBy(id_col).agg(
-        F.sum("cnt").alias("__dl"), F.first("__y").alias("__y")
+        # max over the per-doc-constant label (not first(), which is
+        # order-dependent by contract even when values agree)
+        F.sum("cnt").alias("__dl"), F.max("__y").alias("__y")
     )
     n_docs = dl.agg(F.count(F.lit(1)).alias("__N"))
     w = feats.select("feature_id").distinct().withColumn(

@@ -4318,7 +4318,9 @@ def heavy_hitter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pc.crossJoin(F.broadcast(tot))
         .agg(
-            F.first("__N").alias("total_tokens"),
+            # max over the constant broadcast __N (not first(), which
+            # is order-dependent by contract even when values agree)
+            F.max("__N").alias("total_tokens"),
             F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
             F.sum(
                 F.when(F.col("cnt") * 100 > F.col("__N"), F.lit(1))
