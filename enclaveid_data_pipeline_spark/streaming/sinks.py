@@ -492,6 +492,15 @@ def incremental_dedup_sink(
     replays into the verdict overwrite (idempotent) and then the
     missing fold — every interleaving converges.
 
+    Restart caveat (same contract as the rollup/cms guards): the
+    high-water mark assumes batch ids only move forward, which a
+    checkpointed restart guarantees. A NO-checkpoint restart resets
+    batch ids to 0, so genuinely NEW files delivered after such a
+    restart would collide with the old mark and be skipped — replay
+    of already-processed data is safe without a checkpoint (the
+    tested case), continued ingest is not. Run with
+    ``checkpoint_dir`` in production.
+
     At 100 TB: the corpus band table is the same artifact
     ``incremental_dedup`` probes — store it bucketed by band_key
     (sources.layout.save_bucketed) and the per-trigger probe is a
@@ -604,8 +613,12 @@ def inverted_index_sink(
     Document ids are assumed APPEND-ONLY (the same contract as
     :func:`incremental_dedup_sink` — a re-ingested doc_id would
     double-count df/corpus mass; route updates through CDC
-    compaction first). ``operators.retrieval.bm25_from_index`` runs
-    the one-shot scoring core over these tables; the test pins
+    compaction first). The additive guards share the suite's
+    high-water restart caveat: batch ids must only move forward, so
+    continued ingest after a NO-checkpoint restart would be skipped —
+    pass ``checkpoint_dir`` in production (replay of already-folded
+    data is safe either way). ``operators.retrieval.bm25_from_index``
+    runs the one-shot scoring core over these tables; the test pins
     streamed == one-shot equality."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
