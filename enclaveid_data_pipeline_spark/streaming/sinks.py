@@ -740,8 +740,13 @@ def quality_gate_sink(
         margins = fixed_point_margins(
             batch_df, w, id_col, text_col, n_features, seed
         )
+        # LEFT join: a document that produced no features (null/empty
+        # text) has no margin — "no evidence" REJECTS with m_fx null
+        # rather than silently vanishing from both outputs (the
+        # hashed_linear_scores null-score principle, applied to the
+        # gate: an inner join here dropped such docs entirely)
         scored = _materialize(
-            batch_df.join(margins, on=id_col).select(
+            batch_df.join(margins, on=id_col, how="left").select(
                 *batch_df.columns,
                 "m_fx",
                 F.lit(version).cast("long").alias("_model_version"),
@@ -749,9 +754,12 @@ def quality_gate_sink(
             ),
             "local",
         )
+        accept = F.col("m_fx").isNotNull() & (
+            F.col("m_fx") > F.lit(threshold_fx)
+        )
         for name, pred in (
-            ("accepted", F.col("m_fx") > F.lit(threshold_fx)),
-            ("rejected", F.col("m_fx") <= F.lit(threshold_fx)),
+            ("accepted", accept),
+            ("rejected", ~accept),
         ):
             (
                 scored.filter(pred)

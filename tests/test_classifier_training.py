@@ -240,13 +240,18 @@ def test_quality_gate_sink_routes_by_persisted_model(spark, tmp_path):
     try:
         drop("000", rows[:12])
         q.processAllAvailable()
-        drop("001", rows[12:])
+        # batch 1 carries a NULL-text doc: no features, no margin —
+        # must surface in rejected ("no evidence"), never vanish
+        drop("001", rows[12:] + [(999, None)])
         q.processAllAvailable()
     finally:
         q.stop()
 
     acc = spark.read.parquet(os.path.join(out, "accepted")).collect()
     rej = spark.read.parquet(os.path.join(out, "rejected")).collect()
+    null_doc = [r for r in rej if r["doc_id"] == 999]
+    assert len(null_doc) == 1 and null_doc[0]["m_fx"] is None
+    rej = [r for r in rej if r["doc_id"] != 999]
     assert {r["doc_id"] for r in acc} == {d for d, m in want.items() if m > 0}
     assert {r["doc_id"] for r in rej} == {d for d, m in want.items() if m <= 0}
     for r in acc + rej:
