@@ -69,12 +69,20 @@ def bm25_topk(
     idf uses the +1 floor form ``ln(1 + (N - df + ½)/(df + ½))`` —
     always positive, so stopword-heavy queries degrade gracefully
     instead of subtracting."""
-    tf = doc_terms.groupBy(
-        F.col(doc_id).alias("__d"), F.col(term).alias("__t")
-    ).agg(F.count(F.lit(1)).alias("__tf"))
-    dl = doc_terms.groupBy(F.col(doc_id).alias("__d")).agg(
-        F.count(F.lit(1)).alias("__dl")
+    from ..materialize import materialize as _materialize
+
+    # ONE corpus pass: materialize the (doc, term, tf) inverted table
+    # and derive lengths/totals/df from IT — dl, corpus and df_t each
+    # have independent lineage otherwise, so the corpus explode ran
+    # 4-5x per query (the in-plan analog of what inverted_index_sink
+    # persists; at 100 TB this table IS the persisted bucketed index)
+    tf = _materialize(
+        doc_terms.groupBy(
+            F.col(doc_id).alias("__d"), F.col(term).alias("__t")
+        ).agg(F.count(F.lit(1)).alias("__tf")),
+        "local",
     )
+    dl = tf.groupBy("__d").agg(F.sum("__tf").alias("__dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("__N"),
         F.sum("__dl").alias("__S"),
@@ -113,10 +121,20 @@ def _bm25_score(
     differ if the INDEX differs — exactly what the equivalence test
     pins."""
     from ..functions.joins import gated_broadcast
+    from ..materialize import materialize as _materialize
 
-    q = query_terms.select(
-        F.col(query_id).alias("__q"), F.col("term").alias("__t")
-    ).distinct()
+    # the query-term table is workload-sized but its LINEAGE may be a
+    # corpus scan (the fixed-query registry form derives queries from
+    # the document table): materialize before the count, the
+    # broadcast build, and the df cut each re-run that lineage
+    # (3 corpus explodes for a <=50k-row table — measured 10.8s vs
+    # ~3s for the sf0.1 headline entry)
+    q = _materialize(
+        query_terms.select(
+            F.col(query_id).alias("__q"), F.col("term").alias("__t")
+        ).distinct(),
+        "local",
+    )
     n_q = q.count()
 
     # posting lists filtered to query terms BEFORE scoring: the
