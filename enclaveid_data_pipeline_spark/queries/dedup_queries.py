@@ -3081,14 +3081,21 @@ def _hybrid_search_impl(
         F.countDistinct("doc_id").alias("df")
     )
     n_docs = docs.count()
-    wt = tf.join(F.broadcast(dfx), on="token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        )
-        .cast("decimal(18,6)")
-        .alias("w"),
+    # materialize the TF-IDF weight table: it feeds FOUR consumers
+    # (query side, corpus side of the token join, both norm lookups),
+    # each of which otherwise re-runs the corpus explode + two
+    # aggregations (the round-12 rank-chain/BM25 lineage lesson)
+    wt = _materialize(
+        tf.join(F.broadcast(dfx), on="token").select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        ),
+        "local",
     )
     nrm = wt.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
