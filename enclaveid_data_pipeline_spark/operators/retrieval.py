@@ -55,6 +55,7 @@ def bm25_topk(
     doc_id: str = "doc_id",
     query_id: str = "query_id",
     term: str = "term",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25 (k1=1.2, b=0.75).
 
@@ -68,7 +69,9 @@ def bm25_topk(
 
     idf uses the +1 floor form ``ln(1 + (N - df + ½)/(df + ½))`` —
     always positive, so stopword-heavy queries degrade gracefully
-    instead of subtracting."""
+    instead of subtracting. ``exclude_self=True`` drops hits whose
+    document id equals the query id (for query-by-document workloads
+    where ids share a namespace — the hybrid-retrieval convention)."""
     from ..materialize import materialize as _materialize
 
     # ONE corpus pass: materialize the (doc, term, tf) inverted table
@@ -98,6 +101,7 @@ def bm25_topk(
         k,
         query_id=query_id,
         dl=dl,
+        exclude_self=exclude_self,
     )
 
 
@@ -109,6 +113,7 @@ def _bm25_score(
     k: int,
     query_id: str = "query_id",
     dl: DataFrame | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Shared BM25 scoring core over index-shaped inputs — ``tf``
     (__d, __t, __tf[, __dl]), ``df_t`` (__t, __df), ``corpus``
@@ -146,6 +151,8 @@ def _bm25_score(
     qterms = q.select("__t").distinct()
     df_q = df_t.join(gated_broadcast(qterms, n_q), on="__t")
     scored = tf.join(gated_broadcast(q, n_q), on="__t")
+    if exclude_self:
+        scored = scored.filter(F.col("__q") != F.col("__d"))
     if dl is not None:
         scored = scored.join(dl, on="__d")
     scored = scored.join(gated_broadcast(df_q, n_q), on="__t").crossJoin(

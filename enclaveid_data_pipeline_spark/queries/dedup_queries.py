@@ -3221,6 +3221,159 @@ def hybrid_search_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid_search_impl(spark, sf_dir, q_bound=25_000)
 
 
+def _hybrid_bm25_oracle(qpred: str) -> str:
+    """Hybrid retrieval with BM25 as the lexical side (round 12):
+    the BM25 integer fixed-point chain (see
+    queries.text_queries._BM25_ORACLE — identical scoring terms,
+    plus self-pair exclusion, the hybrid convention) fused with the
+    dense cosine side by reciprocal rank."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id AS d, term AS t, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id AS d, count(*) AS dl FROM tok GROUP BY 1
+    ), corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS S
+        FROM dl
+    ), dfx AS (
+        SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), q AS (
+        SELECT DISTINCT doc_id AS q, term AS t FROM tok
+        WHERE {qpred.format(id="doc_id")}
+    ), scored AS (
+        SELECT q.q, tf.d,
+               CAST(round(
+                   CAST(round(
+                       ln(1 + (c.N - dfx.df + 0.5) / (dfx.df + 0.5))
+                       * 10000) AS BIGINT)::DOUBLE
+                   * (44 * tf.tf * c.S)::DOUBLE
+                   / (20 * tf.tf * c.S + 6 * c.S + 18 * dl.dl * c.N)::DOUBLE
+               ) AS BIGINT) AS fx
+        FROM tf
+        JOIN q ON q.t = tf.t AND tf.d != q.q
+        JOIN dl ON dl.d = tf.d
+        JOIN dfx ON dfx.t = tf.t
+        CROSS JOIN corp c
+    ), summed AS (
+        SELECT q, d, sum(fx) AS sfx FROM scored GROUP BY 1, 2
+    ), thits AS (
+        SELECT q AS query_id, d AS neighbor_id, rnk FROM (
+            SELECT q, d, row_number() OVER (
+                       PARTITION BY q ORDER BY sfx DESC, d
+                   ) AS rnk
+            FROM summed
+        ) r WHERE rnk <= 5
+    ), vq AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE {qpred.format(id="vec_id")}
+    ), vpairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_duck_cos('q.qe', 'c.embedding')}, 6) AS sim
+        FROM vq q JOIN embeddings c ON c.vec_id != q.query_id
+    ), vhits AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS rnk
+            FROM vpairs
+        ) r WHERE rnk <= 5
+    ), fused AS (
+        SELECT coalesce(t.query_id, v.query_id) AS query_id,
+               coalesce(t.neighbor_id, v.neighbor_id) AS neighbor_id,
+               round(coalesce(1.0 / ({_RRF_K} + t.rnk), 0)
+                     + coalesce(1.0 / ({_RRF_K} + v.rnk), 0), 6)
+                   AS rrf_score,
+               t.rnk IS NOT NULL AS in_text,
+               v.rnk IS NOT NULL AS in_vector
+        FROM thits t
+        FULL OUTER JOIN vhits v
+          ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_score, in_text, in_vector,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id
+               ) AS fused_rank
+        FROM fused
+    ) z WHERE fused_rank <= 5
+    """
+
+
+@register(
+    "hybrid_bm25_rrf_fixedq",
+    oracle=_hybrid_bm25_oracle("{id} % 50 = 0 AND {id} < 25000"),
+)
+def hybrid_bm25_rrf_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with BM25 as the lexical side (round 12):
+    ``operators.retrieval.bm25_topk`` (integer fixed-point scoring,
+    self-pairs excluded) and the dense brute-force cosine side each
+    return top-5, fused by reciprocal rank with per-source provenance
+    — the production pairing (BM25 + embeddings + RRF) beside the
+    suite's TF-IDF variant ``hybrid_search_fixedq``, sharing its
+    fixed query workload so the two lexical scorers are directly
+    comparable in both results and decade cost. The BM25 ranking is
+    summation-order-free (BIGINT term sums), so the fused output is
+    hash-pinned end to end."""
+    from pyspark.sql import Window
+
+    from ..operators.knn import brute_force_topk
+    from ..operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    qpred = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
+    query_terms = doc_terms.filter(qpred).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    thits = bm25_topk(
+        doc_terms, query_terms, k=5, exclude_self=True
+    ).select("query_id", "neighbor_id", F.col("rank").alias("t_rank"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    vhits = brute_force_topk(
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 25_000)),
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("v_rank"))
+    fused = thits.join(
+        vhits, on=["query_id", "neighbor_id"], how="full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("t_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("v_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("t_rank").isNotNull().alias("in_text"),
+        F.col("v_rank").isNotNull().alias("in_vector"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            "in_text",
+            "in_vector",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
 _LEAKFREE_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
