@@ -2587,3 +2587,174 @@ def quality_gate_distilled_classifier(
             ).alias("mean_margin"),
         )
     )
+#: query-term prune levels measured by bm25_prune_overlap (0 = the
+#: full-query reference run); tag factor folds the level into the
+#: query id so ONE scoring pass covers every variant
+_BM25_PRUNE_MS = (5, 10, 20)
+_BM25_TAG = 100_000
+
+_BM25_PRUNE_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id AS d, term AS t, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id AS d, count(*) AS dl FROM tok GROUP BY 1
+    ), corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS S
+        FROM dl
+    ), dfx AS (
+        SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), q0 AS (
+        SELECT DISTINCT doc_id AS q, term AS t FROM tok
+        WHERE doc_id % 50 = 0 AND doc_id < 25000
+    ), qr AS (
+        SELECT q.q, q.t,
+               row_number() OVER (
+                   PARTITION BY q.q ORDER BY dfx.df, q.t
+               ) AS trk
+        FROM q0 q JOIN dfx ON dfx.t = q.t
+    ), qall AS (
+        SELECT q AS qid, 0 AS m, q, t FROM q0
+        {' '.join(f"UNION ALL SELECT q + {m * _BM25_TAG}, {m}, q, t FROM qr WHERE trk <= {m}" for m in _BM25_PRUNE_MS)}
+    ), scored AS (
+        SELECT q.qid, tf.d,
+               CAST(round(
+                   CAST(round(
+                       ln(1 + (c.N - dfx.df + 0.5) / (dfx.df + 0.5))
+                       * 10000) AS BIGINT)::DOUBLE
+                   * (44 * tf.tf * c.S)::DOUBLE
+                   / (20 * tf.tf * c.S + 6 * c.S + 18 * dl.dl * c.N)::DOUBLE
+               ) AS BIGINT) AS fx
+        FROM tf
+        JOIN qall q ON q.t = tf.t
+        JOIN dl ON dl.d = tf.d
+        JOIN dfx ON dfx.t = tf.t
+        CROSS JOIN corp c
+    ), summed AS (
+        SELECT qid, d, sum(fx) AS sfx FROM scored GROUP BY 1, 2
+    ), hits AS (
+        SELECT qid // {_BM25_TAG} AS m, qid % {_BM25_TAG} AS q, d, rnk
+        FROM (
+            SELECT qid, d, row_number() OVER (
+                       PARTITION BY qid ORDER BY sfx DESC, d
+                   ) AS rnk
+            FROM summed
+        ) r WHERE rnk <= 5
+    ), ov AS (
+        SELECT ms.m, f.q,
+               count(p.d) AS n_common,
+               max(CASE WHEN f.rnk = 1 AND p.rnk = 1 THEN 1 ELSE 0 END)
+                   AS top1_same
+        FROM (SELECT * FROM hits WHERE m = 0) f
+        JOIN (SELECT DISTINCT m FROM hits WHERE m > 0) ms ON TRUE
+        LEFT JOIN hits p
+          ON p.m = ms.m AND p.q = f.q AND p.d = f.d
+        GROUP BY ms.m, f.q
+    )
+    SELECT CAST(m AS BIGINT) AS m_terms,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(n_common / 5.0), 4) AS mean_overlap_at_5,
+           CAST(sum(top1_same) AS BIGINT) AS n_top1_same
+    FROM ov
+    GROUP BY m
+"""
+
+
+@register("bm25_prune_overlap", oracle=_BM25_PRUNE_ORACLE)
+def bm25_prune_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical-search scale dial measured as a CURVE (round 12 —
+    the blocked-editdist pattern applied to BM25): prune each query
+    to its m RAREST terms (lowest document frequency — the idf mass
+    and the SHORTEST posting lists) for m in _BM25_PRUNE_MS and
+    report, per m, top-5 overlap and top-1 agreement against the
+    full-query run. Pruning is the standard WAND-family cost lever —
+    scored posting volume is the sum of kept terms' df, so dropping
+    common terms removes exactly the longest lists — and the curve
+    (sf0.1: ~0.03 → ~0.10 → ~0.49 overlap at m=5/10/20) is the
+    measured recall price on THIS corpus, committed as arithmetic
+    rather than asserted. One scoring pass covers every variant: the
+    prune level rides in the query id (qid + m·100000), so the
+    inverted join, the BIGINT ranking, and the oracle replay stay
+    single-chain. Term selection ties break on the term string, so
+    both engines prune identically."""
+    from pyspark.sql import Window
+
+    from ..materialize import materialize as _materialize
+    from ..operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    q0 = _materialize(
+        doc_terms.filter(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
+        )
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct(),
+        "local",
+    )
+    dfx = (
+        doc_terms.groupBy("doc_id", "term")
+        .count()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("__df"), F.asc("term"))
+    qr = _materialize(
+        q0.join(dfx, on="term").withColumn(
+            "__trk", F.row_number().over(wq)
+        ),
+        "local",
+    )
+    q_all = q0.select(
+        F.col("qid").alias("query_id"), "term"
+    )
+    for m in _BM25_PRUNE_MS:
+        q_all = q_all.unionByName(
+            qr.filter(F.col("__trk") <= m).select(
+                (F.col("qid") + F.lit(m * _BM25_TAG)).alias("query_id"),
+                "term",
+            )
+        )
+    hits = bm25_topk(doc_terms, q_all, k=5).select(
+        (F.col("query_id") / _BM25_TAG).cast("long").alias("m"),
+        (F.col("query_id") % _BM25_TAG).alias("q"),
+        "neighbor_id",
+        "rank",
+    )
+    full = hits.filter(F.col("m") == 0).select(
+        "q", "neighbor_id", F.col("rank").alias("f_rank")
+    )
+    pruned = hits.filter(F.col("m") > 0)
+    ov = (
+        full.crossJoin(
+            F.broadcast(pruned.select("m").distinct())
+        )
+        .join(
+            pruned.withColumnRenamed("rank", "p_rank"),
+            on=["m", "q", "neighbor_id"],
+            how="left",
+        )
+        .groupBy("m", "q")
+        .agg(
+            F.count("p_rank").alias("n_common"),
+            F.max(
+                ((F.col("f_rank") == 1) & (F.col("p_rank") == 1)).cast(
+                    "int"
+                )
+            ).alias("top1_same"),
+        )
+    )
+    return (
+        ov.groupBy(F.col("m").alias("m_terms"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg(F.col("n_common") / F.lit(5.0)), 4).alias(
+                "mean_overlap_at_5"
+            ),
+            F.sum("top1_same").cast("long").alias("n_top1_same"),
+        )
+    )
