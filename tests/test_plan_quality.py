@@ -392,8 +392,15 @@ _BROADCAST_FLOOR = {
     # query: (min Broadcast*Join count, which join is legitimately SMJ)
     "ann_recall_at_5": (2, "truth⋈approx pair-set equi-join is corpus-scale"),
     "core_distance_ivf_agreement": (4, "exact⋈ivf per-vector join"),
-    "hybrid_search_top5": (8, "lexical⋈vector candidate union"),
-    "hybrid_search_fixedq": (8, "lexical⋈vector candidate union"),
+    # floor was 8 when the un-materialized TF-IDF weight table's
+    # lineage was embedded once per consumer (4 duplicated subtrees,
+    # each carrying its own dfx broadcast); round 12 materialized wt
+    # (sf1 heavy min-of-3 53.9s → 13.9s), so the honest floor is the
+    # per-plan count: dfx into wt, the query-side broadcast, the two
+    # norm lookups — while tdot (corpus⋈corpus token join) stays the
+    # legitimate shuffle join
+    "hybrid_search_top5": (4, "lexical⋈vector candidate union"),
+    "hybrid_search_fixedq": (4, "lexical⋈vector candidate union"),
     "ivf_nprobe_recall_tradeoff": (6, "probe⋈cells on cent_id"),
     "kmeans_refined_cells": (7, "assign⋈points per round"),
     "knn_ivf_top5": (2, "probe⋈cells on cent_id is corpus-scale"),
