@@ -138,3 +138,32 @@ def test_replay_is_idempotent_across_restart(spark, tmp_path):
     assert _verdicts(spark, out) == before_v
     assert _bands(spark, out) == before_b
     assert read_dedup_verdicts(spark, out).count() == len(_DOCS)
+
+
+def test_any_id_ordered_partition_matches_one_shot(spark, tmp_path):
+    """The fold==batch equivalence holds for ARBITRARY id-ordered
+    batch partitionings, not just the one split the main test uses:
+    seeded random cut points over the same corpus must all converge
+    to the one-shot verdict map and band table."""
+    import random
+
+    docs_sorted = sorted(_DOCS)
+    oneshot_out = str(tmp_path / "oneshot")
+    _run_stream(spark, tmp_path, oneshot_out, [docs_sorted], "os")
+    want_v = _verdicts(spark, oneshot_out)
+    want_b = _bands(spark, oneshot_out)
+
+    rng = random.Random(12)
+    for trial in range(2):
+        cuts = sorted(
+            rng.sample(range(1, len(docs_sorted)), rng.randint(2, 4))
+        )
+        batches, lo = [], 0
+        for c in cuts + [len(docs_sorted)]:
+            if c > lo:
+                batches.append(docs_sorted[lo:c])
+                lo = c
+        out = str(tmp_path / f"rand{trial}")
+        _run_stream(spark, tmp_path, out, batches, f"r{trial}")
+        assert _verdicts(spark, out) == want_v, cuts
+        assert _bands(spark, out) == want_b, cuts
