@@ -88,7 +88,12 @@ def eps_neighbor_pairs(
     decision engine-portable: both engines compare the same 6-digit
     decimal, so a 1-ulp summation difference cannot flip membership.
     """
-    half = (
+    # materialized: the union below consumes `half` TWICE, and without
+    # a boundary each branch re-runs the O(n²) cosine pass (r12
+    # before-plan: two full crossJoin subtrees). The post-eps-filter
+    # pair set is output-sized, so pinning it is cheap; the quadratic
+    # work runs once.
+    half = _materialize(
         _all_pairs(df, id_col, vec_col)
         .withColumn(
             "dist", F.round(F.lit(1.0) - F.col("similarity"), round_digits)
@@ -207,7 +212,12 @@ def core_distance(
     """
     from pyspark.sql import Window
 
-    pairs = (
+    # materialized for the same reason as eps_neighbor_pairs: the
+    # symmetrization union reads `pairs` twice, which without a
+    # boundary doubles the O(n²) cosine pass. This is the gate-SF
+    # truth baseline (production swaps in IVF/LSH top-k), so the
+    # pinned pair table is bounded by the gate corpus.
+    pairs = _materialize(
         _all_pairs(df, id_col, vec_col)
         .withColumn(
             "dist", F.round(F.lit(1.0) - F.col("similarity"), round_digits)

@@ -373,8 +373,17 @@ def ivf_topk(
         ),
         6,
     )
+    # Broadcast the PROBE side: it is workload-bounded (|queries| ×
+    # nprobe — same contract as brute_force_topk's broadcast query
+    # set), while `cells` is corpus-sized. Without the hint the
+    # planner can't size the post-window probe frame and falls back
+    # to a sort-merge join that shuffles AND sorts the whole corpus
+    # by cent_id (measured r12: the SMJ was 2 extra exchanges + 2
+    # sorts on the knn_ivf_top5 plan); with it the corpus streams
+    # map-side through one BroadcastHashJoin.
     pairs = (
-        probes.join(cells, on="cent_id")
+        F.broadcast(probes)
+        .join(cells, on="cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
         .select("query_id", "neighbor_id", "sim", "cent_id")
@@ -618,7 +627,11 @@ def lsh_bucketed_topk(
         6,
     )
     pairs = (
-        q.join(c, on="bucket")
+        # query side is workload-bounded (production query RATE, not
+        # corpus-sized) — broadcast it so the corpus bucket table
+        # streams map-side instead of shuffling+sorting by bucket
+        F.broadcast(q)
+        .join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
         .select("bucket", "query_id", "neighbor_id", "sim")
@@ -1191,7 +1204,11 @@ def lsh_multiprobe_topk(
         6,
     )
     pairs = (
-        q.join(c, on="bucket")
+        # query side is workload-bounded (production query RATE, not
+        # corpus-sized) — broadcast it so the corpus bucket table
+        # streams map-side instead of shuffling+sorting by bucket
+        F.broadcast(q)
+        .join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
         .select("query_id", "neighbor_id", "sim")

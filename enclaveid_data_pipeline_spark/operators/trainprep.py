@@ -27,6 +27,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize as _materialize
+
 
 def hash_bucket(key: Column, buckets: int = 256) -> Column:
     """Deterministic uniform bucket in [0, buckets) from the md5 of
@@ -267,8 +269,14 @@ def dsir_log_weights(
         is_target.cast("int").alias("__t"),
         F.explode(tokens).alias("__tok"),
     ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
-    buckets = tok.groupBy("__b").agg(
-        F.sum("__t").alias("__nt"), F.count(F.lit(1)).alias("__nr")
+    # materialized: the ≤n_buckets-row count table feeds BOTH the
+    # totals aggregate and the ratio join — without the boundary each
+    # consumer re-ran the corpus explode (r12 before-plan: 3 document
+    # scans where the docstring promises 2 token passes)
+    buckets = _materialize(
+        tok.groupBy("__b").agg(
+            F.sum("__t").alias("__nt"), F.count(F.lit(1)).alias("__nr")
+        )
     )
     # rename before the totals agg: joining an aggregate back onto
     # its own parent leaves `__nt` resolvable to both lineages
@@ -450,8 +458,15 @@ def remove_duplicated_spans(
     """
     from .dedup import tokenize, word_shingles
 
-    toks = docs.select(
-        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t")
+    # the tokenized corpus feeds FOUR consumers (gram generation for
+    # the shared-gram agg, gram generation for the coverage semi-join,
+    # the position explode, and the final length projection): without
+    # a boundary each one re-scans and re-tokenizes the corpus (r12
+    # before-plan: 4 document scans). One materialized pass instead.
+    toks = _materialize(
+        docs.select(
+            F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t")
+        )
     )
     # pos is 0-based; gram at pos covers token positions pos..pos+n-1
     grams = toks.select(

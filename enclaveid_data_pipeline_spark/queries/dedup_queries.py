@@ -1542,9 +1542,18 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t"), 3))).alias("s"),
+    # the exploded shingle frame feeds BOTH the DF aggregation and the
+    # join side: materialize it once (same boundary discipline as
+    # jaccard_similarity_pairs) instead of re-running the scan +
+    # tokenize + shingle explode per consumer (r12 before-plan: two
+    # full document scans)
+    sh = _materialize(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("t"), 3))
+            ).alias("s"),
+        )
     )
     df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     return (

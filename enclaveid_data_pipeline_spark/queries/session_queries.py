@@ -292,16 +292,26 @@ def sessionize_learned_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     before comparison so engine fp differences can't flip a row.
     """
     gaps = _events_with_gaps(spark, sf_dir)
-    thr = (
-        gaps.filter(F.col("gap_us").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.round(
-                F.percentile(F.col("gap_us").cast("double"), F.lit(0.90)), 0
-            ).alias("thr_us")
-        )
-    )
-    joined = gaps.join(F.broadcast(thr), on="user_id", how="inner")
+    # r12 optimization (guide §2.4): the threshold is a per-user
+    # aggregate of the SAME frame the sessionizer consumes, so compute
+    # it as a window aggregate over the user partition instead of a
+    # groupBy + broadcast-join — that removes the second scan + LAG
+    # window + aggregation exchange the join side re-ran (before-plan:
+    # 2 events scans, 3 exchanges; after: 1 scan, 1 exchange).
+    # Equivalence: F.percentile ignores NULL inputs exactly like the
+    # filtered groupBy did, and the isNotNull filter below reproduces
+    # the inner join's drop of users with no non-null gap (single-event
+    # users — their thr_us window value is NULL).
+    thr_w = Window.partitionBy("user_id")
+    joined = gaps.withColumn(
+        "thr_us",
+        F.round(
+            F.percentile(
+                F.col("gap_us").cast("double"), F.lit(0.90)
+            ).over(thr_w),
+            0,
+        ),
+    ).filter(F.col("thr_us").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     is_new = (
         F.col("gap_us").isNull()

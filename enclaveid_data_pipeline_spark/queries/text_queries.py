@@ -335,10 +335,22 @@ def token_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pmi_top20(arrs: DataFrame) -> DataFrame:
     """Shared PMI tail over a (doc_id, arr) frame of sorted distinct
     capped token arrays — used by the raw-corpus query and its Zipf
-    twin."""
+    twin.
+
+    ``arrs`` feeds THREE consumers (doc count, marginal counts, pair
+    generation) and the marginal table feeds two joins; without a
+    boundary Spark re-runs the scan + sort/distinct tokenization once
+    per consumer and aggregates the vocabulary twice (the r12 before-
+    plan showed 4 document scans and two identical c1 subtrees under
+    separate BroadcastExchanges). Materializing both (guide §2.4 —
+    remove repeated work feeding separate exchanges) makes it one
+    tokenize pass + one vocab aggregation; rows are unchanged."""
+    from ..materialize import materialize as _materialize
+
+    arrs = _materialize(arrs)
     n_docs = arrs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = arrs.select("doc_id", F.explode("arr").alias("t"))
-    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    c1 = _materialize(tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")))
     # ordered pairs, row-local: arr is sorted+distinct, so pairing each
     # element with its strict suffix yields every t1 < t2 exactly once
     pairs = arrs.select(

@@ -783,20 +783,29 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     one filter pass — no total order needed); the exact form here is
     the oracle-checkable semantics."""
     docs = read_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from ..materialize import materialize as _materialize
 
-    scored = docs.select(
-        "doc_id",
-        F.size(tokenize(F.col("text"))).alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(tokenize(F.col("text")))).cast(
-                "double"
+    # r12: two-step projection — tokenize ONCE per row, then derive
+    # sizes from the resolved array column (inlining tokenize() in
+    # each expression made Catalyst re-run split() three times per
+    # row — the benchmark_contamination_4gram lesson), and pin the
+    # |docs|-row scored table so global_cumsum's multi-pass rank
+    # (rows + bucket counts + total) reads it instead of re-scanning
+    # + re-tokenizing the corpus per pass (before-plan: 4 document
+    # scans, each with the triple tokenize).
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    scored = _materialize(
+        toks.select(
+            "doc_id",
+            F.size("__t").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct("__t")).cast("double")
+                / F.size("__t"),
+                6,
             )
-            / F.size(tokenize(F.col("text"))),
-            6,
+            .cast("decimal(8,6)")
+            .alias("quality"),
         )
-        .cast("decimal(8,6)")
-        .alias("quality"),
     )
     from ..operators.rank import global_cumsum, monotone_bucket
 
