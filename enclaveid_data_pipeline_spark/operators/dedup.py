@@ -631,6 +631,7 @@ def simhash_hamming_pairs(
     sig_col: str = "simhash",
     bits: int = 16,
     radius: int = 2,
+    materialize: str | None = "none",
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``radius`` of their
     SimHash signatures — WITHOUT an all-pairs comparison.
@@ -649,7 +650,15 @@ def simhash_hamming_pairs(
     chunks = radius + 1
     width = (bits + chunks - 1) // chunks
     mask = (1 << width) - 1
-    keyed = signed.select(
+    # the signature table feeds both sides of the chunk self-join, so
+    # the signature-producing subtree runs once per side unless the
+    # caller asks for a boundary. ``materialize`` defaults to "none"
+    # because for TEXT SimHash the duplicated pass is one vectorized
+    # scan + grouped bit-majority and recompute beats pinning (r12
+    # interleaved A/B at sf0.1: 10.8s recompute vs 13.1s pinned);
+    # callers whose signature pass is genuinely expensive per row
+    # (the BMP-decode dHash path) pass a real mode and run it once.
+    keyed = _materialize(signed, materialize).select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
         F.explode(

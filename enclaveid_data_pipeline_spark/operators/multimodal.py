@@ -434,8 +434,18 @@ def phash_near_dup_pairs(
     (left_id, right_id, hamming)."""
     from .dedup import simhash_hamming_pairs
 
+    # materialize=None (engine default boundary): unlike text SimHash,
+    # the signature lineage here is a REAL codec pass (BMP/WAV decode
+    # + pooling per row) — running it once and pinning the narrow
+    # (id, hash) table beats re-decoding every image per join side
+    # (r12: the banding self-join consumes the table twice).
     return simhash_hamming_pairs(
-        hashed, id_col=id_col, sig_col=hash_col, bits=DHASH_BITS, radius=radius
+        hashed,
+        id_col=id_col,
+        sig_col=hash_col,
+        bits=DHASH_BITS,
+        radius=radius,
+        materialize=None,
     )
 
 

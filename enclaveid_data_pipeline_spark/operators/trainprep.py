@@ -458,15 +458,15 @@ def remove_duplicated_spans(
     """
     from .dedup import tokenize, word_shingles
 
-    # the tokenized corpus feeds FOUR consumers (gram generation for
-    # the shared-gram agg, gram generation for the coverage semi-join,
-    # the position explode, and the final length projection): without
-    # a boundary each one re-scans and re-tokenizes the corpus (r12
-    # before-plan: 4 document scans). One materialized pass instead.
-    toks = _materialize(
-        docs.select(
-            F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t")
-        )
+    # NOT materialized, deliberately (r12 interleaved A/B): the
+    # tokenized corpus feeds four consumers, but recomputing it is one
+    # vectorized parquet scan + split() per consumer, while pinning it
+    # stores fat token arrays in block storage and re-deserializes
+    # them per consumer — measured 0.46s vs 0.52s at sf0.1 and 0.35s
+    # vs 1.06s at sf1 in favor of recompute (guide §5: cache only when
+    # recompute costs more than the memory pressure).
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t")
     )
     # pos is 0-based; gram at pos covers token positions pos..pos+n-1
     grams = toks.select(
