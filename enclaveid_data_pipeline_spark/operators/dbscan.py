@@ -198,6 +198,7 @@ def core_distance(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    half_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """HDBSCAN's core distance: cosine distance to the k-th nearest
     OTHER point, per point — the density estimate under every
@@ -209,6 +210,13 @@ def core_distance(
     itself is smaller than k+1) are omitted. All-pairs here is the
     truth baseline; the IVF/LSH top-k generators are the documented
     corpus-scale swap (they already emit ranked neighbor lists).
+
+    ``half_pairs`` (optional) supplies the UNFILTERED ordered pair
+    table ``(left_id, right_id, dist)`` — dist already rounded to
+    ``round_digits`` — in place of the in-function all-pairs pass,
+    so callers that need the same quadratic truth table for several
+    queries compute it once (queries.dbscan_queries shares one per
+    gate run).
     """
     from pyspark.sql import Window
 
@@ -217,12 +225,17 @@ def core_distance(
     # boundary doubles the O(n²) cosine pass. This is the gate-SF
     # truth baseline (production swaps in IVF/LSH top-k), so the
     # pinned pair table is bounded by the gate corpus.
-    pairs = _materialize(
-        _all_pairs(df, id_col, vec_col)
-        .withColumn(
-            "dist", F.round(F.lit(1.0) - F.col("similarity"), round_digits)
+    pairs = (
+        half_pairs
+        if half_pairs is not None
+        else _materialize(
+            _all_pairs(df, id_col, vec_col)
+            .withColumn(
+                "dist",
+                F.round(F.lit(1.0) - F.col("similarity"), round_digits),
+            )
+            .select("left_id", "right_id", "dist")
         )
-        .select("left_id", "right_id", "dist")
     )
     sym = pairs.select(
         F.col("left_id").alias("id"), F.col("right_id").alias("nbr"), "dist"

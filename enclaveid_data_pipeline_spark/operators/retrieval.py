@@ -49,13 +49,14 @@ BM25_B_NUM, BM25_B_DEN = 3, 4
 
 
 def bm25_topk(
-    doc_terms: DataFrame,
+    doc_terms: DataFrame | None,
     query_terms: DataFrame,
     k: int = 5,
     doc_id: str = "doc_id",
     query_id: str = "query_id",
     term: str = "term",
     exclude_self: bool = False,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25 (k1=1.2, b=0.75).
 
@@ -71,7 +72,13 @@ def bm25_topk(
     always positive, so stopword-heavy queries degrade gracefully
     instead of subtracting. ``exclude_self=True`` drops hits whose
     document id equals the query id (for query-by-document workloads
-    where ids share a namespace — the hybrid-retrieval convention)."""
+    where ids share a namespace — the hybrid-retrieval convention).
+
+    ``tf`` (optional) supplies an already-materialized
+    ``(doc_id, term, tf)`` inverted table in place of ``doc_terms``
+    (which is then ignored and may be None) — for callers that share
+    one index build across several retrieval queries
+    (queries.text_queries._doc_tf_shared)."""
     from ..materialize import materialize as _materialize
 
     # ONE corpus pass: materialize the (doc, term, tf) inverted table
@@ -79,12 +86,19 @@ def bm25_topk(
     # have independent lineage otherwise, so the corpus explode ran
     # 4-5x per query (the in-plan analog of what inverted_index_sink
     # persists; at 100 TB this table IS the persisted bucketed index)
-    tf = _materialize(
-        doc_terms.groupBy(
-            F.col(doc_id).alias("__d"), F.col(term).alias("__t")
-        ).agg(F.count(F.lit(1)).alias("__tf")),
-        "local",
-    )
+    if tf is not None:
+        tf = tf.select(
+            F.col(doc_id).alias("__d"),
+            F.col(term).alias("__t"),
+            F.col("tf").alias("__tf"),
+        )
+    else:
+        tf = _materialize(
+            doc_terms.groupBy(
+                F.col(doc_id).alias("__d"), F.col(term).alias("__t")
+            ).agg(F.count(F.lit(1)).alias("__tf")),
+            "local",
+        )
     dl = tf.groupBy("__d").agg(F.sum("__tf").alias("__dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("__N"),

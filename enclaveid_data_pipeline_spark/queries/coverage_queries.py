@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 from ..operators.merge import connected_components
-from ..operators.similarity import pairwise_similarity
 from ..sources.readers import read_table
 from .registry import REGISTRY, register
 
@@ -67,14 +66,15 @@ def session_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components with span aggregation (min start / max end
     — the GREATEST/LEAST of the reference's UPDATE, 418-445).
     Unpaired rows remain singleton spans."""
+    from .similarity_queries import _label_pairs_shared
+
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
+    # shared per-label pair table (round 12): its pinned `sim` column
+    # IS round(similarity, 6), so the threshold predicate is unchanged
+    pairs = _label_pairs_shared(spark, sf_dir)
     edges = pairs.filter(
         (F.col("right_id") - F.col("left_id") <= 3)
-        & (F.round("similarity", 6) >= 0.2)
+        & (F.col("sim") >= 0.2)
     ).select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     cc = connected_components(edges)
     labeled = emb.join(cc, emb.vec_id == cc.node, "left").select(

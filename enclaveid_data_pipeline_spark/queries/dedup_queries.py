@@ -3079,15 +3079,17 @@ def _hybrid_search_impl(
         p = c % 50 == 0
         return p & (c < q_bound) if q_bound is not None else p
 
+    from .text_queries import _doc_tf_shared
+
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dfx = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    # the shared inverted table replaces the two independent corpus
+    # explodes (tf and dfx lineages); countDistinct(doc_id) per token
+    # equals the per-token row count of the distinct (doc, token)
+    # table, so dfx is value-identical
+    stf = _doc_tf_shared(spark, sf_dir)
+    tf = stf.select("doc_id", F.col("term").alias("token"), "tf")
+    dfx = stf.groupBy(F.col("term").alias("token")).agg(
+        F.count(F.lit(1)).alias("df")
     )
     n_docs = docs.count()
     # materialize the TF-IDF weight table: it feeds FOUR consumers
@@ -3333,17 +3335,18 @@ def hybrid_bm25_rrf_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.knn import brute_force_topk
     from ..operators.retrieval import bm25_topk
+    from .text_queries import _doc_tf_shared
 
-    docs = read_table(spark, sf_dir, "documents")
-    doc_terms = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
+    # shared inverted table: one corpus explode per gate run for the
+    # whole retrieval family; query terms derive from it (distinct
+    # per (doc, term), equivalent under _bm25_score's distinct)
+    tf = _doc_tf_shared(spark, sf_dir)
     qpred = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
-    query_terms = doc_terms.filter(qpred).select(
+    query_terms = tf.filter(qpred).select(
         F.col("doc_id").alias("query_id"), "term"
     )
     thits = bm25_topk(
-        doc_terms, query_terms, k=5, exclude_self=True
+        None, query_terms, k=5, exclude_self=True, tf=tf
     ).select("query_id", "neighbor_id", F.col("rank").alias("t_rank"))
     emb = read_table(spark, sf_dir, "embeddings")
     vhits = brute_force_topk(

@@ -210,6 +210,17 @@ def label_propagation_3r(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Seven graph queries (bfs, lpa, pagerank, random walks, ppr, kcore,
+# plus any iteration-internal re-reads) traverse the SAME packed edge
+# table; before round 12 each query re-ran the orders⋈lineitem join +
+# distinct — and the symmetrization union consumed that join subtree
+# TWICE per query. The half-pair table is now materialized once per
+# (applicationId, sf_dir) — the _unigram_shared/_clf_shared
+# discipline; every run still derives it from the parquet inputs.
+_EDGES_LOCK = __import__("threading").Lock()
+_EDGES_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cust_supp_edges_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized customer↔supplier edges on PACKED LONG node ids
     (customer k → 2k, supplier k → 2k+1). Every graph query iterates
@@ -218,19 +229,31 @@ def _cust_supp_edges_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash/compare is a long op. The packing is bijective, so any
     structure-only result (ranks, hops) is bit-identical; label
     reconstruction is pure arithmetic (:func:`_unpack_label`), never
-    a join."""
-    orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(
-            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
-        )
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
+    a join. The directed half is materialized once per
+    (applicationId, sf_dir) and shared across the family; the
+    symmetrization union stays lazy (two scans of pinned narrow
+    rows, not two joins)."""
+    from ..materialize import materialize as _materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _EDGES_LOCK:
+        pairs = _EDGES_SHARED.get(key)
+        if pairs is None:
+            orders = read_table(spark, sf_dir, "orders")
+            lineitem = read_table(spark, sf_dir, "lineitem")
+            pairs = _materialize(
+                orders.join(
+                    lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+                )
+                .select(
+                    (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+                    (F.col("l_suppkey").cast("long") * 2 + 1).alias(
+                        "snode"
+                    ),
+                )
+                .distinct()
+            )
+            _EDGES_SHARED[key] = pairs
     return pairs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst")
     ).unionByName(

@@ -27,6 +27,78 @@ from .registry import register
 
 _NEAR_DUP_THRESHOLD = 0.3
 
+# Seven queries (top-1 graph, near-dup pairs/components/size
+# distribution, triangle census, local clustering, session merge)
+# are views over ONE object: the per-label ordered pair table with
+# 6-digit-rounded cosine. Before round 12 each recomputed the
+# grouped all-pairs pass; now it is materialized once per
+# (applicationId, sf_dir) — the _unigram_shared/_clf_shared
+# discipline — and the two component consumers additionally share
+# the converged CC labeling. Every run still derives everything
+# from the parquet input (no cross-run caching); the table is
+# per-label-group-bounded, the documented truth-baseline shape whose
+# corpus-scale swap is the banded/LSH candidate path.
+# RLock: _neardup_components_shared builds on _label_pairs_shared
+# under the same guard
+_SIM_LOCK = __import__("threading").RLock()
+_SIM_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _label_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-materialized shared pair subtree: per-label ordered
+    pairs with ``sim = round(similarity, 6)``. Split out so plan
+    tests can assert the build's shape (saturating round-robin
+    repartition + broadcast pair join) — the materialized table the
+    registry queries consume hides it behind the boundary."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pairwise_similarity(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        group_cols=("label",),
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).withColumn("sim", F.round("similarity", 6))
+
+
+def _label_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-label ordered pair table ``(label, left_id,
+    right_id, similarity, sim)`` (sim = round(similarity, 6)),
+    computed once per (applicationId, sf_dir)."""
+    from ..materialize import materialize as _materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pairs")
+    with _SIM_LOCK:
+        hit = _SIM_SHARED.get(key)
+        if hit is not None:
+            return hit
+        pairs = _materialize(_label_pairs_plan(spark, sf_dir))
+        _SIM_SHARED[key] = pairs
+        return pairs
+
+
+def _neardup_components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized connected-components labeling ``(node,
+    component)`` of the near-duplicate graph (sim ≥ threshold edges
+    over the shared pair table), computed once per
+    (applicationId, sf_dir) — the CC iteration itself is the
+    expensive half of the two component consumers."""
+    from ..materialize import materialize as _materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir, "components")
+    with _SIM_LOCK:
+        hit = _SIM_SHARED.get(key)
+        if hit is not None:
+            return hit
+        pairs = _label_pairs_shared(spark, sf_dir)
+        edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+        comp = _materialize(
+            connected_components(edges).select("node", "component")
+        )
+        _SIM_SHARED[key] = comp
+        return comp
+
 
 def _duck_cos(ea: str, eb: str) -> str:
     """DuckDB double-precision cosine between two list columns.
@@ -154,11 +226,7 @@ def top1_neighbor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank uses the ROUNDED similarity so float noise can't reorder
     near-ties; ties break on child id.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).withColumn("sim", F.round("similarity", 6))
+    pairs = _label_pairs_shared(spark, sf_dir)
     top1 = top_k_neighbors(
         pairs,
         k=1,
@@ -188,11 +256,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (the reference's merge-candidate query,
     assets/recent_history.py:384-411, with the similarity side of the
     conjunctive predicate P8)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).withColumn("sim", F.round("similarity", 6))
+    pairs = _label_pairs_shared(spark, sf_dir)
     return pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         "label", "left_id", "right_id", "sim"
     )
@@ -230,15 +294,7 @@ def near_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure — feasible at oracle scale, while the engine
     side converges in O(log n) distributed rounds.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).withColumn("sim", F.round("similarity", 6))
-    edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
-        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
-    )
-    return connected_components(edges).select("node", "component")
+    return _neardup_components_shared(spark, sf_dir)
 
 
 @register(
@@ -279,16 +335,8 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     pass. Components from the same deterministic min-label
     propagation; everything after is two tiny aggregates over the
     component table."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).withColumn("sim", F.round("similarity", 6))
-    edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
-        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
-    )
     sizes = (
-        connected_components(edges)
+        _neardup_components_shared(spark, sf_dir)
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("csize"))
     )
@@ -690,11 +738,7 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from both sides."""
     from ..operators.graph import count_triangles
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).withColumn("sim", F.round("similarity", 6))
+    pairs = _label_pairs_shared(spark, sf_dir)
     edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         "label", F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
@@ -750,11 +794,7 @@ def neardup_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays with a plain id-ordered triple self-join."""
     from ..operators.graph import local_clustering
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = pairwise_similarity(
-        emb, id_col="vec_id", vec_col="embedding", group_cols=("label",),
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).withColumn("sim", F.round("similarity", 6))
+    pairs = _label_pairs_shared(spark, sf_dir)
     edges = pairs.filter(F.col("sim") >= _NEAR_DUP_THRESHOLD).select(
         "label", F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )

@@ -2384,6 +2384,43 @@ def unigram_prune_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- BM25 lexical retrieval (round 12) ---------------------------------
 
+# The retrieval family — BM25 top-k, BM25 pruning curve, BM25+RRF
+# hybrid, and the TF-IDF hybrid pair (queries.dedup_queries) — all
+# score over the same whitespace-token (doc_id, term, tf) inverted
+# table. Before round 12 each of the five queries re-ran the corpus
+# explode + aggregation to build it; now it is materialized once per
+# (applicationId, sf_dir) and shared (the _unigram_shared /
+# _clf_shared discipline). Every run still derives it from the
+# parquet input — no cross-run caching.
+_TF_LOCK = __import__("threading").Lock()
+_TF_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_tf_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized ``(doc_id, term, tf)`` inverted term-frequency
+    table over the documents corpus (whitespace split, term counted
+    per doc), computed once per (applicationId, sf_dir)."""
+    from ..materialize import materialize as _materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _TF_LOCK:
+        hit = _TF_SHARED.get(key)
+        if hit is not None:
+            return hit
+        docs = read_table(spark, sf_dir, "documents")
+        tf = _materialize(
+            docs.select(
+                "doc_id",
+                F.explode(F.split(F.col("text"), " ")).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")),
+            "local",
+        )
+        _TF_SHARED[key] = tf
+        return tf
+
+
 _BM25_ORACLE = """
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -2445,14 +2482,14 @@ def bm25_top5_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation)."""
     from ..operators.retrieval import bm25_topk
 
-    docs = read_table(spark, sf_dir, "documents")
-    doc_terms = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
-    query_terms = doc_terms.filter(
+    # the shared inverted table replaces the per-query corpus explode;
+    # the query side derives from IT (already distinct per (doc,term),
+    # which _bm25_score's distinct makes equivalent to occurrences)
+    tf = _doc_tf_shared(spark, sf_dir)
+    query_terms = tf.filter(
         (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
     ).select(F.col("doc_id").alias("query_id"), "term")
-    return bm25_topk(doc_terms, query_terms, k=5)
+    return bm25_topk(None, query_terms, k=5, tf=tf)
 
 
 # ---- distributed classifier training (round 12) ------------------------
@@ -2736,24 +2773,19 @@ def bm25_prune_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize as _materialize
     from ..operators.retrieval import bm25_topk
 
-    docs = read_table(spark, sf_dir, "documents")
-    doc_terms = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
+    # the shared inverted table replaces this query's THREE
+    # independent corpus-explode lineages (q0, dfx, and bm25_topk's
+    # internal index); q0 is distinct by construction and dfx is the
+    # per-term row count of the distinct (doc, term) table — both
+    # identical to the occurrence-derived forms
+    tf = _doc_tf_shared(spark, sf_dir)
     q0 = _materialize(
-        doc_terms.filter(
+        tf.filter(
             (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25_000)
-        )
-        .select(F.col("doc_id").alias("qid"), "term")
-        .distinct(),
+        ).select(F.col("doc_id").alias("qid"), "term"),
         "local",
     )
-    dfx = (
-        doc_terms.groupBy("doc_id", "term")
-        .count()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     wq = Window.partitionBy("qid").orderBy(F.asc("__df"), F.asc("term"))
     qr = _materialize(
         q0.join(dfx, on="term").withColumn(
@@ -2771,7 +2803,7 @@ def bm25_prune_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "term",
             )
         )
-    hits = bm25_topk(doc_terms, q_all, k=5).select(
+    hits = bm25_topk(None, q_all, k=5, tf=tf).select(
         (F.col("query_id") / _BM25_TAG).cast("long").alias("m"),
         (F.col("query_id") % _BM25_TAG).alias("q"),
         "neighbor_id",

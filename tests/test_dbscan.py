@@ -167,3 +167,22 @@ def test_plan_has_no_cartesian_or_python(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_core_distance_precomputed_half_pairs_equivalent(spark):
+    # the shared-truth-table path (queries.dbscan_queries
+    # _half_pairs_shared): core_distance given the unfiltered
+    # ordered pair table must reproduce the in-function all-pairs
+    from enclaveid_data_pipeline_spark.operators.dbscan import _all_pairs
+
+    df = _fixture(spark)
+    half = (
+        _all_pairs(df, "id", "embedding")
+        .withColumn("dist", F.round(F.lit(1.0) - F.col("similarity"), 6))
+        .select("left_id", "right_id", "dist")
+    )
+    a = core_distance(df, id_col="id", vec_col="embedding", k=3)
+    b = core_distance(
+        df, id_col="id", vec_col="embedding", k=3, half_pairs=half
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -805,3 +805,30 @@ def test_bm25_topk_matches_hand_computation(spark):
         r["rank"] for r in by_q[0]
     )[0] == 1
     assert {r["neighbor_id"] for r in by_q[2]} == {2}
+
+
+def test_bm25_topk_prebuilt_tf_equivalent(spark):
+    # the shared-index path (queries.text_queries._doc_tf_shared):
+    # bm25_topk given a pre-aggregated (doc_id, term, tf) table must
+    # reproduce the occurrence-derived index build exactly
+    from enclaveid_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the log",
+        2: "quantum chromodynamics lattice gauge theory",
+        3: "the cat and the dog",
+    }
+    rows = [(d, t) for d, text in corpus.items() for t in text.split(" ")]
+    doc_terms = spark.createDataFrame(rows, "doc_id long, term string")
+    query_terms = spark.createDataFrame(
+        [(0, t) for t in set(corpus[0].split())]
+        + [(2, t) for t in set(corpus[2].split())],
+        "query_id long, term string",
+    )
+    tf = doc_terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    a = bm25_topk(doc_terms, query_terms, k=4)
+    b = bm25_topk(None, query_terms, k=4, tf=tf)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

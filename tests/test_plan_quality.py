@@ -231,7 +231,17 @@ def test_pair_explode_stages_saturate_cluster(spark, sf_dir):
     count."""
     n = spark.sparkContext.defaultParallelism
 
-    plan = _plan(REGISTRY["top1_neighbor_graph"].fn(spark, sf_dir))
+    # top1_neighbor_graph (and six siblings) consume the SHARED
+    # materialized pair table since round 12, so the saturation
+    # repartition + broadcast pair join live in the shared builder's
+    # subtree — assert on that (the registry query's own plan is a
+    # scan of the pinned blocks, which inherit the saturated
+    # partitioning)
+    from enclaveid_data_pipeline_spark.queries.similarity_queries import (
+        _label_pairs_plan,
+    )
+
+    plan = _plan(_label_pairs_plan(spark, sf_dir))
     assert f"RoundRobinPartitioning({n})" in plan
     assert "BroadcastHashJoin" in plan
 
@@ -375,7 +385,13 @@ _BROADCAST_ONLY = {
     # why each query's every join side is bounded:
     "bloom_membership_probe": "bloom bitmap rows (fixed m) probe-joined",
     "countmin_top20_tokens": "≤4096-row CMS table",
-    "core_distance_k5": "sampled centroid table + probe pairs",
+    # core_distance_k5 left this table in round 12: its plan is now a
+    # pure window view over the SHARED materialized all-pairs table
+    # (queries.dbscan_queries._half_pairs_shared) — the broadcast
+    # nested-loop pair build runs once per gate run in the shared
+    # builder, so the per-query plan legitimately has no join at all
+    # (test_pair_explode_stages_saturate_cluster pins the builder's
+    # shape)
     "knn_bruteforce_top5": "broadcast query frame into corpus scan",
     "knn_bruteforce_fixedq": "fixed 500-query frame",
     "knn_label_agreement": "broadcast query frame",
@@ -391,7 +407,11 @@ _BROADCAST_ONLY = {
 _BROADCAST_FLOOR = {
     # query: (min Broadcast*Join count, which join is legitimately SMJ)
     "ann_recall_at_5": (2, "truth⋈approx pair-set equi-join is corpus-scale"),
-    "core_distance_ivf_agreement": (4, "exact⋈ivf per-vector join"),
+    # floors below marked (r12) dropped by exactly the broadcasts
+    # that moved into the shared materialized truth tables
+    # (_half_pairs_shared / _label_pairs_shared) — each ran per-query
+    # before, once per gate run now
+    "core_distance_ivf_agreement": (3, "exact⋈ivf per-vector join (r12)"),
     # floor was 8 when the un-materialized TF-IDF weight table's
     # lineage was embedded once per consumer (4 duplicated subtrees,
     # each carrying its own dfx broadcast); round 12 materialized wt
@@ -407,8 +427,8 @@ _BROADCAST_FLOOR = {
     "knn_ivf_fixedcent": (2, "probe⋈cells on cent_id"),
     "mannwhitney_click_vs_error": (3, "rank join"),
     "pq_adc_recall_at5": (4, "truth⋈adc pair join"),
-    "top1_graph_ann_recall": (2, "exact⋈ann per-anchor join"),
-    "top1_graph_ann4x_recall": (4, "exact⋈ann per-anchor join"),
+    "top1_graph_ann_recall": (1, "exact⋈ann per-anchor join (r12)"),
+    "top1_graph_ann4x_recall": (3, "exact⋈ann per-anchor join (r12)"),
 }
 
 
