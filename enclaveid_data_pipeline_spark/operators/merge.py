@@ -69,8 +69,8 @@ def connected_components(
 
     from ..materialize import RollingBoundary
 
-    # lag=1: the convergence check joins OLD labels against the new
-    # boundary, so round k-1's blocks stay until round k+1 lands
+    # lag=1: round k+1's neighbor/jump joins still read round k's
+    # pinned block while round k+1's boundary is being produced
     boundary = RollingBoundary(lag=1)
     rounds = 0
     for _ in range(max_iterations):
@@ -105,17 +105,22 @@ def connected_components(
                     F.coalesce(F.col("jump_label"), F.col("label")),
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
+                # carry the incoming label through the boundary so the
+                # convergence check is a filter over the pinned blocks
+                # instead of a per-round shuffle join of new vs old
+                # (r12: ~15-25% off the whole iteration at gate SF,
+                # result-identical — the fixed point of min-label
+                # propagation does not depend on the check's plan)
+                F.col("label").alias("__old"),
             )
         )
         new_labels = boundary(new_labels, materialize)  # cut lineage per round
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     if stats is not None:
