@@ -1059,14 +1059,8 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    cand = minhash_lsh_pairs(
-        toks,
-        id_col="doc_id",
-        shingles=word_shingles(F.col("t"), 3),
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        rows_per_band=_ROWS_PER_BAND,
-    )
+    # candidate table shared across the gate's LSH-verify consumers
+    cand = _lsh_cand_shared(spark, sf_dir)
     sh = _materialize(
         toks.select(
             F.col("doc_id"),
@@ -1113,15 +1107,10 @@ def simhash_hamming_pairs_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk banding (operators.dedup.simhash_hamming_pairs) — lossless,
     so the oracle can afford the quadratic formulation while the
     Spark side joins on (chunk_idx, chunk_value) and only popcounts
-    candidates."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
-    from ..operators.dedup import simhash_hamming_pairs
-
-    return simhash_hamming_pairs(
-        signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
-    )
+    candidates.  The pair table is built once per gate run and shared
+    with dedup_method_consensus / blocking_quality_metrics (identical
+    signature + banding params)."""
+    return _simhash16_r2_shared(spark, sf_dir)
 
 
 @register(
@@ -2303,14 +2292,8 @@ def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetry is visible in the output."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    cand = minhash_lsh_pairs(
-        toks,
-        id_col="doc_id",
-        shingles=word_shingles(F.col("t"), 3),
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        rows_per_band=_ROWS_PER_BAND,
-    )
+    # candidate table shared across the gate's LSH-verify consumers
+    cand = _lsh_cand_shared(spark, sf_dir)
     sh = _materialize(
         toks.select(
             F.col("doc_id"),
@@ -3470,14 +3453,8 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    cand = minhash_lsh_pairs(
-        toks,
-        id_col="doc_id",
-        shingles=word_shingles(F.col("t"), 3),
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        rows_per_band=_ROWS_PER_BAND,
-    )
+    # candidate table shared across the gate's LSH-verify consumers
+    cand = _lsh_cand_shared(spark, sf_dir)
     sh = _materialize(
         toks.select(
             "doc_id",
@@ -3556,6 +3533,80 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# The consensus and blocking-quality gate queries score the SAME three
+# candidate-generation families (MinHash-LSH bands, 16-bit SimHash
+# Hamming≤2, SNM w=4) over the same corpus, so a single gate run built
+# each candidate table twice — the candidates are ~half of either
+# query's cost.  Same per-(applicationId, sf_dir) discipline as the
+# unigram/classifier/graph families: one materialized build per run,
+# both queries read the pinned rows; every run still computes from the
+# parquet inputs.  The lock is held THROUGH the build so concurrent
+# gate threads wait for (then reuse) one job instead of racing two.
+_CAND_LOCK = __import__("threading").Lock()
+_CAND_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared_cand(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    with _CAND_LOCK:
+        hit = _CAND_SHARED.get(key)
+        if hit is None:
+            hit = _materialize(build())
+            _CAND_SHARED[key] = hit
+        return hit
+
+
+def _consensus_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+
+
+def _lsh_cand_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct MinHash-LSH band-collision pairs (left_id, right_id)."""
+    return _shared_cand(
+        spark, sf_dir, "lsh_cand",
+        lambda: minhash_lsh_pairs(
+            _consensus_toks(spark, sf_dir), id_col="doc_id",
+            shingles=word_shingles(F.col("t"), 3),
+            num_hashes=_NUM_HASHES, bands=_BANDS,
+            rows_per_band=_ROWS_PER_BAND,
+        ),
+    )
+
+
+def _simhash16_r2_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash Hamming≤2 pairs, (left_id, right_id, hamming) —
+    the gate-SF width all consumers use (consensus' corpus-adaptive
+    width is 16 for n_docs ≤ 10k, branched at its call site)."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    def build():
+        toks = _consensus_toks(spark, sf_dir)
+        signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
+        return simhash_hamming_pairs(
+            signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
+        )
+
+    return _shared_cand(spark, sf_dir, "simhash16_r2", build)
+
+
+def _snm_w4_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM w=4 neighbor pairs in canonical (least, greatest) form."""
+    from ..operators.dedup import normalized_prefix_key, snm_neighbor_pairs
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        keyed = docs.select(
+            "doc_id", normalized_prefix_key(F.col("text")).alias("snm_key")
+        )
+        return snm_neighbor_pairs(keyed, 4).select(
+            F.least("left_id", "right_id").alias("left_id"),
+            F.greatest("left_id", "right_id").alias("right_id"),
+        )
+
+    return _shared_cand(spark, sf_dir, "snm_w4", build)
 
 
 _CONSENSUS_ORACLE = f"""
@@ -3678,13 +3729,8 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
 
-    # minhash-verified
-    cand = minhash_lsh_pairs(
-        toks, id_col="doc_id",
-        shingles=word_shingles(F.col("t"), 3),
-        num_hashes=_NUM_HASHES, bands=_BANDS,
-        rows_per_band=_ROWS_PER_BAND,
-    )
+    # minhash-verified (candidates shared with blocking_quality_metrics)
+    cand = _lsh_cand_shared(spark, sf_dir)
     sh = _materialize(
         toks.select(
             "doc_id",
@@ -3703,29 +3749,27 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id")
     )
 
-    # simhash radius 2, corpus-adaptive width (see docstring)
-    from ..operators.dedup import simhash_grouped
+    # simhash radius 2, corpus-adaptive width (see docstring); at the
+    # 16-bit gate width the pair table is shared with
+    # blocking_quality_metrics (identical signature + banding params)
+    if sim_bits == 16:
+        m_simhash = _simhash16_r2_shared(spark, sf_dir).select(
+            "left_id", "right_id"
+        )
+    else:
+        from ..operators.dedup import simhash_grouped
 
-    signed = simhash_grouped(
-        toks, F.col("t"), id_cols=["doc_id"], bits=sim_bits
-    )
-    m_simhash = simhash_hamming_pairs(
-        signed, id_col="doc_id", sig_col="simhash", bits=sim_bits, radius=2
-    ).select("left_id", "right_id")
+        signed = simhash_grouped(
+            toks, F.col("t"), id_cols=["doc_id"], bits=sim_bits
+        )
+        m_simhash = simhash_hamming_pairs(
+            signed, id_col="doc_id", sig_col="simhash", bits=sim_bits, radius=2
+        ).select("left_id", "right_id")
 
     # sorted-neighborhood (w=4) via the bucketed-ordinal pair
     # generator (no unpartitioned window), token-Jaccard >= 0.5
-    from ..operators.dedup import snm_neighbor_pairs
-
-    from ..operators.dedup import normalized_prefix_key
-
-    keyed = docs.select(
-        "doc_id", normalized_prefix_key(F.col("text")).alias("snm_key")
-    )
-    spairs = snm_neighbor_pairs(keyed, 4).select(
-        F.least("left_id", "right_id").alias("left_id"),
-        F.greatest("left_id", "right_id").alias("right_id"),
-    )
+    # (raw pair table shared with blocking_quality_metrics)
+    spairs = _snm_w4_shared(spark, sf_dir)
     tl = toks.select(F.col("doc_id").alias("left_id"), F.col("t").alias("__tl"))
     tr = toks.select(F.col("doc_id").alias("right_id"), F.col("t").alias("__tr"))
     jt = F.size(F.array_intersect("__tl", "__tr")).cast("double") / F.size(
@@ -3738,7 +3782,8 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mm = _materialize(m_minhash)
-    ms = _materialize(m_simhash)
+    # the shared 16-bit pair table is already materialized
+    ms = m_simhash if sim_bits == 16 else _materialize(m_simhash)
     sn = _materialize(m_snm)
     unioned = (
         mm.unionByName(ms).unionByName(sn).distinct()
@@ -3889,7 +3934,7 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.25G array-intersections at sf0.1, 511s of the gate's 1154s
     (round-7 finding; the equi-join is lossless here because J ≥ 0.8
     requires sharing at least one shingle)."""
-    from ..operators.dedup import jaccard_similarity_pairs, simhash_hamming_pairs
+    from ..operators.dedup import jaccard_similarity_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
@@ -3904,30 +3949,13 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("left_id", "right_id")
     )
 
-    c_lsh = minhash_lsh_pairs(
-        toks, id_col="doc_id",
-        shingles=word_shingles(F.col("t"), 3),
-        num_hashes=_NUM_HASHES, bands=_BANDS,
-        rows_per_band=_ROWS_PER_BAND,
-    ).select("left_id", "right_id")
-    signed = simhash16_grouped(toks, F.col("t"), id_cols=["doc_id"])
-    c_sim = simhash_hamming_pairs(
-        signed, id_col="doc_id", sig_col="simhash", bits=16, radius=2
-    ).select("left_id", "right_id")
-    from ..operators.dedup import snm_neighbor_pairs
-
-    from ..operators.dedup import normalized_prefix_key
-
-    keyed = docs.select(
-        "doc_id", normalized_prefix_key(F.col("text")).alias("snm_key")
-    )
-    c_snm = snm_neighbor_pairs(keyed, 4).select(
-        F.least("left_id", "right_id").alias("left_id"),
-        F.greatest("left_id", "right_id").alias("right_id"),
-    )
+    # the three candidate tables are shared with dedup_method_consensus
+    # (one materialized build per gate run, identical params)
+    c_lsh = _lsh_cand_shared(spark, sf_dir)
+    c_sim = _simhash16_r2_shared(spark, sf_dir).select("left_id", "right_id")
+    c_snm = _snm_w4_shared(spark, sf_dir)
 
     def metrics(name: str, cand):
-        cand = _materialize(cand)
         stats = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         hits = cand.join(
             truth, on=["left_id", "right_id"], how="leftsemi"

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_lsh_pairs, tokenize, word_shingles
+from ..operators.dedup import tokenize, word_shingles
 from ..operators.knn import brute_force_topk, lsh_bucketed_topk
 from ..operators.trainprep import (
     chunk_tokens,
@@ -267,12 +267,12 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split lookup side is a projection of the corpus joined back on
     doc_id (at 100 TB the split is a row-local expression, so these
     joins stay thin: (doc_id, split) only)."""
+    from .dedup_queries import _lsh_cand_shared
+
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    cand = minhash_lsh_pairs(
-        toks, id_col="doc_id", shingles=word_shingles(F.col("t"), 3),
-        num_hashes=16, bands=4, rows_per_band=4,
-    )
+    # candidate table shared across the gate's LSH-verify consumers
+    # (identical 3-gram shingles and 16/4/4 MinHash params)
+    cand = _lsh_cand_shared(spark, sf_dir)
     sp = with_split(docs, key=F.col("doc_id")).select("doc_id", "split")
     return (
         cand.join(
