@@ -215,8 +215,17 @@ def bfs_levels(
     neighborhood, the property that makes BFS on a short-diameter
     graph cheap even when the graph is huge. Visited and frontier are
     materialized per round (lineage cut, same discipline as the other
-    iterative operators); the loop exits early on an empty frontier
-    using the frontier's own count, which the next join needs anyway.
+    iterative operators); the loop exits early on an empty frontier.
+
+    Both node-sized sides are size-GATED broadcast (r12, guide §3.1,
+    same as kcore_peel): the planner cannot size checkpointed frames
+    and planned the frontier⋈edges join and the visited anti-join as
+    sort-merge, re-sorting the persisted edge table every hop. The
+    frontier/visited counts come from the just-pinned blocks (the
+    frontier count doubles as the early-exit check); above the bound
+    the plan degrades to exactly the old shuffle form. In ``none``
+    mode nothing is pinned, so the gates are skipped and the
+    early-exit keeps the old ``limit(1)`` probe.
     """
     # cache the edge table hash-partitioned on the join key once:
     # every round (and every frontier-count action) joins against
@@ -239,26 +248,44 @@ def bfs_levels(
     # releases its previous round exactly when its next boundary
     # lands (a SINGLE boundary would free visited_{k-1} at nxt_k,
     # while the visited_k union still needs it)
+    from ..functions.joins import gated_broadcast
+    from ..materialize import resolve_mode as _resolve
+
+    gate_counts = _resolve(materialize_mode) != "none"
+
+    def _gated(df, n):
+        return df if n is None else gated_broadcast(df, n)
+
     vis_b, nxt_b = RollingBoundary(), RollingBoundary()
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     visited = frontier.withColumn("hop", F.lit(0).cast("int"))
     visited = vis_b(visited, mode=materialize_mode)
     frontier = visited.select("node")
+    n_visited = visited.count() if gate_counts else None
+    n_frontier = n_visited
 
     for hop in range(1, max_hops + 1):
+        fr = _gated(frontier, n_frontier)
         nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
+            fr.join(e, fr["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), on="node", how="left_anti")
+            .join(
+                _gated(visited.select("node"), n_visited),
+                on="node",
+                how="left_anti",
+            )
             .withColumn("hop", F.lit(hop).cast("int"))
         )
         nxt = nxt_b(nxt, mode=materialize_mode)
-        if nxt.limit(1).count() == 0:
+        n_frontier = nxt.count() if gate_counts else None
+        if (n_frontier if gate_counts else nxt.limit(1).count()) == 0:
             break
         visited = vis_b(
             visited.unionByName(nxt), mode=materialize_mode
         )
+        if gate_counts:
+            n_visited += n_frontier
         frontier = nxt.select("node")
     from ..materialize import resolve_mode
 
@@ -290,10 +317,22 @@ def label_propagation(
     change run to run, which is useless for a replayable pipeline.
     Fixed synchronous rounds + (count DESC, label ASC) argmax make the
     outcome a pure function of the graph, so the oracle replays it
-    round by round in SQL. Plan shape per round: one edges⋈labels
-    equi-join, one (node,label) count aggregate (partial-agg
-    friendly), one per-node top-1 window — all shuffles on node keys;
-    hot nodes are the AQE skew-join case, same as PageRank.
+    round by round in SQL. Plan shape per round (r12 rewrite, guide
+    §2.4/§3.1): one edges⋈labels equi-join with the |V|-sized label
+    table size-GATED broadcast (the planner cannot size a
+    checkpointed frame and planned sort-merge, re-sorting the edge
+    table every round; above the bound the plan degrades to that
+    shuffle form), one (node,label) count aggregate, then a
+    ``max(struct(cnt, -label))`` argmax aggregate — same (count DESC,
+    label ASC) winner as the previous per-node row_number window,
+    without the window's extra sort. Two further r12 removals, both
+    result-identical: the per-round ``keep`` anti-join is gone — a
+    node receives no votes iff it has no in-neighbors, which is a
+    property of the GRAPH, not the round, so the kept rows are the
+    static no-in-degree set with their never-updated initial
+    self-labels, computed once before the loop; and the node
+    universe is materialized once instead of re-derived from the
+    edge union every round.
     """
     # cached hash-partitioned edge table, reused by every round's
     # vote join with no re-exchange (see bfs_levels / pagerank_fixed)
@@ -304,38 +343,51 @@ def label_propagation(
         )
         .persist()
     )
-    from pyspark.sql import Window
+    from ..functions.joins import gated_broadcast
+    from ..materialize import RollingBoundary, resolve_mode
+    from ..materialize import materialize as _materialize
 
-    labels = (
+    gate_counts = resolve_mode(materialize_mode) != "none"
+    nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        .distinct(),
+        materialize_mode,
     )
-    w = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("label")
+    n_nodes = nodes.count() if gate_counts else None
+    # static: no-in-degree nodes never receive votes, so their label
+    # stays the initial self-label through every round
+    keep = _materialize(
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            on="node",
+            how="left_anti",
+        ).withColumn("label", F.col("node")),
+        materialize_mode,
     )
-    from ..materialize import RollingBoundary
+    labels = nodes.withColumn("label", F.col("node"))
 
     boundary = RollingBoundary()
     for _ in range(iterations):
+        lab = labels if n_nodes is None else gated_broadcast(labels, n_nodes)
         votes = (
-            e.join(labels, e["src"] == labels["node"])
+            e.join(lab, e["src"] == lab["node"])
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         new_labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.nl")).alias("label"))
         )
-        # nodes with no in-edges keep their current label
-        keep = labels.join(new_labels.select("node"), on="node", how="left_anti")
         labels = boundary(
             new_labels.unionByName(keep), mode=materialize_mode
         )
-    from ..materialize import resolve_mode
 
     out = labels
     if resolve_mode(materialize_mode) != "none":
@@ -765,8 +817,23 @@ def kcore_peel(
     symmetrized edges in one 8g local JVM) that dies in GC before
     round 2; iterating on nodes costs one extra edge pass per round
     and keeps memory at |E| + O(|V|).
+
+    The alive side of both semi-joins is size-GATED broadcast (r12,
+    guide §3.1): the planner cannot size a checkpointed frame and
+    planned BOTH semi-joins as sort-merge — re-sorting the edge table
+    and re-shuffling it BY DST every round, the single biggest cost of
+    the operator (measured sf0.1: the dst exchange moved the full
+    1.17M-edge table 4×). Alive is node-count-bounded and shrinks
+    monotonically, so under the broadcast bound the edge table is
+    never exchanged after its initial src layout; above the bound
+    (huge graphs) the plan degrades to exactly the old shuffle form.
+    The gate count runs ONCE, on round 0's just-pinned alive blocks
+    (no recompute): alive only shrinks, so the first count bounds
+    every later round. Skipped in ``none`` mode, where nothing is
+    pinned and an action would re-run the whole chain per round.
     """
-    from ..materialize import RollingBoundary
+    from ..functions.joins import gated_broadcast
+    from ..materialize import RollingBoundary, resolve_mode as _resolve
 
     boundary = RollingBoundary()
     e = (
@@ -776,23 +843,34 @@ def kcore_peel(
         )
         .persist()
     )
+    gate_counts = _resolve(materialize_mode) != "none"
+
+    def _alive_side(alive_df, n_alive, col):
+        side = alive_df.withColumnRenamed("node", col)
+        if n_alive is None:
+            return side
+        return gated_broadcast(side, n_alive)
+
     alive = None  # None = every node (round 0 reads e unfiltered)
+    n_alive = None
     for _ in range(rounds):
         cur = e
         if alive is not None:
             cur = cur.join(
-                alive.withColumnRenamed("node", "src"), "src", "left_semi"
+                _alive_side(alive, n_alive, "src"), "src", "left_semi"
             ).join(
-                alive.withColumnRenamed("node", "dst"), "dst", "left_semi"
+                _alive_side(alive, n_alive, "dst"), "dst", "left_semi"
             )
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select(
             F.col("src").alias("node")
         )
         alive = boundary(alive, mode=materialize_mode)
+        if gate_counts and n_alive is None:
+            n_alive = alive.count()
     final_e = e.join(
-        alive.withColumnRenamed("node", "src"), "src", "left_semi"
-    ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        _alive_side(alive, n_alive, "src"), "src", "left_semi"
+    ).join(_alive_side(alive, n_alive, "dst"), "dst", "left_semi")
     final_deg = (
         final_e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))

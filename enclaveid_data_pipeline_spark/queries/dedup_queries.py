@@ -3781,36 +3781,43 @@ def dedup_method_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id")
     )
 
-    mm = _materialize(m_minhash)
-    # the shared 16-bit pair table is already materialized
-    ms = m_simhash if sim_bits == 16 else _materialize(m_simhash)
-    sn = _materialize(m_snm)
-    unioned = (
-        mm.unionByName(ms).unionByName(sn).distinct()
+    # Provenance via ONE tagged union + groupBy instead of
+    # distinct-then-three-left-joins (r12, guide §2.3/§2.4): the old
+    # plan shuffled the ~method-sum pair volume four times (distinct +
+    # 3 joins); the tagged aggregation partial-aggregates map-side and
+    # shuffles once. Identical rows because each method's pair table
+    # is a SET (distinct by construction — the left joins could not
+    # fan out), so max-per-method == membership and the sum of maxes
+    # == n_methods.
+    def tag(df: DataFrame, m: int, s: int, n: int) -> DataFrame:
+        return df.select(
+            "left_id",
+            "right_id",
+            F.lit(m).alias("__mm"),
+            F.lit(s).alias("__ms"),
+            F.lit(n).alias("__sn"),
+        )
+
+    tagged = (
+        tag(m_minhash, 1, 0, 0)
+        .unionByName(tag(m_simhash, 0, 1, 0))
+        .unionByName(tag(m_snm, 0, 0, 1))
     )
     return (
-        unioned.join(
-            mm.withColumn("__mm", F.lit(1)),
-            on=["left_id", "right_id"], how="left",
-        )
-        .join(
-            ms.withColumn("__ms", F.lit(1)),
-            on=["left_id", "right_id"], how="left",
-        )
-        .join(
-            sn.withColumn("__sn", F.lit(1)),
-            on=["left_id", "right_id"], how="left",
+        tagged.groupBy("left_id", "right_id")
+        .agg(
+            F.max("__mm").alias("__mm"),
+            F.max("__ms").alias("__ms"),
+            F.max("__sn").alias("__sn"),
         )
         .select(
             "left_id",
             "right_id",
-            F.col("__mm").isNotNull().alias("in_minhash"),
-            F.col("__ms").isNotNull().alias("in_simhash"),
-            F.col("__sn").isNotNull().alias("in_snm"),
+            (F.col("__mm") == 1).alias("in_minhash"),
+            (F.col("__ms") == 1).alias("in_simhash"),
+            (F.col("__sn") == 1).alias("in_snm"),
             (
-                F.coalesce("__mm", F.lit(0))
-                + F.coalesce("__ms", F.lit(0))
-                + F.coalesce("__sn", F.lit(0))
+                F.col("__mm") + F.col("__ms") + F.col("__sn")
             ).cast("long").alias("n_methods"),
         )
     )
