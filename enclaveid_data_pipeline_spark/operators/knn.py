@@ -157,12 +157,64 @@ def assign_cells(
     )
 
 
+def _probe_table(
+    queries: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-query ``nprobe`` nearest centroid cells — the probe side of
+    :func:`ivf_topk` (broadcast cross join + row_number ≤ nprobe; the
+    query set is small by construction).  ``keep_rank=True`` keeps the
+    probe rank column ``__pr`` so :func:`ivf_topk_sweep` can slice one
+    max-nprobe probe set down to every smaller nprobe."""
+    from pyspark.sql import Window
+
+    sim_to_cent = F.round(
+        cosine_similarity(
+            F.col("__v"),
+            F.col("__ce"),
+            a_norm=F.col("__vn"),
+            b_norm=F.col("__cen"),
+            assume_double=True,
+        ),
+        6,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("negsim"), F.asc("cent_id")
+    )
+    keep = ["query_id", "cent_id", "__qv", "__qn"] + (
+        ["__pr"] if keep_rank else []
+    )
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            (-sim_to_cent).alias("negsim"),
+            "cent_id",
+            F.col("__v").alias("__qv"),
+            F.col("__vn").alias("__qn"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(*keep)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    materialize: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-space near-duplicate pruning (Abbas
     et al. 2023, arXiv:2303.09540): assign every vector to a coarse
@@ -187,9 +239,21 @@ def semantic_dedup(
     constant as the corpus grows with k ∝ corpus size.
 
     Output: ``vec_id, cell, kept`` — one row per input vector.
+
+    ``cells`` feeds THREE consumers (both pairwise-join sides and the
+    final kept-flag join), so the cell assignment is materialized
+    (``materialize=`` — see ``materialize.py``); the r12 before-plan
+    re-ran the corpus×centroids argmin once per consumer (6 scans).
+    The in-session analog of the persisted cell-assignment table a
+    100 TB SemDeDup run writes once and re-reads.
     """
+    from ..materialize import materialize as _mat
+
     cent = _prep_centroids(centroids, id_col, vec_col)
-    cells = assign_cells(corpus, cent, id_col, vec_col, out_id="vec_id")
+    cells = _mat(
+        assign_cells(corpus, cent, id_col, vec_col, out_id="vec_id"),
+        materialize,
+    )
     a = cells.select(
         F.col("vec_id").alias("a_id"),
         F.col("cent_id").alias("cell"),
@@ -328,40 +392,7 @@ def ivf_topk(
 
     cent = _prep_centroids(centroids, id_col, vec_col)
     cells = assign_cells(corpus, cent, id_col, vec_col, out_id="neighbor_id")
-
-    def _sim_to_centroid(vn_col: str) -> Column:
-        return F.round(
-            cosine_similarity(
-                F.col("__v"),
-                F.col("__ce"),
-                a_norm=F.col(vn_col),
-                b_norm=F.col("__cen"),
-                assume_double=True,
-            ),
-            6,
-        )
-
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.asc("negsim"), F.asc("cent_id")
-    )
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double(F.col(vec_col)).alias("__v"),
-            l2_norm(F.col(vec_col)).alias("__vn"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            (-_sim_to_centroid("__vn")).alias("negsim"),
-            "cent_id",
-            F.col("__v").alias("__qv"),
-            F.col("__vn").alias("__qn"),
-        )
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "cent_id", "__qv", "__qn")
-    )
+    probes = _probe_table(queries, cent, id_col, vec_col, nprobe)
 
     sim = F.round(
         cosine_similarity(
@@ -400,6 +431,81 @@ def ivf_topk(
             F.col("cent_id").alias("cell"),
         )
     )
+
+
+def ivf_topk_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2),
+    materialize: str | None = None,
+) -> dict[int, DataFrame]:
+    """IVF nprobe sweep — ``{nprobe: ivf_topk(..., nprobe)}`` with the
+    corpus-sized work shared across every nprobe value.
+
+    ``ivf_topk`` called per nprobe re-runs the cell assignment (the
+    |corpus|×|centroids| argmin — the only corpus-sized stage) and the
+    candidate join once per configuration; the r12 before-plan of
+    ivf_nprobe_recall_tradeoff scanned embeddings 12×.  Here the
+    candidate table is built ONCE at max(nprobes) with each candidate
+    tagged by its query's probe rank (``__pr``), then materialized;
+    the nprobe=p result is the top-k over candidates with
+    ``__pr <= p``.  Output-identical to the per-nprobe calls because
+    cells are disjoint and probe ranks are a deterministic total
+    order: restricting to ranks ≤ p IS the smaller probe set
+    (tests/test_dedup_knn_textstats.py pins the equivalence).  The
+    candidate table is workload-bounded (|queries| × max-nprobe
+    cells), so the pinned boundary never scales with the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..materialize import materialize as _mat
+
+    probe_list = sorted({int(p) for p in nprobes})
+    cent = _prep_centroids(centroids, id_col, vec_col)
+    cells = assign_cells(corpus, cent, id_col, vec_col, out_id="neighbor_id")
+    probes = _probe_table(
+        queries, cent, id_col, vec_col, probe_list[-1], keep_rank=True
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__qv"),
+            F.col("__cv"),
+            a_norm=F.col("__qn"),
+            b_norm=F.col("__cn"),
+            assume_double=True,
+        ),
+        6,
+    )
+    pairs = _mat(
+        F.broadcast(probes)
+        .join(cells, on="cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .select("query_id", "neighbor_id", "sim", "cent_id", "__pr"),
+        materialize,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    out: dict[int, DataFrame] = {}
+    for p in probe_list:
+        sub = pairs.filter(F.col("__pr") <= p) if p < probe_list[-1] else pairs
+        out[p] = (
+            sub.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "sim",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("cent_id").alias("cell"),
+            )
+        )
+    return out
 
 
 def kmeans_refine(

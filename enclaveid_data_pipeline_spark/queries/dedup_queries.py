@@ -2594,22 +2594,31 @@ def ivf_nprobe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a measured artifact instead of folklore. Probing one more
     cell costs one more cell's candidates per query (linear in
     nprobe) and buys the recall delta this query reports; both
-    searches share the cell assignment, so the sweep costs the
-    probes, not two index builds."""
-    from ..operators.knn import ivf_topk
+    searches share ONE cell assignment and ONE candidate join
+    (operators.knn.ivf_topk_sweep — the r12 before-plan ran the
+    corpus argmin and the probe join once per nprobe, 12 embeddings
+    scans total), so the sweep costs the probes, not two index
+    builds."""
+    from ..operators.knn import ivf_topk_sweep
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     centroids = emb.filter(F.col("vec_id") % 40 == 1)
-    bf = brute_force_topk(
-        queries, emb, id_col="vec_id", vec_col="embedding", k=5
-    ).select("query_id", "neighbor_id")
+    # the truth table feeds BOTH union branches: materialize the
+    # |queries|×5 result once instead of re-running the exact
+    # |queries|×|corpus| pass per branch
+    bf = _materialize(
+        brute_force_topk(
+            queries, emb, id_col="vec_id", vec_col="embedding", k=5
+        ).select("query_id", "neighbor_id")
+    )
+    sweep = ivf_topk_sweep(
+        queries, emb, centroids, id_col="vec_id",
+        vec_col="embedding", k=5, nprobes=(1, 2),
+    )
     out = None
     for nprobe in (1, 2):
-        hits = ivf_topk(
-            queries, emb, centroids, id_col="vec_id",
-            vec_col="embedding", k=5, nprobe=nprobe,
-        ).select(
+        hits = sweep[nprobe].select(
             F.col("query_id").alias("iq"),
             F.col("neighbor_id").alias("inb"),
         )

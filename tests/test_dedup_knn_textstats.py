@@ -303,6 +303,48 @@ def test_semantic_dedup_drops_higher_id_near_dups(spark):
     assert rows[4].cell == rows[3].cell
 
 
+def test_ivf_topk_sweep_matches_per_nprobe_calls(spark):
+    """ivf_topk_sweep (ONE cell assignment + ONE candidate join,
+    sliced by probe rank) must be row-identical to independent
+    ivf_topk calls at every nprobe — the equivalence the r12
+    ivf_nprobe_recall_tradeoff rewrite relies on."""
+    import math
+
+    from enclaveid_data_pipeline_spark.operators.knn import (
+        ivf_topk,
+        ivf_topk_sweep,
+    )
+
+    # 36 deterministic unit-ish vectors spread over 3 dims so cells
+    # are non-trivial and nprobe=1 vs 2 genuinely differ
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.7 * i + d) + 0.1 * d
+                for d in range(3)
+            ],
+        )
+        for i in range(36)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    cent = emb.filter(F.col("vec_id") % 9 == 1)
+    sweep = ivf_topk_sweep(
+        queries, emb, cent, k=4, nprobes=(1, 2), materialize="none"
+    )
+    for nprobe in (1, 2):
+        want = sorted(
+            ivf_topk(queries, emb, cent, k=4, nprobe=nprobe).collect()
+        )
+        got = sorted(sweep[nprobe].collect())
+        assert got == want, f"nprobe={nprobe} diverged"
+    # the sweep's nprobe results are genuinely different workloads
+    assert sorted(sweep[1].collect()) != sorted(sweep[2].collect())
+
+
 def test_semantic_dedup_threshold_keeps_everything(spark):
     from enclaveid_data_pipeline_spark.operators.knn import semantic_dedup
 
