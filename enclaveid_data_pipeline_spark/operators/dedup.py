@@ -434,52 +434,44 @@ def jaccard_similarity_pairs(
     not the quadratic pair space. Feed LSH candidates in as a
     semi-join to bound it further at scale.
 
-    Set sizes are computed ROW-LOCALLY at shingle time
-    (``size(array_distinct(...))`` before the explode) and ride the
-    exploded rows as one int, so the pair aggregation emits
-    ``|A|``/``|B|`` via ``first()`` — the r12 before-plan's two
-    identical size aggregations (Exchange + HashAggregate each,
-    alias-split so ReuseExchange missed them) and the two joins that
-    attached them are gone (guide §2.4: remove shuffles outright;
-    the sizes were derivable without any grouping at all).
+    Measured dead end (r12, do not retry): computing ``n`` row-locally
+    at shingle time and carrying it through the self-join so the pair
+    aggregation emits sizes via ``first()`` removes the two size
+    aggregations and both attach joins from the plan — and is ~40%
+    SLOWER end-to-end at sf0.1 (interleaved A/B, 3 passes, consistent
+    margin): the extra ``first()`` buffers triple the per-group state
+    of the pair hash aggregate, whose group count is the candidate
+    volume, while the removed aggs/joins were over the materialized
+    shingle table and the already-aggregated pair table (both cheap).
     """
-    # the exploded shingle frame feeds both join sides: materialize it
-    # once (in-session analog of a stored shingle table), floored to
-    # cluster parallelism first — the explode and the materialization
-    # otherwise run on the scan's 1-2 splits.  Two-step projection so
-    # array_distinct() is evaluated once for size + explode.
+    # the exploded shingle frame feeds both join sides + the size agg:
+    # materialize it once (in-session analog of a stored shingle
+    # table), floored to cluster parallelism first — the explode and
+    # the materialization otherwise run on the scan's 1-2 splits
     from ..functions.partitioning import ensure_parallelism
 
-    arrs = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles).alias("__arr"),
-    )
     sh = _materialize(
-        arrs.select(
-            "id",
-            F.size("__arr").alias("n"),
-            F.explode("__arr").alias("s"),
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles)).alias("s"),
         ),
         materialize,
     )
-    a = sh.select(
-        F.col("s"), F.col("id").alias("left_id"), F.col("n").alias("na")
-    )
-    b = sh.select(
-        F.col("s"), F.col("id").alias("right_id"), F.col("n").alias("nb")
-    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("s"), F.col("id").alias("left_id"))
+    b = sh.select(F.col("s"), F.col("id").alias("right_id"))
     inter = (
         a.join(b, on="s")
         .filter(F.col("left_id") < F.col("right_id"))
         .groupBy("left_id", "right_id")
-        .agg(
-            F.count(F.lit(1)).alias("i"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("i"))
     )
+    sa = sizes.select(F.col("id").alias("left_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("right_id"), F.col("n").alias("nb"))
     return (
-        inter.withColumn(
+        inter.join(sa, on="left_id")
+        .join(sb, on="right_id")
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("i").cast("double")

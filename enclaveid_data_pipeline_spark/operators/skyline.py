@@ -64,6 +64,7 @@ def skyline_2d(
     y: Column,
     n_buckets: int = 64,
     group_by: Sequence[str] = (),
+    materialize: str | None = None,
 ) -> DataFrame:
     """Rows on the 2-D Pareto frontier, both objectives MAXIMIZED.
 
@@ -96,7 +97,19 @@ def skyline_2d(
     # group" splits into (a) strictly higher buckets — a theta-join
     # prefix over the bucket table only — and (b) larger x inside my
     # own bucket — a window PARTITIONED BY (group, bucket).
-    gb = with_sampled_range_bucket(g, F.col(_X), n=n_buckets, out=_BK)
+    # ``gb`` feeds BOTH the bucket-max aggregate and the stats join,
+    # and its lineage includes the percentile-sketch pass that learns
+    # the bucket boundaries — materialize it once (r12: the
+    # before-plan of skyline_parts_2d re-ran scan + groupBy(x) +
+    # sketch + bucket-assign per consumer, 7 scans of the input;
+    # guide §2.4).  The pinned frame is one row per DISTINCT
+    # (group, x) — the deduplicated objective grid, not the corpus.
+    from ..materialize import materialize as _mat
+
+    gb = _mat(
+        with_sampled_range_bucket(g, F.col(_X), n=n_buckets, out=_BK),
+        materialize,
+    )
     bmax = gb.groupBy(*gcols, _BK).agg(F.max(_GY).alias("__bmax"))
     higher = bmax.select(
         *[F.col(c).alias(f"__h_{c}") for c in gcols],

@@ -1214,15 +1214,25 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |F_s − F_g| is taken on INTEGER cross-multiplied counts
     (|cnt_s·n_g − cnt_g·n_s|), so the argmax is engine-exact and only
     the final ratio is floating. Grid = sources × distinct lengths —
-    tiny next to the corpus; both CDFs are one window cumsum."""
+    tiny next to the corpus; both CDFs are one window cumsum.
+
+    ONE corpus pass: the (source, length) count grid is materialized
+    and every other input — per-source sizes, grand total, distinct
+    thresholds, per-length counts — is an exact aggregate OF that
+    grid (r12: the before-plan derived each independently from the
+    raw table, 11 document scans; guide §2.4)."""
+    from ..materialize import materialize as _materialize
+
     docs = read_table(spark, sf_dir, "documents")
     vals = docs.select("source", "n_chars")
-    sizes = vals.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    total = vals.agg(F.count(F.lit(1)).alias("n_g"))
-    thresholds = vals.select(F.col("n_chars").alias("v")).distinct()
-    per_sv = vals.groupBy(
-        "source", F.col("n_chars").alias("v")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    per_sv = _materialize(
+        vals.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    sizes = per_sv.groupBy("source").agg(F.sum("c").alias("n_s"))
+    total = per_sv.agg(F.sum("c").alias("n_g"))
+    thresholds = per_sv.select("v").distinct()
     grid = sizes.crossJoin(F.broadcast(thresholds))
     ws = (
         Window.partitionBy("source")
@@ -1235,9 +1245,7 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sum(F.coalesce(F.col("c"), F.lit(0))).over(ws).alias("cnt_s"),
     )
-    per_v = vals.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    per_v = per_sv.groupBy("v").agg(F.sum("c").alias("c"))
     # global CDF runs bucketed (operators/rank.py) — the distinct
     # length grid grows with the corpus, so no single-task window
     from ..operators.rank import global_cumsum, monotone_bucket

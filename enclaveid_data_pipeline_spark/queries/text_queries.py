@@ -1344,10 +1344,19 @@ def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).cast("decimal(8,4)").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    pv = s.groupBy("score").agg(
-        F.sum("y").alias("n1v"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("n0v"),
-        F.count(F.lit(1)).alias("t"),
+    # the distinct-score grid feeds global_cumsum's multi-pass
+    # bucketed rank machinery (counts, offsets, join back) —
+    # materialize it so each pass reads the tiny grid instead of
+    # re-running the hashed scoring of the corpus (r12 before-plan:
+    # 11 document scans; the token_budget_selection lesson)
+    from ..materialize import materialize as _mat
+
+    pv = _mat(
+        s.groupBy("score").agg(
+            F.sum("y").alias("n1v"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("n0v"),
+            F.count(F.lit(1)).alias("t"),
+        )
     )
     # rank-sum CDF over the distinct-score table, bucketed — the
     # score grid grows with the corpus (operators/rank.py)
@@ -1686,10 +1695,15 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window even though THIS corpus's vocabulary is small);
     the regression is one regr_slope aggregate, identical in both
     engines to round(4)."""
+    from ..materialize import materialize as _mat
     from ..operators.rank import global_row_number, with_sampled_range_bucket
 
     docs = read_table(spark, sf_dir, "documents")
-    counts = (
+    # the vocabulary count table feeds the boundary sketch AND the
+    # multi-pass bucketed rank — materialize it so the corpus explode
+    # + groupBy runs ONCE (r12 before-plan: 8 document scans, one per
+    # rank-machinery pass; guide §2.4).  Pinned rows = |vocabulary|.
+    counts = _mat(
         docs.select(
             F.explode(F.split("text", " ")).alias("token")
         )
