@@ -2425,10 +2425,18 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    uni = bg.groupBy(F.col("w1").alias("w")).agg(
-        F.count(F.lit(1)).alias("cu")
+    # ONE corpus aggregation: the unigram context counts are the
+    # w1-marginals of the bigram table (c(w1·) = Σ_w2 c(w1,w2)) and
+    # |V| is its distinct-w1 count, so both derive from the
+    # materialized Zipf-small bigram table instead of re-running the
+    # tokenize + zip + explode per consumer (r12 before-plan: 4
+    # document scans; guide §2.4)
+    bi = _materialize(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     )
-    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = bi.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("cb").alias("cu")
+    )
     v = uni.agg(F.count(F.lit(1)).alias("vsize"))
     logp = (
         bi.join(uni, bi["w1"] == uni["w"])
