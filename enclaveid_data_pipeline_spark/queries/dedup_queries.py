@@ -2630,9 +2630,12 @@ def ivf_nprobe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").alias("iq"),
             F.col("neighbor_id").alias("inb"),
         )
+        # hits is |queries|×k and bf is a pinned LogicalRDD with no
+        # stats — without the hint the planner assumes both huge and
+        # sort-merge-joins two tiny tables (post-sweep r12 plan)
         r = (
             bf.join(
-                hits,
+                F.broadcast(hits),
                 (F.col("query_id") == F.col("iq"))
                 & (F.col("neighbor_id") == F.col("inb")),
                 "left",

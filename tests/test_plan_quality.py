@@ -421,7 +421,12 @@ _BROADCAST_FLOOR = {
     # legitimate shuffle join
     "hybrid_search_top5": (4, "lexical⋈vector candidate union"),
     "hybrid_search_fixedq": (4, "lexical⋈vector candidate union"),
-    "ivf_nprobe_recall_tradeoff": (6, "probe⋈cells on cent_id"),
+    # floor was 6 before ivf_topk_sweep: the probe⋈cells broadcast
+    # now executes inside the sweep's materialized candidate build
+    # (its shape stays pinned by the knn_ivf_top5/fixedcent floors);
+    # what remains in THIS plan is the truth⋈hits recall join per
+    # nprobe branch, broadcast on the |queries|×k hits side
+    "ivf_nprobe_recall_tradeoff": (2, "none — all remaining joins bounded"),
     "kmeans_refined_cells": (7, "assign⋈points per round"),
     "knn_ivf_top5": (2, "probe⋈cells on cent_id is corpus-scale"),
     "knn_ivf_fixedcent": (2, "probe⋈cells on cent_id"),
