@@ -932,6 +932,7 @@ def edit_distance_pairs(
     max_dist: int = 3,
     key_len: int = 40,
     block_cols: "tuple[str, ...]" = (),
+    materialize: str | None = "none",
 ) -> DataFrame:
     """ALL pairs within Levenshtein distance ``max_dist`` on a
     fixed-length prefix key — LOSSLESS pigeonhole segment filtering
@@ -975,7 +976,7 @@ def edit_distance_pairs(
     allow within-block pairs. Returns (left_id, right_id, dist),
     left < right, dist <= max_dist."""
     segs, wins, on, _keyed, bcols = _editdist_parts(
-        df, id_col, key, max_dist, key_len, block_cols
+        df, id_col, key, max_dist, key_len, block_cols, materialize
     )
     cand = (
         segs.join(wins, on)
@@ -1003,6 +1004,7 @@ def _editdist_parts(
     max_dist: int,
     key_len: int,
     block_cols: "tuple[str, ...]",
+    materialize: str | None = None,
 ):
     """Shared candidate construction of the PassJoin family: the
     keyed frame, the exploded left-segment and right-window sides,
@@ -1023,12 +1025,30 @@ def _editdist_parts(
             f"{2 * max_dist} so window position intervals are "
             "disjoint — raise key_len"
         )
+    from ..materialize import materialize as _mat
+
     blocks = list(block_cols)
     bcols = [f"__b{i}" for i in range(len(blocks))]
-    keyed = df.select(
-        F.col(id_col).alias("__id"),
-        *[F.col(c).alias(b) for c, b in zip(blocks, bcols)],
-        F.rpad(F.substring(key, 1, key_len), key_len, " ").alias("__key"),
+    # keyed is the narrow (id, key_len-char prefix[, blocks]) signature
+    # table and feeds BOTH exploded join sides (and the funnel's three
+    # aggregates besides) — the r12 before-plan of editdist_funnel
+    # showed 10 document scans for its 2 method calls. ``materialize``
+    # still defaults to "none": the duplicated consumers hang under
+    # concurrent broadcast builds, so the cheap substring/rpad
+    # recompute overlaps into ~one pass while pinning serializes an
+    # extra AQE job ahead of the query (interleaved quiet-machine A/B
+    # at sf0.1: funnel 1.11s recompute vs 1.42s pinned, pairs a wash —
+    # same verdict and mechanics as kmeans_refine; do not retry
+    # without re-measuring). A 100 TB run passes "table"/"reliable":
+    # there a redundant corpus-text scan is the dominant cost and the
+    # signature table is the thing production would persist anyway.
+    keyed = _mat(
+        df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c).alias(b) for c, b in zip(blocks, bcols)],
+            F.rpad(F.substring(key, 1, key_len), key_len, " ").alias("__key"),
+        ),
+        materialize,
     )
     segs = keyed.select(
         F.col("__id").alias("left_id"),
@@ -1086,6 +1106,7 @@ def edit_distance_funnel(
     key_len: int = 40,
     block_cols: "tuple[str, ...]" = (),
     method: str = "exact",
+    materialize: str | None = "none",
 ) -> DataFrame:
     """ONE-row candidate funnel of :func:`edit_distance_pairs` —
     the per-decade instrumentation the judge asked for (r11 #3):
@@ -1110,7 +1131,7 @@ def edit_distance_funnel(
     All scalars ride in-plan as broadcast 1-row cross-joins (one
     action, never separately collected driver scalars)."""
     segs, wins, on, keyed, bcols = _editdist_parts(
-        df, id_col, key, max_dist, key_len, block_cols
+        df, id_col, key, max_dist, key_len, block_cols, materialize
     )
     grouped = (
         segs.join(wins, on)

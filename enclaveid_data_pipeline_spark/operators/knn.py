@@ -515,6 +515,7 @@ def kmeans_refine(
     vec_col: str = "embedding",
     iterations: int = 2,
     round_decimals: int = 6,
+    materialize: str | None = "none",
 ) -> DataFrame:
     """Spherical k-means (Lloyd) refinement of an IVF centroid set —
     the "train the coarse quantizer" step a production ANN index runs
@@ -545,6 +546,25 @@ def kmeans_refine(
     Returns ``(id_col, vec_col)`` shaped exactly like the
     ``centroids`` input, ready to feed :func:`ivf_topk`.
     """
+    from ..materialize import materialize as _mat
+
+    # ``materialize`` defaults to "none": iteration k's lazy plan
+    # EMBEDS every earlier Lloyd round (kmeans_refined_cells r12
+    # before-plan: 15 embeddings scans, no runtime ReusedExchange),
+    # which reads as a textbook boundary site — but the measured A/B
+    # at sf0.1 says recompute WINS locally (no boundary 1.49s vs
+    # eager per-round localCheckpoint 3.57s, lazy localCheckpoint
+    # 3.57s; knn_index_refresh 4.15s vs 7.94s / 4.74s). Two reasons,
+    # both structural under AQE: (a) every duplicated round subtree
+    # hangs under its own BroadcastExchange, and broadcast builds run
+    # CONCURRENTLY — the redundant passes overlap, so wall time ≈ one
+    # pass; (b) any checkpoint (even ``eager=False``) forces AQE to
+    # materialize the round's shuffle stages at plan-build time,
+    # serializing the rounds into a job chain whose fixed overheads
+    # exceed the recomputed work at any bench/gate SF. Do not retry
+    # without re-measuring. A 100 TB run, where a redundant corpus
+    # pass is hours and executor loss must not replay the whole
+    # chain, passes "table"/"reliable" to pin each round durably.
     cent = centroids.select(
         F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("__ce")
     )
@@ -593,11 +613,12 @@ def kmeans_refine(
                 ).alias("__new")
             )
         )
-        cent = (
+        cent = _mat(
             cent.join(means, on="cent_id", how="left")
             .select(
                 "cent_id", F.coalesce(F.col("__new"), F.col("__ce")).alias("__ce")
-            )
+            ),
+            materialize,
         )
     return cent.select(
         F.col("cent_id").alias(id_col), F.col("__ce").alias(vec_col)

@@ -192,7 +192,11 @@ def _local_skyline(vals, block_rows: int = 2048):
     return np.array(sorted(sky_idx), dtype=np.int64)
 
 
-def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
+def skyline_kd(
+    df: DataFrame,
+    objectives: Sequence[str],
+    materialize: str | None = "none",
+) -> DataFrame:
     """Rows on the d-dimensional Pareto frontier (all ``objectives``
     column names MAXIMIZED; nulls dropped).  Local skyline per
     partition (vectorized), then a broadcast anti-join cross-check of
@@ -235,8 +239,26 @@ def skyline_kd(df: DataFrame, objectives: Sequence[str]) -> DataFrame:
         if sky is not None and len(sky):
             yield sky
 
+    from ..materialize import materialize as _mat
+
     narrow = d.select(*obj)
-    cand = narrow.mapInPandas(_part, schema=narrow.schema).dropDuplicates()
+    # The candidate union feeds both anti-join sides plus the final
+    # semi-join's broadcast build, so the input subtree appears 3× in
+    # the lazy plan. ``materialize`` defaults to "none" anyway: the
+    # duplicated subtrees hang under separate BroadcastExchanges,
+    # which build CONCURRENTLY, so recompute overlaps into ~one pass
+    # of wall time, while pinning cand serializes an extra AQE job
+    # ahead of the query (interleaved sf0.1 A/B: skyline_users_3d
+    # 1.01s recompute vs 1.30s pinned — same verdict as
+    # kmeans_refine; see that docstring for the mechanics). What DOES
+    # need a boundary is a nested skyline-of-skyline input —
+    # :func:`skyline_upsert_kd` pins its frontier input instead,
+    # which collapses the multiplicative re-expansion (20 part scans
+    # → 3) without serializing the flat call sites.
+    cand = _mat(
+        narrow.mapInPandas(_part, schema=narrow.schema).dropDuplicates(),
+        materialize,
+    )
     rhs = cand.select(
         *[F.col(c).alias(f"__r_{c}") for c in obj]
     )
@@ -256,6 +278,7 @@ def skyline_upsert_kd(
     base_skyline: DataFrame,
     inserts: DataFrame,
     objectives: Sequence[str],
+    materialize: str | None = None,
 ) -> DataFrame:
     """Incremental skyline maintenance for INSERT-only feeds: the new
     skyline computed from the OLD SKYLINE plus the insert batch —
@@ -272,9 +295,16 @@ def skyline_upsert_kd(
     deletion feeds repair from standby layers instead
     (:func:`skyline_delete_kd` over :func:`pareto_layers_kd` state).
     """
+    from ..materialize import materialize as _mat
+
     cols = list(base_skyline.columns)
+    # The union feeds skyline_kd's candidate pass AND its final
+    # semi-join; pin the (frontier-sized) old skyline so the base
+    # corpus subtree under it evaluates once instead of per consumer.
+    # The insert batch side stays lazy — it is corpus-proportional.
+    old = _mat(base_skyline.select(*cols), materialize)
     return skyline_kd(
-        base_skyline.select(*cols).unionByName(inserts.select(*cols)),
+        old.unionByName(inserts.select(*cols)),
         objectives,
     )
 

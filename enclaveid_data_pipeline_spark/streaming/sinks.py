@@ -323,11 +323,16 @@ def skyline_sink(
         if existing is not None:
             # drop() is a no-op when absent: tolerate tables written
             # by the pre-round-10 guard that embedded a _batch_id
+            # materialize="none": both subtrees are parquet/batch
+            # reads (cheap to re-run), and a per-micro-batch
+            # localCheckpoint would pin one never-released frontier
+            # copy per batch for the stream's lifetime
             merged = skyline_upsert_kd(
-                existing.drop("_batch_id"), batch_df, list(objectives)
+                existing.drop("_batch_id"), batch_df, list(objectives),
+                materialize="none",
             )
         else:
-            merged = skyline_kd(batch_df, list(objectives))
+            merged = skyline_kd(batch_df, list(objectives), materialize="none")
         deduped = (
             merged.dropDuplicates(list(dedup_keys))
             if dedup_keys
