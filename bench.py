@@ -57,7 +57,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from enclaveid_data_pipeline_spark.session import get_spark  # noqa: E402
-from enclaveid_data_pipeline_spark.queries import REGISTRY  # noqa: E402
+from enclaveid_data_pipeline_spark.queries import (  # noqa: E402
+    REGISTRY,
+    release_shared_caches,
+)
 
 #: Headline suite: one per operator family (scan/agg, star join,
 #: window top-k, learned-threshold sessionization, recency split,
@@ -255,6 +258,12 @@ def _run_suite(
             _gc_fence(spark)
         for name in names:
             fn = REGISTRY[name].fn
+            # cold-build guarantee (judge r12 #1): no benched query
+            # may read a warm session-scoped _SHARED table — not from
+            # an earlier pass (the fence handles that) and not from an
+            # earlier suite member either (e.g. two retrieval twins
+            # both reading the TF table within one pass). Costs ~ms.
+            release_shared_caches()
             t0 = time.perf_counter()
             try:
                 n = fn(spark, sf_dir).count()
@@ -311,7 +320,15 @@ def _gc_fence(spark) -> None:
     blocks, force a JVM GC, let the executor pools settle — the
     round-3 lesson that in-suite sf1 numbers carry congestion noise
     (judge isolation re-run of top1_neighbor_graph measured HALF the
-    in-suite time), which poisons round-over-round comparisons."""
+    in-suite time), which poisons round-over-round comparisons.
+
+    Round 13 (judge r12 #1): also drop the session-scoped _SHARED
+    family tables and unpersist their pinned blocks — clearCache()
+    does NOT touch localCheckpoint RDDs, so min-of-3 was measuring a
+    warm pair-table for top1_neighbor_graph (PERF_r12's only
+    'improved' query was this artifact). Every pass now rebuilds
+    shared intermediates from parquet."""
+    release_shared_caches()
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)

@@ -30,6 +30,16 @@ Default resolution: explicit argument > ``SPARK_GRAFT_MATERIALIZE``
 env var > ``local``. Operators thread a ``materialize=`` parameter to
 here, so one env var flips the whole engine to durable boundaries on
 a real cluster without touching call sites.
+
+Sites whose interleaved A/B measured recompute BEATING a pinned
+boundary at eval scale (kmeans_refine, skyline_kd, PassJoin,
+simhash banding, PageRank/PPR rounds — the round-12 dead-end
+ledger) default to :data:`DEFAULT_OFF` instead of a hard ``"none"``:
+with the env var unset that resolves to ``"none"`` (recompute), but
+a cluster profile that sets ``SPARK_GRAFT_MATERIALIZE=table`` still
+reaches them — their own docstrings say a 100 TB run should pin
+durably there, and a hard ``"none"`` silently opted them out of the
+one-env-var contract above (r12 advice).
 """
 
 from __future__ import annotations
@@ -41,6 +51,10 @@ from pyspark.sql import DataFrame
 
 MODES = ("local", "reliable", "table", "none")
 
+#: sentinel default for recompute-wins sites: env var when set,
+#: else ``"none"`` (see module doc).
+DEFAULT_OFF = "default_none"
+
 #: env var read when a call site passes ``materialize=None``.
 ENV_VAR = "SPARK_GRAFT_MATERIALIZE"
 
@@ -49,7 +63,10 @@ SCRATCH_ENV_VAR = "SPARK_GRAFT_SCRATCH"
 
 
 def resolve_mode(mode: str | None) -> str:
-    out = mode or os.environ.get(ENV_VAR) or "local"
+    if mode == DEFAULT_OFF:
+        out = os.environ.get(ENV_VAR) or "none"
+    else:
+        out = mode or os.environ.get(ENV_VAR) or "local"
     if out not in MODES:
         raise ValueError(f"materialize mode {out!r} not in {MODES}")
     return out
@@ -87,6 +104,28 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     path = os.path.join(_scratch_dir(), f"mat-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def release_blocks(df: DataFrame) -> None:
+    """Unpersist the executor blocks behind a ``local``-materialized
+    frame (no-op for ``table``/``reliable``/``none`` frames, or any
+    plan that is not a bare ``LogicalRDD``).
+
+    Same per-frame attribution as :class:`RollingBoundary`: the
+    analyzed plan of a ``localCheckpoint()`` result is the
+    ``LogicalRDD`` wrapping exactly the persisted checkpoint RDD, so
+    the handle is read straight off the plan — never a
+    ``getPersistentRDDs`` sweep that could claim a concurrent
+    sibling's blocks. After release the frame MUST NOT be read again
+    (truncated lineage cannot recompute); callers drop every
+    reference along with the blocks (queries.release_shared_caches).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # never let a release failure poison the caller
 
 
 class RollingBoundary:

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import DEFAULT_OFF
+
 from ..materialize import materialize as _materialize
 
 
@@ -641,7 +643,7 @@ def simhash_hamming_pairs(
     sig_col: str = "simhash",
     bits: int = 16,
     radius: int = 2,
-    materialize: str | None = "none",
+    materialize: str | None = DEFAULT_OFF,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``radius`` of their
     SimHash signatures — WITHOUT an all-pairs comparison.
@@ -932,7 +934,7 @@ def edit_distance_pairs(
     max_dist: int = 3,
     key_len: int = 40,
     block_cols: "tuple[str, ...]" = (),
-    materialize: str | None = "none",
+    materialize: str | None = DEFAULT_OFF,
 ) -> DataFrame:
     """ALL pairs within Levenshtein distance ``max_dist`` on a
     fixed-length prefix key — LOSSLESS pigeonhole segment filtering
@@ -1106,7 +1108,7 @@ def edit_distance_funnel(
     key_len: int = 40,
     block_cols: "tuple[str, ...]" = (),
     method: str = "exact",
-    materialize: str | None = "none",
+    materialize: str | None = DEFAULT_OFF,
 ) -> DataFrame:
     """ONE-row candidate funnel of :func:`edit_distance_pairs` —
     the per-decade instrumentation the judge asked for (r11 #3):

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import DEFAULT_OFF
+
 from ..materialize import materialize
 
 #: fixed-point scale: ranks live in units of 1e-12.
@@ -75,7 +77,7 @@ def pagerank_fixed(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
-    materialize_mode: str | None = "none",
+    materialize_mode: str | None = DEFAULT_OFF,
     broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge table; returns
@@ -672,7 +674,7 @@ def personalized_pagerank_fixed(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
-    materialize_mode: str | None = "none",
+    materialize_mode: str | None = DEFAULT_OFF,
     broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: teleport (and dangling) mass returns

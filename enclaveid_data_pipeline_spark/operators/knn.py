@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import DEFAULT_OFF
+
 from ..functions.vectors import as_double, cosine_similarity, l2_norm
 
 
@@ -459,12 +461,21 @@ def ivf_topk_sweep(
     (tests/test_dedup_knn_textstats.py pins the equivalence).  The
     candidate table is workload-bounded (|queries| × max-nprobe
     cells), so the pinned boundary never scales with the corpus.
+
+    Unlike its lazy sibling :func:`ivf_topk`, the shared candidate
+    join EXECUTES at build time (the default ``materialize`` mode
+    pins it as a localCheckpoint) and the workload-bounded pinned
+    blocks live for the session's lifetime; pass
+    ``materialize="none"`` to stay fully lazy (each returned frame
+    then recomputes the shared join per action).
     """
     from pyspark.sql import Window
 
     from ..materialize import materialize as _mat
 
     probe_list = sorted({int(p) for p in nprobes})
+    if not probe_list:
+        raise ValueError("nprobes must be a non-empty sequence of ints")
     cent = _prep_centroids(centroids, id_col, vec_col)
     cells = assign_cells(corpus, cent, id_col, vec_col, out_id="neighbor_id")
     probes = _probe_table(
@@ -515,7 +526,7 @@ def kmeans_refine(
     vec_col: str = "embedding",
     iterations: int = 2,
     round_decimals: int = 6,
-    materialize: str | None = "none",
+    materialize: str | None = DEFAULT_OFF,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) refinement of an IVF centroid set —
     the "train the coarse quantizer" step a production ANN index runs

@@ -49,6 +49,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import DEFAULT_OFF
+
 from .rank import with_sampled_range_bucket
 
 _X = "__skx"
@@ -65,8 +67,15 @@ def skyline_2d(
     n_buckets: int = 64,
     group_by: Sequence[str] = (),
     materialize: str | None = None,
+    boundary=None,
 ) -> DataFrame:
     """Rows on the 2-D Pareto frontier, both objectives MAXIMIZED.
+
+    ``boundary``: optional ``(df, mode) -> df`` materializer (a
+    :class:`~..materialize.RollingBoundary`) that the internal ``gb``
+    pin routes through, so an iterative CALLER (pareto_layers_2d)
+    can release each peel's grid blocks instead of leaking one
+    untracked localCheckpoint per layer (r12 advice).
 
     With ``group_by`` set, an independent frontier per group (the
     per-language document frontier shape) — every stage carries the
@@ -106,7 +115,8 @@ def skyline_2d(
     # (group, x) — the deduplicated objective grid, not the corpus.
     from ..materialize import materialize as _mat
 
-    gb = _mat(
+    _pin = boundary if boundary is not None else _mat
+    gb = _pin(
         with_sampled_range_bucket(g, F.col(_X), n=n_buckets, out=_BK),
         materialize,
     )
@@ -195,7 +205,7 @@ def _local_skyline(vals, block_rows: int = 2048):
 def skyline_kd(
     df: DataFrame,
     objectives: Sequence[str],
-    materialize: str | None = "none",
+    materialize: str | None = DEFAULT_OFF,
 ) -> DataFrame:
     """Rows on the d-dimensional Pareto frontier (all ``objectives``
     column names MAXIMIZED; nulls dropped).  Local skyline per
@@ -325,19 +335,34 @@ def pareto_layers_2d(
     :func:`skyline_2d` pass over the shrinking remainder, its
     (small) frontier materialized so later layers' plans don't
     re-embed earlier peels; the per-layer handles are RELEASED once
-    the final union is materialized (see :func:`pareto_layers_kd`)."""
+    the final union is materialized (see :func:`pareto_layers_kd`).
+
+    The ``materialize`` mode is FORWARDED into each peel's
+    :func:`skyline_2d` and its internal grid pin rides a lag-0
+    rolling boundary (r12 advice: the unforwarded call pinned one
+    untracked distinct-(group, x) localCheckpoint per layer that
+    nothing ever released, and ``materialize='none'`` callers could
+    not disable it): layer i's grid blocks drop the moment layer
+    i+1's grid registers — their only reader was layer i's already-
+    materialized frontier."""
     from ..materialize import RollingBoundary, materialize as _mat
 
     if layers < 1:
         raise ValueError(f"layers must be >= 1, got {layers}")
     boundary = RollingBoundary(lag=layers)
+    grid_boundary = RollingBoundary(lag=0)
     remaining = df
     out: DataFrame | None = None
     for i in range(1, layers + 1):
         sky = boundary(
-            skyline_2d(remaining, x, y, n_buckets=n_buckets).withColumn(
-                "layer", F.lit(i).cast("long")
-            ),
+            skyline_2d(
+                remaining,
+                x,
+                y,
+                n_buckets=n_buckets,
+                materialize=materialize,
+                boundary=grid_boundary,
+            ).withColumn("layer", F.lit(i).cast("long")),
             materialize,
         )
         out = sky if out is None else out.unionByName(sky)
@@ -347,6 +372,7 @@ def pareto_layers_2d(
     # one residue per call, not L (r10 advice): the union boundary is
     # eager, so after it the per-layer blocks have zero readers
     final = _mat(out, materialize)
+    grid_boundary.release()
     boundary.release()
     return final
 

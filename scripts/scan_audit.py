@@ -37,6 +37,7 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("scan_audit")
     rows = []
+    n_err = 0
     for name in sorted(REGISTRY):
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
@@ -45,11 +46,26 @@ def main() -> int:
             )
         except Exception as e:  # noqa: BLE001 - audit must survive one bad query
             print(f"ERR   {name}: {type(e).__name__}: {e}")
+            n_err += 1
             continue
-        scans = Counter(
-            re.sub(r"\.parquet.*$", "", m.split("/")[-1])
-            for m in re.findall(r"Location: InMemoryFileIndex \[([^\]]*)\]", plan)
-        )
+        # Count `Scan parquet` NODE HEADERS (stable), and attribute
+        # each to a table via the FIRST path of its own detail
+        # block's Location line — long location lists are truncated
+        # with '…' by explain, so parsing the whole bracket (the old
+        # form) could under/mis-count (r12 advice).
+        scans: Counter = Counter()
+        n_scan_headers = 0
+        for block in re.split(r"\n\(\d+\) ", plan):
+            if not block.startswith("Scan parquet"):
+                continue
+            n_scan_headers += 1
+            m = re.search(r"Location: \S+ \[([^,\]…]+)", block)
+            table = (
+                re.sub(r"\.parquet.*$", "", m.group(1).split("/")[-1])
+                if m
+                else "__unattributed__"
+            )
+            scans[table] += 1
         n_rdd = plan.count("Scan ExistingRDD")
         n_py = (
             plan.count("BatchEvalPython")
@@ -64,9 +80,11 @@ def main() -> int:
                 f"{worst:2d}x  {name:40s} scans={scans} "
                 f"rdd={n_rdd} py={n_py}"
             )
-    print(f"# audited {len(rows)} queries at {sf_dir}")
+    print(f"# audited {len(rows)} queries at {sf_dir} ({n_err} errors)")
     spark.stop()
-    return 0
+    # nonzero when any query failed plan analysis, so CI notices
+    # instead of reading a silently shorter audit (r12 advice)
+    return 1 if n_err else 0
 
 
 if __name__ == "__main__":
